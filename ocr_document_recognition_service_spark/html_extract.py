@@ -1,0 +1,212 @@
+"""HTML main-content extraction kernel (SURVEY §2.3 D1/D3, §2.2 F4/F5).
+
+The web analog of the reference's text *detection* stage
+(``core/pipelines/detectors/fast.py:67-110``): instead of a neural net
+emitting word boxes, a DOM walk emits one candidate per block-level node
+with local features (char count, link-char count, tag, boilerplate
+container flag), and a Boilerpipe-style text-density / link-density
+classifier (Kohlschütter et al., WSDM 2010 — public heuristic) keeps the
+main-content blocks.
+
+Design constraints (pinned; tests depend on them):
+
+- **Parser**: stdlib ``html.parser`` (no lxml in the sandbox — SURVEY
+  §7.5).  Tolerant of malformed markup, never raises on bad nesting.
+- **Locality**: every feature and the classification itself are local to
+  one block.  This is what makes salt-splitting oversized documents at
+  block boundaries byte-identical to unsplit extraction (SURVEY §4
+  "Skew handling").
+- **Encoding** (§1.4): ``<meta charset>`` sniffed from the first 2048
+  bytes, else UTF-8; always ``errors="replace"`` — mirrors the
+  reference's chardet-then-utf8 fallback (eval_loader.py:12-16)
+  deterministically.
+- **Cleanup** (F4): per block, CR/LF → space, collapse ``\\s+``, strip —
+  the reference's ``clean_text`` (wiki_parser_to_pdf.py:22-26).
+"""
+
+from __future__ import annotations
+
+import codecs
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Tags whose entire subtree is invisible text-wise.
+SKIP_TAGS = frozenset(
+    "script style noscript template svg head iframe object embed".split()
+)
+# Semantic boilerplate containers: content inside is never main content.
+BOILER_TAGS = frozenset(
+    "nav header footer aside form menu button select option label".split()
+)
+# class/id tokens that mark a container as boilerplate.
+BOILER_ATTR_RE = re.compile(
+    r"(?:^|[\s_-])(nav|menu|footer|header|sidebar|banner|breadcrumb|comment|"
+    r"promo|cookie|social|share|related|widget|advert|ads?)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+# Tags that delimit text blocks (start OR end flushes the running buffer).
+BLOCK_TAGS = frozenset(
+    (
+        "p h1 h2 h3 h4 h5 h6 li td th tr blockquote pre dt dd figcaption "
+        "caption div section article main table ul ol dl body br hr"
+    ).split()
+)
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+
+MAX_LINK_DENSITY = 1.0 / 3.0
+MIN_CONTENT_WORDS = 2
+
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]{0,200}?charset\s*=\s*["']?([A-Za-z0-9_\-]{1,40})""",
+    re.IGNORECASE,
+)
+_WS_RE = re.compile(r"\s+")
+
+
+def sniff_decode(raw: bytes) -> str:
+    """Deterministic charset sniff + decode (§1.4, pinned)."""
+    enc = "utf-8"
+    m = _CHARSET_RE.search(raw[:2048])
+    if m:
+        cand = m.group(1).decode("ascii", "replace")
+        try:
+            codecs.lookup(cand)
+            enc = cand
+        except LookupError:
+            pass
+    return raw.decode(enc, errors="replace")
+
+
+def clean_text(text: str) -> str:
+    """F4 whitespace normalization — reference ``clean_text`` semantics
+    (wiki_parser_to_pdf.py:22-26): CR/LF → space, collapse, strip."""
+    return _WS_RE.sub(" ", text.replace("\n", " ").replace("\r", " ")).strip()
+
+
+@dataclass
+class Block:
+    """One block-level text candidate (web analog of a detection box)."""
+
+    tag: str
+    boiler: bool
+    parts: list[str] = field(default_factory=list)
+    link_chars: int = 0
+    raw_chars: int = 0
+
+    @property
+    def text(self) -> str:
+        return clean_text("".join(self.parts))
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.raw_chars if self.raw_chars else 0.0
+
+    def is_content(self) -> bool:
+        """Boilerpipe-style local classification (D3).
+
+        Boilerplate container → no.  Link density > 1/3 → no (link
+        farms / nav lists).  Headings with acceptable link density →
+        yes.  Otherwise require ≥ MIN_CONTENT_WORDS words.
+        """
+        if self.boiler:
+            return False
+        t = self.text
+        if not t:
+            return False
+        if self.link_density > MAX_LINK_DENSITY:
+            return False
+        if self.tag in HEADING_TAGS:
+            return True
+        return len(t.split(" ")) >= MIN_CONTENT_WORDS
+
+
+class _BlockParser(HTMLParser):
+    """Single-pass block segmenter over the tag-event stream.
+
+    Every BLOCK_TAG start/end flushes the running buffer, so a buffer
+    never spans a block or boilerplate-container boundary — the
+    invariant that makes per-block features exact.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._skip = 0
+        self._boiler = 0
+        self._boiler_stack: list[str] = []  # tags that raised _boiler
+        self._a_depth = 0
+        self._cur = Block(tag="body", boiler=False)
+
+    # -- buffer management -------------------------------------------------
+    def _flush(self, next_tag: str | None = None) -> None:
+        if self._cur.parts:
+            self.blocks.append(self._cur)
+        self._cur = Block(
+            tag=next_tag or self._cur.tag, boiler=self._boiler > 0
+        )
+
+    # -- tag events ---------------------------------------------------------
+    @staticmethod
+    def _is_boiler_attrs(attrs: list[tuple[str, str | None]]) -> bool:
+        for k, v in attrs:
+            if k in ("class", "id", "role") and v and BOILER_ATTR_RE.search(v):
+                return True
+        return False
+
+    def handle_starttag(self, tag, attrs):  # noqa: D401
+        if tag in SKIP_TAGS:
+            self._skip += 1
+            return
+        boiler_here = tag in BOILER_TAGS or self._is_boiler_attrs(attrs)
+        if boiler_here:
+            self._boiler += 1
+            self._boiler_stack.append(tag)
+        if tag == "a":
+            self._a_depth += 1
+        if tag in BLOCK_TAGS or boiler_here:
+            self._flush(next_tag=tag if tag in BLOCK_TAGS else "div")
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in ("br", "hr"):
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+            return
+        was_boiler_close = bool(self._boiler_stack) and tag == self._boiler_stack[-1]
+        if was_boiler_close:
+            self._boiler_stack.pop()
+            self._boiler = max(0, self._boiler - 1)
+        if tag == "a":
+            self._a_depth = max(0, self._a_depth - 1)
+        if tag in BLOCK_TAGS or was_boiler_close:
+            self._flush(next_tag="body")
+
+    def handle_data(self, data):
+        if self._skip or not data:
+            return
+        self._cur.parts.append(data)
+        n = len(data)
+        self._cur.raw_chars += n
+        if self._a_depth:
+            self._cur.link_chars += n
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def html_blocks(html_text: str) -> list[Block]:
+    """Segment decoded HTML into block candidates (document order)."""
+    p = _BlockParser()
+    p.feed(html_text)
+    p.close()
+    return p.blocks
+
+
+def extract_html_text(html_text: str) -> list[str]:
+    """Main-content block texts in document (reading) order, cleaned (F4)
+    but NOT yet language-normalized — normalization is per-lang (R7)."""
+    return [b.text for b in html_blocks(html_text) if b.is_content()]

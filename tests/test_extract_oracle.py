@@ -1,0 +1,151 @@
+"""Oracle extractor tests: HTML, PDF, encoding, splitting (SURVEY §5.2)."""
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_document_recognition_service_spark import (
+    charsets,
+    extract_one,
+    gen_pages,
+    html_extract,
+    pdf_extract,
+)
+
+
+def test_boilerplate_is_stripped():
+    html = (
+        b"<html><head><meta charset='utf-8'><title>t</title></head><body>"
+        b"<nav><ul><li><a href='/'>home link</a></li></ul></nav>"
+        b"<div class='content'><h1>Main title</h1>"
+        b"<p>real content words here</p></div>"
+        b"<footer>copyright footer text</footer></body></html>"
+    )
+    res = extract_one.extract_document(html, "en")
+    assert res.text == "Main title\nreal content words here"
+    assert res.n_blocks == 2
+
+
+def test_link_farm_dropped_by_density():
+    html = (
+        b"<body><p><a href='/a'>one</a> <a href='/b'>two</a> "
+        b"<a href='/c'>three</a></p><p>plain words stay here</p></body>"
+    )
+    res = extract_one.extract_document(html, "en")
+    assert res.text == "plain words stay here"
+
+
+def test_empty_body_yields_empty_not_dropped():
+    # reference bug analog: easy_ocr.py:49-52 silently drops empty crops;
+    # we keep the row with empty text (SURVEY §2.5 R2).
+    res = extract_one.extract_document(b"<html><body></body></html>", "ru")
+    assert res.text == "" and res.n_blocks == 0 and res.error is None
+
+
+def test_none_payload():
+    res = extract_one.extract_document(None, "en")
+    assert res.text == "" and res.error is None
+
+
+def test_malformed_html_no_crash():
+    res = extract_one.extract_document(b"<body><p>alpha beta <b>gamma", "en")
+    assert res.error is None
+    assert "alpha beta gamma" in res.text
+
+
+def test_meta_charset_cp1251_decoded():
+    body = "<html><head><meta charset=\"windows-1251\"></head><body><p>привет мир слово</p></body></html>"
+    res = extract_one.extract_document(body.encode("windows-1251"), "ru")
+    assert res.text == "привет мир слово"
+
+
+def test_whitespace_collapse_f4():
+    html = b"<body><p>a\n  b\r\n c   d</p></body>"
+    assert extract_one.extract_document(html, "en").text == "a b c d"
+
+
+def test_homoglyph_normalization_in_en_doc():
+    html = "<body><p>Сache and Тoken words</p></body>".encode()
+    assert extract_one.extract_document(html, "en").text == "Cache and Token words"
+
+
+def test_null_lang_detected_ru():
+    html = "<body><p>привет мир ёлка дерево слово</p></body>".encode()
+    res = extract_one.extract_document(html, None)
+    assert res.lang == "ru"
+
+
+def test_pdf_reading_order_row_major():
+    blocks = [
+        (40.0, 100.0, "third row"),
+        (40.0, 40.0, "first block"),
+        (300.0, 40.0, "second block"),
+        (300.0, 70.0, "after left"),
+        (40.0, 70.0, "left first"),
+    ]
+    payload = pdf_extract.build_pdf(blocks)
+    res = extract_one.extract_document(payload, "en")
+    assert res.text == "first block\nsecond block\nleft first\nafter left\nthird row"
+
+
+def test_pdf_rotated_recovers_order():
+    blocks = [
+        (40.0, 40.0, "alpha one"),
+        (300.0, 40.0, "beta two"),
+        (40.0, 80.0, "gamma three"),
+    ]
+    payload = pdf_extract.build_pdf(blocks, angle=0.1)
+    res = extract_one.extract_document(payload, "en")
+    assert res.text == "alpha one\nbeta two\ngamma three"
+
+
+def test_pdf_escapes_roundtrip():
+    blocks = [(40.0, 40.0, r"paren (x) back\slash close)")]
+    payload = pdf_extract.build_pdf(blocks)
+    got = pdf_extract.pdf_blocks(payload)
+    assert got[0][1] == r"paren (x) back\slash close)"
+
+
+def test_split_invariance_whole_corpus(corpus_rows):
+    """Split ∘ extract ∘ join == extract, for every row, two thresholds
+    (SURVEY §7.4 hard part #1/#4)."""
+    n_chunked = 0
+    for r in corpus_rows:
+        base = extract_one.extract_document(r["html"], r["lang"])
+        for tgt in (8 * 1024, 64 * 1024):
+            if len(extract_one.split_html(r["html"], tgt)) > 1:
+                n_chunked += 1
+            sp = extract_one.extract_document_split(r["html"], r["lang"], tgt)
+            assert sp.text == base.text, r["url"]
+            assert sp.lang == base.lang
+    assert n_chunked >= 3  # skew rows exist and actually split
+
+
+def test_corpus_golden_hash_frozen(corpus_rows):
+    """Freeze the whole-corpus extraction output — any semantic drift in
+    parser/normalizer/layout breaks this hash (byte-identity contract)."""
+    joined = "\x01".join(
+        extract_one.extract_document(r["html"], r["lang"]).text or ""
+        for r in corpus_rows
+    )
+    digest = hashlib.md5(joined.encode("utf-8")).hexdigest()
+    assert digest == "d66b8ef0f99228a88bb74bf754de06ff"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=charsets.VOCAB_MULTI + " \n\t", max_size=400))
+def test_clean_text_idempotent(s):
+    once = html_extract.clean_text(s)
+    assert html_extract.clean_text(once) == once
+
+
+def test_extraction_deterministic(corpus_rows):
+    for r in corpus_rows[:40]:
+        a = extract_one.extract_document(r["html"], r["lang"])
+        b = extract_one.extract_document(r["html"], r["lang"])
+        assert a == b
+    # generator itself is deterministic row-by-row
+    again = list(gen_pages.gen_rows(40, seed=42))
+    for r1, r2 in zip(corpus_rows[:40], again):
+        assert r1 == r2
