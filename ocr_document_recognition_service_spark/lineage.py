@@ -1,0 +1,185 @@
+"""Per-partition lineage + checkpoint/resume protocol (SURVEY §7.1 step 6).
+
+Semantic ancestor: the reference's in-memory task-status dict
+(``core/app.py:22``, states pending/processing/done/error at
+``app.py:38-83``) — which is lost on restart (the code itself notes
+"в продакшене лучше Redis", app.py:21).  Here it becomes a durable
+checkpoint table:
+
+    (run_id, snapshot_id, partition_id, row_count, output_md5, committed_at)
+
+- ``partition_id = pmod(xxhash64(url), P)`` — deterministic, so any
+  re-run over the same snapshot assigns identical rows to identical
+  partitions.
+- A partition is *committed* once its output parquet AND its lineage
+  row are written.  Resume = anti-join committed partition ids for the
+  same ``snapshot_id`` (broadcast — the committed set is tiny).
+- ``output_md5`` = md5 of the partition's extracted texts concatenated
+  in url order; the whole-table md5 of a resumed run must equal a
+  from-scratch run (asserted in tests).
+
+Iceberg snapshots are emulated (no jars in the sandbox, SURVEY §7.5):
+``snapshot_id`` is a content fingerprint of the input file listing.  On
+a real cluster, swap in the table's current Iceberg snapshot id.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .pipeline import extract_pages
+
+SEP = "\x01"
+
+
+def snapshot_id_of(input_path: str) -> int:
+    """Emulated Iceberg snapshot id: crc32 fingerprint of the sorted
+    (relative file name, size) listing of the input dataset."""
+    entries = []
+    if os.path.isdir(input_path):
+        for root, _dirs, files in os.walk(input_path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    entries.append(
+                        f"{os.path.relpath(p, input_path)}:{os.path.getsize(p)}"
+                    )
+    else:
+        entries.append(f"{os.path.basename(input_path)}:{os.path.getsize(input_path)}")
+    return zlib.crc32("|".join(sorted(entries)).encode("utf-8"))
+
+
+def with_partition_id(pages: DataFrame, num_partitions: int) -> DataFrame:
+    return pages.withColumn(
+        "pid", F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int")
+    )
+
+
+def partition_lineage(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage aggregate over extracted output carrying
+    ``pid``: row count + md5 of texts concatenated in url order."""
+    return extracted.groupBy("pid").agg(
+        F.count("*").alias("row_count"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+            "error_count"
+        ),
+        F.md5(
+            F.concat_ws(
+                SEP,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("url", "text"))),
+                    lambda x: F.coalesce(x["text"], F.lit("\x00<null>")),
+                ),
+            )
+        ).alias("output_md5"),
+    )
+
+
+def committed_partitions(
+    spark: SparkSession, checkpoint_path: str, snapshot_id: int
+) -> DataFrame | None:
+    """Distinct committed pids for this snapshot, or None if no
+    checkpoint exists yet."""
+    try:
+        ck = spark.read.parquet(checkpoint_path)
+    except Exception:
+        return None
+    return (
+        ck.filter(F.col("snapshot_id") == snapshot_id)
+        .select("pid")
+        .distinct()
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    run_id: str,
+    *,
+    num_partitions: int = 64,
+    salt_threshold: int = 64 * 1024,
+    limit_partitions: int | None = None,
+) -> dict:
+    """One (resumable) extraction run.
+
+    Reads the pages table, skips partitions already committed for the
+    current input snapshot, extracts the rest, appends output parquet
+    (partitioned by pid) and lineage rows.  ``limit_partitions``
+    processes only the first K uncommitted pids — used by tests to
+    simulate a mid-run kill.
+
+    Returns {snapshot_id, partitions_processed, rows}.
+    """
+    snap = snapshot_id_of(input_path)
+    pages = with_partition_id(spark.read.parquet(input_path), num_partitions)
+
+    done = committed_partitions(spark, checkpoint_path, snap)
+    if done is not None:
+        pages = pages.join(F.broadcast(done), "pid", "left_anti")
+    if limit_partitions is not None:
+        keep = (
+            pages.select("pid").distinct().orderBy("pid").limit(limit_partitions)
+        )
+        pages = pages.join(F.broadcast(keep), "pid", "inner")
+
+    extracted = extract_pages(
+        pages,
+        salt_threshold=salt_threshold,
+        num_partitions=num_partitions,
+        carry_cols=("warc_ts", "pid"),
+    )
+
+    # Write output first, then commit lineage from the written data —
+    # a partition is committed only if its rows are durably on disk.
+    extracted.write.mode("append").partitionBy("pid").parquet(output_path)
+
+    written = spark.read.parquet(output_path)
+    prev = committed_partitions(spark, checkpoint_path, snap)
+    fresh = written
+    if prev is not None:
+        fresh = written.join(F.broadcast(prev), "pid", "left_anti")
+    lineage = (
+        partition_lineage(fresh)
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("snapshot_id", F.lit(snap))
+        .withColumn("committed_at", F.current_timestamp())
+    )
+    lineage.write.mode("append").parquet(checkpoint_path)
+
+    stats = (
+        spark.read.parquet(checkpoint_path)
+        .filter((F.col("snapshot_id") == snap) & (F.col("run_id") == run_id))
+        .agg(
+            F.countDistinct("pid").alias("parts"),
+            F.sum("row_count").alias("rows"),
+        )
+        .collect()[0]
+    )
+    return {
+        "snapshot_id": snap,
+        "partitions_processed": stats["parts"],
+        "rows": stats["rows"] or 0,
+    }
+
+
+def global_md5(spark: SparkSession, output_path: str) -> str:
+    """md5 over ALL extracted texts in url order (test-scale helper;
+    at 100 TB you compare per-partition md5 sets instead)."""
+    df = spark.read.parquet(output_path)
+    row = df.agg(
+        F.md5(
+            F.concat_ws(
+                SEP,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("url", "text"))),
+                    lambda x: F.coalesce(x["text"], F.lit("\x00<null>")),
+                ),
+            )
+        ).alias("h")
+    ).collect()[0]
+    return row["h"]

@@ -1,0 +1,241 @@
+"""The Spark extraction pipeline (SURVEY §7.1 steps 4–5).
+
+Plan shape (all relational work stays in Catalyst; Python only inside
+Arrow-batched pandas UDFs):
+
+    scan pages
+      → repartition(P, xxhash64(url))                 [one shuffle]
+      → skew pre-pass: length(html) > threshold rows split at block
+        boundaries into chunk rows (salt-split, W2 semantics)
+      → THREE lang-filtered branches (en/ru/kk) + a null-lang branch,
+        each applying the vectorized extraction UDF with the branch's
+        normalization constants — DataFrame-level routing, no UDF
+        conditional on lang (north rule)
+      → unionByName
+      → drop html immediately (column pruning past extraction)
+      → salted rows reassembled: groupBy(url), texts joined in
+        chunk_id order                                [shuffle only
+        over the tiny salted subset]
+
+The per-stage list materialization of the reference
+(``core/pipelines/default/preprocessor.py:9`` etc.) and its
+batch-size-1 recognize loop (``crnn.py:168``) are exactly what this
+replaces: one lazy plan, Arrow record batches end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .charsets import LANGS
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+EXTRACT_RESULT_TYPE = StructType(
+    [
+        StructField("text", StringType(), True),
+        StructField("n_blocks", IntegerType(), True),
+        StructField("lang_used", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+DEFAULT_SALT_THRESHOLD = 64 * 1024
+DEFAULT_CHUNK_TARGET = 32 * 1024
+
+_PDF_MAGIC_HEX = "25504446"  # b"%PDF"
+
+
+def _extract_udf(lang: str | None):
+    """Vectorized extraction for one language branch.
+
+    Iterator form: the (cheap) kernel import happens once per Python
+    worker, not per batch — the Spark analog of the reference's
+    singleton pipeline instance (``core/app.py:25-33``).
+    """
+
+    @pandas_udf(EXTRACT_RESULT_TYPE)
+    def extract(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from ocr_document_recognition_service_spark import extract_one
+
+        for payloads in batches:
+            results = [
+                extract_one.extract_document(
+                    bytes(p) if p is not None else None, lang
+                )
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "text": [r.text for r in results],
+                    "n_blocks": [r.n_blocks for r in results],
+                    "lang_used": [r.lang for r in results],
+                    "error": [r.error for r in results],
+                }
+            )
+
+    return extract
+
+
+@pandas_udf(ArrayType(BinaryType()))
+def _split_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Salt-split oversized HTML at block boundaries (chunk target is a
+    module constant so the UDF stays single-column; PDF / non-UTF-8
+    payloads come back as a single chunk — the kernel refuses)."""
+    from ocr_document_recognition_service_spark import extract_one
+
+    for payloads in batches:
+        yield payloads.map(
+            lambda p: extract_one.split_html(bytes(p), DEFAULT_CHUNK_TARGET)
+            if p is not None
+            else [None]
+        )
+
+
+def _is_pdf_col(html: "F.Column | None" = None) -> "F.Column":
+    """F5 magic-byte dispatch as a native expression (no UDF)."""
+    h = html if html is not None else F.col("html")
+    return F.hex(F.substring(h, 1, 4)) == F.lit(_PDF_MAGIC_HEX)
+
+
+def extract_pages(
+    pages: DataFrame,
+    *,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    num_partitions: int | None = None,
+    carry_cols: tuple[str, ...] = ("warc_ts",),
+) -> DataFrame:
+    """Full extraction plan: returns (url, *carry_cols, lang, text,
+    n_blocks, error) with ``lang`` = the language actually used.
+
+    ``carry_cols`` pass through untouched (e.g. lineage partition id).
+    """
+    from .pydeps import ensure_py_deps
+
+    ensure_py_deps(pages.sparkSession)  # --py-files analog for workers
+    P = num_partitions or pages.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    base = pages.select("url", *carry_cols, "lang", "html").repartition(
+        int(P), F.xxhash64("url")
+    )
+
+    # --- skew pre-pass (SURVEY §4 "Skew handling") -----------------------
+    # Only known-lang HTML rows are split: PDF ordering is document-global
+    # (L2/L3) and null-lang rows need a whole-document language vote.
+    splittable = (
+        (F.length("html") > salt_threshold)
+        & ~_is_pdf_col()
+        # null-safe: NULL lang must land in the ~splittable branch, not
+        # vanish into filter(NULL) on both sides
+        & F.coalesce(F.col("lang").isin(*LANGS), F.lit(False))
+    )
+    small = base.filter(~splittable).select(
+        "url",
+        *carry_cols,
+        "lang",
+        "html",
+        F.lit(0).alias("chunk_id"),
+        F.lit(1).alias("n_chunks"),
+    )
+    big = (
+        base.filter(splittable)
+        .withColumn("chunks", _split_udf("html"))
+        .select(
+            "url",
+            *carry_cols,
+            "lang",
+            F.size("chunks").alias("n_chunks"),
+            F.posexplode("chunks").alias("chunk_id", "html"),
+        )
+        .select(
+            "url", *carry_cols, "lang", "html", "chunk_id", "n_chunks"
+        )
+    )
+    chunked = small.unionByName(big)
+
+    # --- language-routed branches (partition-pruned at scan when the
+    # table is partitioned by lang; here: filtered branches) --------------
+    branches: list[DataFrame] = []
+    for lang in LANGS:
+        branches.append(
+            chunked.filter(F.col("lang") == lang).withColumn(
+                "ex", _extract_udf(lang)(F.col("html"))
+            )
+        )
+    branches.append(  # null / unknown lang → kernel votes (R6)
+        chunked.filter(
+            F.col("lang").isNull() | ~F.col("lang").isin(*LANGS)
+        ).withColumn("ex", _extract_udf(None)(F.col("html")))
+    )
+
+    extracted = branches[0]
+    for b in branches[1:]:
+        extracted = extracted.unionByName(b)
+
+    # narrow projection immediately after extraction: html never crosses
+    # another stage boundary (SURVEY §4 column pruning)
+    extracted = extracted.select(
+        "url",
+        *carry_cols,
+        "chunk_id",
+        "n_chunks",
+        F.col("ex.text").alias("text"),
+        F.col("ex.n_blocks").alias("n_blocks"),
+        F.col("ex.lang_used").alias("lang"),
+        F.col("ex.error").alias("error"),
+    )
+
+    # --- reassemble the (tiny) salted subset -----------------------------
+    single = extracted.filter(F.col("n_chunks") == 1).select(
+        "url", *carry_cols, "lang", "text", "n_blocks", "error"
+    )
+    multi = (
+        extracted.filter(F.col("n_chunks") > 1)
+        .groupBy("url")
+        .agg(
+            *[F.first(c).alias(c) for c in carry_cols],
+            F.first("lang").alias("lang"),
+            F.max("error").alias("error"),
+            F.sum("n_blocks").cast("int").alias("n_blocks"),
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_id", "text"))
+                        ),
+                        lambda x: x["text"],
+                    ),
+                    lambda t: t != F.lit(""),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+        .select("url", *carry_cols, "lang",
+                F.when(F.col("error").isNotNull(), F.lit(None)).otherwise(
+                    F.col("text")
+                ).alias("text"),
+                "n_blocks", "error")
+    )
+    return single.unionByName(multi)
