@@ -1,0 +1,118 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "extra": {...}}
+
+The extraction throughput corpus is generated inside executors
+(per-row-seeded, no driver materialization) so the measured path is
+generate→parse→classify→normalize→reassemble, i.e. the engine's
+actual hot loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "a2_best_match",
+    "a3_eval_report",
+    "w1_event_rank",
+    "w6_sessionize",
+    "dd1_exact",
+    "dd3_minhash_lsh",
+    "dd4_simhash",
+    "dd5_embedding_dup",
+    "sim1_topk_cosine",
+    "sim2_lsh_buckets",
+    "ta2_quality_score",
+    "ev1_hourly_rollup",
+]
+
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
+
+
+def _time_noop_write(df) -> float:
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from ocr_document_recognition_service_spark import gen_pages
+    from ocr_document_recognition_service_spark.pipeline import extract_pages
+    from ocr_document_recognition_service_spark.plans import queries as Q
+    from ocr_document_recognition_service_spark.session import build_session
+
+    spark = build_session(app_name="bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = Q.queries()
+    times: dict[str, float] = {}
+
+    # warm the JVM/Python-worker pool once (not counted)
+    spark.range(1000).count()
+
+    for name in HEADLINE:
+        df = registry[name](spark, sf_dir)
+        times[name] = round(_time_noop_write(df), 3)
+
+    # extraction throughput: corpus materialized once as a parquet table
+    # (the real input shape — the pipeline reads a table, it doesn't
+    # generate), then extract + noop-write is the timed path
+    import shutil
+    import tempfile
+
+    corpus_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    t0 = time.time()
+    gen_pages.pages_df(spark, EXTRACT_DOCS, parallelism=2 * cpus).write.mode(
+        "overwrite"
+    ).parquet(corpus_dir + "/pages")
+    t_setup = time.time() - t0
+    src = spark.read.parquet(corpus_dir + "/pages")
+    out = extract_pages(src, num_partitions=2 * cpus).select(
+        "url", "lang", "n_blocks", "text", "error"
+    )
+    t_ex = _time_noop_write(out)
+    times["extract_pages"] = round(t_ex, 3)
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "extra": {
+                    "extract_docs": EXTRACT_DOCS,
+                    "extract_docs_per_sec": round(EXTRACT_DOCS / t_ex, 1),
+                    "corpus_setup_sec": round(t_setup, 3),
+                    "cpus": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

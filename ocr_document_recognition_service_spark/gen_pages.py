@@ -147,47 +147,74 @@ def _build_pdf(rng: random.Random, lang: str) -> bytes:
     return pdf_extract.build_pdf(blocks, angle=angle)
 
 
-def gen_rows(n: int, seed: int = 42, oversize_paras: int = 400) -> Iterator[dict[str, Any]]:
-    """Yield *n* deterministic page rows."""
+def gen_rows(n: int, seed: int = 42) -> Iterator[dict[str, Any]]:
+    """Yield *n* deterministic page rows (row i == _gen_row(i, seed))."""
     for i in range(n):
-        rng = random.Random(f"{seed}:{i}")
-        lang = _pick_lang(rng)
-        url = f"https://{lang}.example.org/doc/{i:06d}"
-        ts = BASE_TS + dt.timedelta(seconds=i)
+        yield _gen_row(i, seed)
 
-        oversized = i % 97 == 13
-        empty_body = i % 101 == 5 and not oversized
-        malformed = i % 103 == 7 and not (oversized or empty_body)
-        is_pdf = (
-            rng.random() < 0.10 and not (oversized or empty_body or malformed)
-        )
-        cp1251 = (
-            lang == "ru"
-            and not (is_pdf or oversized or empty_body or malformed)
-            and rng.random() < 0.15
-        )
 
-        if is_pdf:
-            payload = _build_pdf(rng, lang)
-        else:
-            payload = _build_html(
-                rng,
-                lang,
-                n_paras=oversize_paras if oversized else rng.randint(3, 12),
-                charset="windows-1251" if cp1251 else "utf-8",
-                malformed=malformed,
-                empty_body=empty_body,
+def pages_df(spark, n: int, seed: int = 42, parallelism: int | None = None):
+    """Distributed corpus: rows generated INSIDE executors via
+    mapInPandas over an index range (per-row seeding makes any row
+    independently computable — no driver-side materialization, no data
+    shipping; the generator scales with the cluster)."""
+    import pandas as pd
+
+    from .pipeline import PAGES_SCHEMA
+
+    def gen_batches(batches):
+        for pdf in batches:
+            idx = pdf["id"].tolist()
+            rows = [_gen_row(i, seed) for i in idx]
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [r["warc_ts"] for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": [r["text"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                }
             )
 
-        stale = _words(rng, lang, 10) if rng.random() < 0.3 else None
-        null_lang = i % 50 == 7
-        yield {
-            "url": url,
-            "warc_ts": ts,
-            "html": payload,
-            "text": stale,
-            "lang": None if null_lang else lang,
-        }
+    par = parallelism or spark.sparkContext.defaultParallelism
+    rng = spark.range(0, n, 1, par)
+    return rng.mapInPandas(gen_batches, schema=PAGES_SCHEMA)
+
+
+def _gen_row(i: int, seed: int) -> dict[str, Any]:
+    """Generate row *i* alone (same output as gen_rows(n)[i])."""
+    rng = random.Random(f"{seed}:{i}")
+    lang = _pick_lang(rng)
+    url = f"https://{lang}.example.org/doc/{i:06d}"
+    ts = BASE_TS + dt.timedelta(seconds=i)
+    oversized = i % 97 == 13
+    empty_body = i % 101 == 5 and not oversized
+    malformed = i % 103 == 7 and not (oversized or empty_body)
+    is_pdf = rng.random() < 0.10 and not (oversized or empty_body or malformed)
+    cp1251 = (
+        lang == "ru"
+        and not (is_pdf or oversized or empty_body or malformed)
+        and rng.random() < 0.15
+    )
+    if is_pdf:
+        payload = _build_pdf(rng, lang)
+    else:
+        payload = _build_html(
+            rng,
+            lang,
+            n_paras=400 if oversized else rng.randint(3, 12),
+            charset="windows-1251" if cp1251 else "utf-8",
+            malformed=malformed,
+            empty_body=empty_body,
+        )
+    stale = _words(rng, lang, 10) if rng.random() < 0.3 else None
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": payload,
+        "text": stale,
+        "lang": None if i % 50 == 7 else lang,
+    }
 
 
 def write_pages_parquet(path: str, n: int, seed: int = 42) -> None:

@@ -1,0 +1,274 @@
+"""Deduplication operators over a documents table.
+
+Training-data-pipeline staples, all expressed as declarative DataFrame
+plans (shuffles only on the grouping/join keys, map-side combines for
+free, broadcast where one side is small):
+
+- exact:        fingerprint groupBy (one shuffle on the hash)
+- word Jaccard: token-set similarity with key blocking
+- MinHash+LSH:  md5-based min-hash signatures → banded candidate join.
+  md5 is used as the hash family (seed-prefixed) so the SAME signature
+  is computable in any engine — the DuckDB oracle reproduces it exactly.
+- SimHash:      16-bit sign-sum over per-word md5 bits
+- embedding:    cosine near-dup within a blocking key
+
+Scale notes (100 TB): exact/minhash/simhash are linear scans + one
+shuffle on a short key — they scale trivially.  The pairwise joins
+(Jaccard verify, embedding dup) are blocked (source/label/LSH band) so
+the quadratic term is bounded per block; at production scale the block
+key is the LSH bucket, never the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
+
+
+def norm_text_col(col: str = "text") -> F.Column:
+    """Canonical text for fingerprinting: homoglyphs → Latin (R3),
+    whitespace collapsed (F4), lowercased, trimmed."""
+    c = F.translate(F.col(col), HOMOGLYPH_SRC, HOMOGLYPH_DST)
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def exact_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: one row per distinct normalized text with the kept
+    (minimum) doc_id and the duplicate count."""
+    return (
+        docs.select("doc_id", F.md5(norm_text_col()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.array_distinct(
+        F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda w: w != F.lit(""))
+    )
+
+
+def word_jaccard_pairs(
+    docs: DataFrame, block_col: str = "source", threshold: float = 0.5
+) -> DataFrame:
+    """Pairwise word-set Jaccard within a blocking key.
+
+    exploded token join → |A∩B| per pair; |A|,|B| from per-doc counts;
+    J = inter / (na + nb − inter).  Block key bounds the join fan-out.
+    """
+    words = docs.select(
+        "doc_id", F.col(block_col).alias("blk"), F.explode(_words()).alias("w")
+    )
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    inter = (
+        words.alias("a")
+        .join(
+            words.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_words", "na")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_words", "nb"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+N_MINHASH = 8
+LSH_BAND_ROWS = 2  # 8 hashes → 4 bands of 2
+
+
+def _word_trigrams(col: str = "text") -> F.Column:
+    """Distinct 3-word shingles (order-sensitive) — the classic MinHash
+    shingling unit: far more selective than single words, so LSH buckets
+    stay small even when documents share a vocabulary."""
+    toks = F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda w: w != F.lit(""))
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda k: F.concat_ws(
+                " ",
+                F.element_at(toks, k + 1),
+                F.element_at(toks, k + 2),
+                F.element_at(toks, k + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(tri)
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_MINHASH, shingle: str = "word"
+) -> DataFrame:
+    """(doc_id, seed, sig): sig = min over shingles of md5(seed:shingle).
+
+    Engine-agnostic MinHash: the hash family is md5 with a seed prefix,
+    min taken over the hex string ordering — byte-for-byte reproducible
+    in DuckDB/Trino/anything with md5().  shingle = 'word' | 'w3'
+    (3-word shingles).
+    """
+    shingles = _word_trigrams() if shingle == "w3" else _words()
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    words = docs.select("doc_id", F.explode(shingles).alias("w"))
+    return (
+        words.select("doc_id", "w", seeds)
+        .groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("w")))).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    band_rows: int = LSH_BAND_ROWS,
+    shingle: str = "w3",
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs sharing ANY band signature.
+
+    band signature = ordered concat of the band's min-hashes; the
+    band-value groupBy is the only shuffle; the pair join happens per
+    bucket (bounded fan-out).
+    """
+    sig = minhash_signatures(docs, n_hashes, shingle=shingle)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                    lambda x: x["sig"],
+                ),
+                "|",
+            ).alias("band_sig")
+        )
+    )
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash per document over word md5s.
+
+    bit k of word-hash = bit (k mod 4) of hex digit (k div 4) of
+    md5(word) — extracted arithmetically (strpos over the hex alphabet,
+    floor-div, mod), so any engine computes the identical signature.
+    """
+    words = docs.select("doc_id", F.explode(_words()).alias("w")).withColumn(
+        "h", F.md5("w")
+    )
+    bits = words.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("k"),
+    ).withColumn(
+        "hexval",
+        F.conv(
+            F.substring(F.col("h"), (F.col("k") / 4).cast("int") + 1, 1), 16, 10
+        ).cast("int"),
+    ).withColumn(
+        "bit",
+        F.floor(
+            F.col("hexval")
+            / F.pow(F.lit(2.0), (F.col("k") % 4).cast("double"))
+        ).cast("int")
+        % 2,
+    )
+    contrib = bits.withColumn(
+        "c", F.when(F.col("bit") == 1, 1).otherwise(-1)
+    )
+    return (
+        contrib.groupBy("doc_id", "k")
+        .agg(F.sum("c").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(
+                F.col("s") > 0,
+                F.pow(F.lit(2.0), F.col("k").cast("double")).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash16"))
+    )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, block_col: str = "label", threshold: float = 0.99
+) -> DataFrame:
+    """Embedding cosine near-dup pairs within a blocking key.
+
+    Vectors unnested to (vec_id, pos, x) and dot/norms computed as
+    grouped sums in double — the exact same arithmetic the SQL oracle
+    runs, so values match to rounding.
+    """
+    flat = emb.select(
+        "vec_id",
+        F.col(block_col).alias("blk"),
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    norms = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    dots = (
+        flat.alias("a")
+        .join(
+            flat.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    )
+    return (
+        dots.join(norms.withColumnRenamed("vec_id", "vec_a"), "vec_a")
+        .withColumnRenamed("nrm", "na")
+        .join(
+            norms.withColumnRenamed("vec_id", "vec_b").withColumnRenamed(
+                "nrm", "nb"
+            ),
+            "vec_b",
+        )
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

@@ -1,0 +1,85 @@
+"""Quality-metric aggregates (SURVEY §2.6 A3–A7).
+
+The reference accumulates WRR/CRR in a Python object over a greedy
+IoU match loop (``core/utils/metrics.py:107-153``) and CER/WER as
+streaming counters (``cer_metric.py:12-18``, ``wer_metric.py:11-17``).
+Here each is a single declarative aggregate — partial aggregation
+(map-side combine) and codegen for free; ``F.levenshtein`` replaces
+``editdistance``/``fuzz.ratio``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def wrr(pairs: DataFrame, pred: str = "pred_text", gt: str = "gt_text") -> F.Column:
+    """Word recognition rate: exact lowercased match share (A3,
+    metrics.py:117-125,138-141)."""
+    return F.round(
+        F.avg(
+            F.when(F.lower(F.col(pred)) == F.lower(F.col(gt)), 1.0).otherwise(0.0)
+        ),
+        6,
+    )
+
+
+def crr(pairs: DataFrame, pred: str = "pred_text", gt: str = "gt_text") -> F.Column:
+    """Char recognition rate: similarity-weighted char share (A4,
+    metrics.py:126,143-153); fuzz.ratio → 1 − lev/max(len)."""
+    sim = 1 - F.levenshtein(F.col(pred), F.col(gt)) / F.greatest(
+        F.length(F.col(pred)), F.length(F.col(gt)), F.lit(1)
+    )
+    return F.round(
+        F.sum(sim * F.length(F.col(gt))) / F.sum(F.length(F.col(gt))), 6
+    )
+
+
+def cer(pairs: DataFrame, pred: str = "pred_text", gt: str = "gt_text") -> F.Column:
+    """Character error rate (A5, cer_metric.py:12-18)."""
+    return F.round(
+        F.sum(F.levenshtein(F.col(pred), F.col(gt)))
+        / F.sum(F.length(F.col(gt))),
+        6,
+    )
+
+
+def wer(pairs: DataFrame, pred: str = "pred_text", gt: str = "gt_text") -> F.Column:
+    """Word-level error indicator mean (A6, wer_metric.py:11-17)."""
+    return F.round(
+        F.avg(
+            F.when(F.trim(F.col(pred)) != F.trim(F.col(gt)), 1.0).otherwise(0.0)
+        ),
+        6,
+    )
+
+
+def eval_report(pairs: DataFrame) -> DataFrame:
+    """All metrics in one aggregate + harmonic mean (A7, crnn.py:221)."""
+    agg = pairs.agg(
+        wrr(pairs).alias("wrr"),
+        crr(pairs).alias("crr"),
+        cer(pairs).alias("cer"),
+        wer(pairs).alias("wer"),
+    )
+    return agg.withColumn(
+        "harmonic_cer_wer",
+        F.round(
+            2 * F.col("cer") * F.col("wer")
+            / (F.col("cer") + F.col("wer") + F.lit(1e-8)),
+            6,
+        ),
+    )
+
+
+def best_match_per_key(
+    df: DataFrame, key: str, score: str, tiebreak: str
+) -> DataFrame:
+    """Rank-filtered best match (A2 greedy argmax as a window):
+    row_number over (partition by key order by score desc, tiebreak)=1."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(score).desc(), F.col(tiebreak).asc()
+    )
+    return df.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    ).drop("rn")

@@ -1,0 +1,155 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the correctness baseline.  Query set ×
+  corpus, dot products as grouped sums over unnested positions (the
+  exact arithmetic an ANSI-SQL oracle reproduces), rank by rounded
+  cosine with a deterministic neighbor-id tie-break.
+- random-hyperplane LSH buckets: the scale path.  H sign bits from
+  literal hyperplanes (seeded, inlined into the plan — no engine RNG),
+  bucket = packed bit signature; candidate search touches only the
+  query's bucket.  At 100 TB the bucket id is the partition/cluster
+  key, so a top-k probe reads one bucket, not the corpus.
+
+For in-Spark-only use, `cosine_topk_arrays` keeps vectors as arrays and
+uses `F.zip_with` + `aggregate` (no unnest blow-up); the unnested
+variants exist so the DuckDB oracle can reproduce values exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM, seed: int = 7):
+    """Deterministic pseudo-hyperplanes, inlined as literals into both
+    the Spark plan and the SQL oracle (no engine-side RNG)."""
+    rng = random.Random(f"lsh:{seed}")
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def _flat(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 3
+) -> DataFrame:
+    """Brute-force top-k neighbors for vec_id < n_queries (self excluded).
+
+    Returns (query_id, neighbor_id, rank, cosine[rounded 4dp]); rank
+    breaks cosine ties by neighbor id — fully deterministic.
+    """
+    flat = _flat(emb)
+    norms = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    q = flat.filter(F.col("vec_id") < n_queries)
+    dots = (
+        q.alias("a")
+        .join(
+            flat.alias("b"),
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .withColumnRenamed("nrm", "nq")
+        .join(
+            norms.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "nrm", "nn"
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("nq") * F.col("nn")), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_topk_arrays(
+    emb: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Spark-native top-k (no unnest): broadcast the query set, dot via
+    zip_with/aggregate inside codegen'd array expressions."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    e = emb.select("vec_id", "embedding")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("embedding"), F.col("qv"))
+            / (
+                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(dot(F.col("qv"), F.col("qv")))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
+def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
+    """(vec_id, bucket): bucket = Σ 2^p · [v·h_p > 0] over literal planes."""
+    planes = planes or hyperplanes()
+    flat = _flat(emb)
+    parts = []
+    for p, plane in enumerate(planes):
+        # weight for dim i of plane p as a literal lookup array
+        arr = F.array(*[F.lit(w) for w in plane])
+        parts.append(
+            F.when(
+                F.sum(F.col("x") * F.element_at(arr, F.col("pos") + 1)) > 0,
+                F.lit(2**p).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias(f"b{p}")
+        )
+    sums = flat.groupBy("vec_id").agg(*parts)
+    bucket = sums.select(
+        "vec_id",
+        sum([F.col(f"b{p}") for p in range(len(planes))], F.lit(0).cast("long")).alias(
+            "bucket"
+        ),
+    )
+    return bucket

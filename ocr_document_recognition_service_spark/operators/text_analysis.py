@@ -1,0 +1,97 @@
+"""Text analysis operators: language-ID, quality scoring, token counts,
+fingerprinting.  All JVM-side expressions (regexp/translate/split) —
+whole-stage-codegen friendly, no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
+
+# Tiny stopword list matched to the synthetic corpora (deterministic).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
+
+def script_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc character-class counts + heuristic language guess (R6
+    analog at the DataFrame level): latin vs cyrillic vs other."""
+    t = F.col(text_col)
+    n_latin = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_cyr = F.length(F.regexp_replace(t, "[^Ѐ-ӿ]", ""))
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    return docs.select(
+        "doc_id",
+        n_latin.alias("n_latin"),
+        n_cyr.alias("n_cyr"),
+        n_digit.alias("n_digit"),
+        F.when(n_cyr > n_latin, F.lit("cyrillic"))
+        .when(n_latin > 0, F.lit("latin"))
+        .otherwise(F.lit("other"))
+        .alias("script_guess"),
+    )
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + word-regex token counts and length stats."""
+    t = F.col(text_col)
+    ws_tokens = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
+    word_tokens = F.filter(F.split(t, r"[^A-Za-z0-9]+"), lambda w: w != F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.size(ws_tokens).alias("n_ws_tokens"),
+        F.size(word_tokens).alias("n_word_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(
+            F.length(F.array_join(ws_tokens, ""))
+            / F.greatest(F.size(ws_tokens), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerpipe-flavored quality features + a composite score:
+    stopword ratio, punctuation density, token length — the same
+    signal family the extraction classifier uses (D3), as columns."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit(""))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    n_punct = F.length(F.regexp_replace(t, r"[^!?.,;:]", ""))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    stop_ratio = n_stop / n_tok
+    punct_ratio = n_punct / n_chars
+    score = F.round(
+        F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2,
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stable document fingerprints: exact md5 over normalized text and
+    a first-8-hex-digit rolling-prefix variant (cheap clustering key)."""
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.translate(F.col(text_col), HOMOGLYPH_SRC, HOMOGLYPH_DST),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fingerprint8"),
+    )

@@ -134,108 +134,106 @@ def extract_pages(
     from .pydeps import ensure_py_deps
 
     ensure_py_deps(pages.sparkSession)  # --py-files analog for workers
-    P = num_partitions or pages.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
+    P = int(
+        num_partitions
+        or pages.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     base = pages.select("url", *carry_cols, "lang", "html").repartition(
-        int(P), F.xxhash64("url")
+        P, F.xxhash64("url")
     )
 
-    # --- skew pre-pass (SURVEY §4 "Skew handling") -----------------------
-    # Only known-lang HTML rows are split: PDF ordering is document-global
+    # Skew pre-pass predicate (SURVEY §4 "Skew handling").  Only
+    # known-lang HTML rows are split: PDF ordering is document-global
     # (L2/L3) and null-lang rows need a whole-document language vote.
+    # coalesce → null lang lands in the unsplit path instead of
+    # vanishing into filter(NULL) on both sides.
     splittable = (
         (F.length("html") > salt_threshold)
         & ~_is_pdf_col()
-        # null-safe: NULL lang must land in the ~splittable branch, not
-        # vanish into filter(NULL) on both sides
         & F.coalesce(F.col("lang").isin(*LANGS), F.lit(False))
     )
-    small = base.filter(~splittable).select(
-        "url",
-        *carry_cols,
-        "lang",
-        "html",
-        F.lit(0).alias("chunk_id"),
-        F.lit(1).alias("n_chunks"),
-    )
-    big = (
-        base.filter(splittable)
-        .withColumn("chunks", _split_udf("html"))
-        .select(
+
+    def _narrow(df: DataFrame, ex_lang: str | None) -> DataFrame:
+        """Apply the branch's extraction UDF, drop html immediately
+        (column pruning past extraction, SURVEY §4)."""
+        return df.withColumn("ex", _extract_udf(ex_lang)(F.col("html"))).select(
             "url",
             *carry_cols,
-            "lang",
-            F.size("chunks").alias("n_chunks"),
-            F.posexplode("chunks").alias("chunk_id", "html"),
+            *(["chunk_id"] if "chunk_id" in df.columns else []),
+            F.col("ex.text").alias("text"),
+            F.col("ex.n_blocks").alias("n_blocks"),
+            F.col("ex.lang_used").alias("lang"),
+            F.col("ex.error").alias("error"),
         )
-        .select(
-            "url", *carry_cols, "lang", "html", "chunk_id", "n_chunks"
-        )
-    )
-    chunked = small.unionByName(big)
 
-    # --- language-routed branches (partition-pruned at scan when the
-    # table is partitioned by lang; here: filtered branches) --------------
+    out_cols = ["url", *carry_cols, "lang", "text", "n_blocks", "error"]
+
+    # Plan shape: routing happens BEFORE extraction, so every row passes
+    # the split UDF at most once and the extract UDF exactly once —
+    # branch subtrees are disjoint; nothing downstream re-triggers a UDF.
+    # (The first cut reassembled AFTER a shared `extracted` node; Spark
+    # then evaluated the whole UDF subtree once per consumer — a 2×
+    # extraction cost that profiling caught immediately.)
     branches: list[DataFrame] = []
     for lang in LANGS:
+        by_lang = base.filter(F.col("lang") == lang)
+        # unsplit path: straight through, no grouping
         branches.append(
-            chunked.filter(F.col("lang") == lang).withColumn(
-                "ex", _extract_udf(lang)(F.col("html"))
+            _narrow(by_lang.filter(~splittable), lang).select(*out_cols)
+        )
+        # salted path: split → explode → extract → ordered reassembly.
+        # Only this (tiny) subset ever reaches the groupBy shuffle.
+        big = (
+            by_lang.filter(splittable)
+            .withColumn("chunks", _split_udf("html"))
+            .select(
+                "url",
+                *carry_cols,
+                "lang",
+                F.posexplode("chunks").alias("chunk_id", "html"),
             )
         )
-    branches.append(  # null / unknown lang → kernel votes (R6)
-        chunked.filter(
-            F.col("lang").isNull() | ~F.col("lang").isin(*LANGS)
-        ).withColumn("ex", _extract_udf(None)(F.col("html")))
-    )
-
-    extracted = branches[0]
-    for b in branches[1:]:
-        extracted = extracted.unionByName(b)
-
-    # narrow projection immediately after extraction: html never crosses
-    # another stage boundary (SURVEY §4 column pruning)
-    extracted = extracted.select(
-        "url",
-        *carry_cols,
-        "chunk_id",
-        "n_chunks",
-        F.col("ex.text").alias("text"),
-        F.col("ex.n_blocks").alias("n_blocks"),
-        F.col("ex.lang_used").alias("lang"),
-        F.col("ex.error").alias("error"),
-    )
-
-    # --- reassemble the (tiny) salted subset -----------------------------
-    single = extracted.filter(F.col("n_chunks") == 1).select(
-        "url", *carry_cols, "lang", "text", "n_blocks", "error"
-    )
-    multi = (
-        extracted.filter(F.col("n_chunks") > 1)
-        .groupBy("url")
-        .agg(
-            *[F.first(c).alias(c) for c in carry_cols],
-            F.first("lang").alias("lang"),
-            F.max("error").alias("error"),
-            F.sum("n_blocks").cast("int").alias("n_blocks"),
-            F.array_join(
-                F.filter(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("chunk_id", "text"))
+        reassembled = (
+            _narrow(big, lang)
+            .groupBy("url")
+            .agg(
+                *[F.first(c).alias(c) for c in carry_cols],
+                F.first("lang").alias("lang"),
+                F.max("error").alias("error"),
+                F.sum("n_blocks").cast("int").alias("n_blocks"),
+                F.array_join(
+                    F.filter(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("chunk_id", "text"))
+                            ),
+                            lambda x: x["text"],
                         ),
-                        lambda x: x["text"],
+                        lambda t: t != F.lit(""),
                     ),
-                    lambda t: t != F.lit(""),
-                ),
-                "\n",
-            ).alias("text"),
-        )
-        .select("url", *carry_cols, "lang",
-                F.when(F.col("error").isNotNull(), F.lit(None)).otherwise(
-                    F.col("text")
+                    "\n",
                 ).alias("text"),
-                "n_blocks", "error")
+            )
+            .select(
+                "url",
+                *carry_cols,
+                "lang",
+                F.when(F.col("error").isNotNull(), F.lit(None))
+                .otherwise(F.col("text"))
+                .alias("text"),
+                "n_blocks",
+                "error",
+            )
+        )
+        branches.append(reassembled)
+
+    # null / unknown lang → kernel votes (R6); never split
+    null_branch = base.filter(
+        F.col("lang").isNull() | ~F.col("lang").isin(*LANGS)
     )
-    return single.unionByName(multi)
+    branches.append(_narrow(null_branch, None).select(*out_cols))
+
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

@@ -1,0 +1,835 @@
+"""Query registry: every SURVEY §2 operator exposed as a named query
+with a DuckDB-runnable ANSI-SQL oracle (driver contract).
+
+Conventions that make the driver's order-insensitive value-hash match:
+
+- every computed column is aliased identically in Spark and SQL;
+- money/quantity sums go through ``decimal(18,4)`` (exact in both
+  engines), then ``round(cast(double))`` for output;
+- averages are ``round(sum::double / count, k)`` — never engine
+  ``avg()`` over decimals (scale rules differ);
+- float aggregates are rounded (4–6 dp) so summation-order ulps can't
+  flip the hash;
+- every LIMIT has a total tie-break order.
+
+Queries with no ``sql`` are non-SQL-expressible (the extraction kernel
+itself); the driver records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
+from ..operators import dedup, metrics, similarity, text_analysis, windows
+from ..sources.tables import load
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    doc: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def _reg(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(name, fn, sql, doc)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Relational core (scans, joins, aggregates — SURVEY §2.1/§2.6)
+# =====================================================================
+
+_DEC = "decimal(18,4)"
+
+
+@_reg(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(CAST(sum(CAST(l_quantity AS decimal(18,4))) AS double), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS decimal(18,4))) AS double), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS decimal(18,4)) * (CAST(1 AS decimal(18,4)) - CAST(l_discount AS decimal(18,4)))) AS double), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(l_quantity AS decimal(18,4))) AS double) / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS decimal(18,4))) AS double) / count(*), 4) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary (A-aggregates, decimal-exact)",
+)
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc_price = price * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
+        F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
+        F.round(F.sum(price).cast("double") / F.count("*"), 4).alias("avg_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_reg(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(CAST(sum(CAST(l.l_extendedprice AS decimal(18,4)) * (CAST(1 AS decimal(18,4)) - CAST(l.l_discount AS decimal(18,4)))) AS double), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+    "TPC-H Q3-style top unshipped revenue (broadcast dim join + top-k)",
+)
+def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        l.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_reg(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           round(CAST(sum(CAST(l.l_extendedprice AS decimal(18,4)) * (CAST(1 AS decimal(18,4)) - CAST(l.l_discount AS decimal(18,4)))) AS double), 2) AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                                 AND s.s_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    "TPC-H Q5-style local-supplier revenue (5-way join, dims broadcast)",
+)
+def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    r = load(spark, sf, "region")
+    n = load(spark, sf, "nation")
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    dims = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == dims.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+# =====================================================================
+# Filters / projections / scalar functions (SURVEY §2.2, §2.9)
+# =====================================================================
+
+
+@_reg(
+    "f1_vocab_filter",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE length(regexp_replace(text, '[a-z0-9 .,]', '', 'g')) = 0
+    """,
+    "F1 vocab-violation filter (clean_dataset.py:17,33,41 semantics)",
+)
+def f1_vocab_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.filter(
+        F.length(F.regexp_replace(F.col("text"), "[a-z0-9 .,]", "")) == 0
+    ).select("doc_id", "lang", "n_chars")
+
+
+@_reg(
+    "f2_dim_filter",
+    """
+    SELECT p_partkey, p_size, p_retailprice FROM part
+    WHERE p_size BETWEEN 10 AND 20 AND p_retailprice < 1500.0
+      AND p_type NOT LIKE '%BRASS%'
+    """,
+    "F2 geometry-filter analog: numeric range predicates",
+)
+def f2_dim_filter(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    return p.filter(
+        F.col("p_size").between(10, 20)
+        & (F.col("p_retailprice") < 1500.0)
+        & (~F.col("p_type").like("%BRASS%"))
+    ).select("p_partkey", "p_size", "p_retailprice")
+
+
+@_reg(
+    "f4_whitespace_norm",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len
+    FROM documents
+    """,
+    "F4 whitespace normalization (clean_text, wiki_parser_to_pdf.py:22-26)",
+)
+def f4_whitespace_norm(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )
+
+
+@_reg(
+    "f5_homoglyph_translate",
+    f"""
+    SELECT doc_id,
+           translate(text || ' АВСЕНКМ', '{HOMOGLYPH_SRC}', '{HOMOGLYPH_DST}') AS latinized
+    FROM documents
+    """,
+    "R3 homoglyph map as native translate() (ctc_decoder.py:11-36)",
+)
+def f5_homoglyph_translate(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.translate(
+            F.concat(F.col("text"), F.lit(" АВСЕНКМ")),
+            HOMOGLYPH_SRC,
+            HOMOGLYPH_DST,
+        ).alias("latinized"),
+    )
+
+
+@_reg(
+    "f9_top_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    "F9/W5 top-k with total tie-break",
+)
+def f9_top_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# =====================================================================
+# Metric aggregates (SURVEY §2.6 A2–A7)
+# =====================================================================
+
+# deterministic perturbation standing in for OCR noise
+_PRED_SQL = "replace(text, 'a', 'e')"
+
+
+@_reg(
+    "a2_best_match",
+    """
+    SELECT l_orderkey, l_partkey, l_extendedprice FROM (
+      SELECT l_orderkey, l_partkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+    "A2 greedy best-match as a rank-filtered join (metrics.py:107-145)",
+)
+def a2_best_match(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    return metrics.best_match_per_key(
+        l, key="l_orderkey", score="l_extendedprice", tiebreak="l_linenumber"
+    ).select("l_orderkey", "l_partkey", "l_extendedprice")
+
+
+@_reg(
+    "a3_eval_report",
+    f"""
+    WITH pairs AS (
+      SELECT {_PRED_SQL} AS pred_text, text AS gt_text FROM documents
+    ),
+    base AS (
+      SELECT
+        round(avg(CASE WHEN lower(pred_text) = lower(gt_text) THEN 1.0 ELSE 0.0 END), 6) AS wrr,
+        round(sum((1 - levenshtein(pred_text, gt_text) / CAST(greatest(length(pred_text), length(gt_text), 1) AS double)) * length(gt_text)) / sum(length(gt_text)), 6) AS crr,
+        round(sum(levenshtein(pred_text, gt_text)) / CAST(sum(length(gt_text)) AS double), 6) AS cer,
+        round(avg(CASE WHEN trim(pred_text) <> trim(gt_text) THEN 1.0 ELSE 0.0 END), 6) AS wer
+      FROM pairs
+    )
+    SELECT wrr, crr, cer, wer,
+           round(2 * cer * wer / (cer + wer + 1e-8), 6) AS harmonic_cer_wer
+    FROM base
+    """,
+    "A3–A7 WRR/CRR/CER/WER + harmonic mean in one aggregate",
+)
+def a3_eval_report(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    pairs = d.select(
+        F.regexp_replace(F.col("text"), "a", "e").alias("pred_text"),
+        F.col("text").alias("gt_text"),
+    )
+    return metrics.eval_report(pairs)
+
+
+# =====================================================================
+# Windows (SURVEY §2.7)
+# =====================================================================
+
+
+@_reg(
+    "w1_event_rank",
+    """
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rank
+    FROM events
+    """,
+    "W1 reading-order rank analog over the events stream",
+)
+def w1_event_rank(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return windows.reading_order_rank(
+        e, part="user_id", order_cols=["ts", "event_id"]
+    ).select("event_id", "user_id", "rank")
+
+
+@_reg(
+    "w2_chunk_ids",
+    """
+    SELECT doc_id, n_chars,
+           CAST(floor((sum(n_chars) OVER (ORDER BY doc_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_chars) / 4000) AS int) AS chunk_id
+    FROM documents
+    """,
+    "W2 size-capped chunking (wiki_parser_to_pdf.py:89-105, window form)",
+)
+def w2_chunk_ids(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.chunk_ids(load(spark, sf, "documents"), max_chars=4000)
+
+
+@_reg(
+    "w4_balanced_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+    "W4 balanced per-source sample (datasets/README.md v2_50k)",
+)
+def w4_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.balanced_sample(
+        load(spark, sf, "documents"), "source", "doc_id", 10
+    ).select("doc_id", "source")
+
+
+@_reg(
+    "w6_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(max(session_id) AS bigint) AS n_sessions,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+    "gap-based sessionization (lag + cumulative sum)",
+)
+def w6_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    s = windows.sessionize(e, gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# =====================================================================
+# Set operations (SURVEY §2.8)
+# =====================================================================
+
+
+@_reg(
+    "s1_customers_no_urgent",
+    """
+    SELECT DISTINCT c_custkey FROM customer
+    EXCEPT
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    "set difference: customers with no urgent-priority order",
+)
+def s1_customers_no_urgent(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey").distinct()
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return c.subtract(o)
+
+
+# =====================================================================
+# Dedup suite (training-data ops)
+# =====================================================================
+
+_NORM_SQL = (
+    "lower(trim(regexp_replace(translate(text, '"
+    + HOMOGLYPH_SRC
+    + "', '"
+    + HOMOGLYPH_DST
+    + "'), '\\s+', ' ', 'g')))"
+)
+
+_WORDS_SQL = (
+    "unnest(list_distinct(list_filter("
+    "string_split_regex(lower(text), '\\s+'), x -> x <> '')))"
+)
+
+
+@_reg(
+    "dd1_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           min(doc_id) AS keep_doc_id, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup: normalized-text fingerprint groups",
+)
+def dd1_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_groups(load(spark, sf, "documents"))
+
+
+@_reg(
+    "dd2_word_jaccard",
+    f"""
+    WITH words AS (
+      SELECT doc_id, source AS blk, {_WORDS_SQL} AS w FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM words a JOIN words b
+        ON a.blk = b.blk AND a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / CAST(na.n_words + nb.n_words - inter AS double), 6) AS jaccard
+    FROM inter JOIN sizes na ON doc_a = na.doc_id
+               JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE round(inter / CAST(na.n_words + nb.n_words - inter AS double), 6) >= 0.8
+    """,
+    "near-dup: word-set Jaccard with source blocking",
+)
+def dd2_word_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.word_jaccard_pairs(
+        load(spark, sf, "documents"), block_col="source", threshold=0.8
+    )
+
+
+@_reg(
+    "dd3_minhash_lsh",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                      k -> tk[k] || ' ' || tk[k+1] || ' ' || tk[k+2])) AS w
+        FROM toks WHERE len(tk) >= 3
+      )
+    ),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS varchar) || ':' || w)) AS sig
+      FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS int) AS band,
+             string_agg(sig, '|' ORDER BY seed) AS band_sig
+      FROM sig GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+    "3-word-shingle MinHash(8, md5 family) + LSH(4 bands × 2) candidates",
+)
+def dd3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(load(spark, sf, "documents"), shingle="w3")
+
+
+@_reg(
+    "dd4_simhash",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    h AS (SELECT doc_id, md5(w) AS h FROM words),
+    bits AS (
+      SELECT doc_id, k,
+             (('0x' || substr(h, CAST(k // 4 AS int) + 1, 1))::bigint
+              >> CAST(k % 4 AS int)) & 1 AS bit
+      FROM h CROSS JOIN (SELECT unnest(range(16)) AS k)
+    ),
+    sums AS (
+      SELECT doc_id, k,
+             sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS s
+      FROM bits GROUP BY doc_id, k
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::bigint << CAST(k AS int)) ELSE 0 END) AS bigint) AS simhash16
+    FROM sums GROUP BY doc_id
+    """,
+    "16-bit SimHash over word md5s (engine-agnostic bit extraction)",
+)
+def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash16(load(spark, sf, "documents"))
+
+
+@_reg(
+    "dd5_embedding_dup",
+    """
+    WITH flat AS (
+      SELECT vec_id, label AS blk,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::double AS x
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x*b.x) AS dot
+      FROM flat a JOIN flat b
+        ON a.blk = b.blk AND a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots JOIN norms na ON vec_a = na.vec_id
+              JOIN norms nb ON vec_b = nb.vec_id
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.3
+    """,
+    "embedding cosine near-dup pairs with label blocking",
+)
+def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_dup_pairs(
+        load(spark, sf, "embeddings"), block_col="label", threshold=0.3
+    )
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+
+@_reg(
+    "sim1_topk_cosine",
+    """
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::double AS x
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.x*b.x) AS dot
+      FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 5
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nn.nrm), 4) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nn ON neighbor_id = nn.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    "brute-force cosine top-k (ANN correctness baseline)",
+)
+def sim1_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cosine_topk(
+        load(spark, sf, "embeddings"), n_queries=5, k=3
+    )
+
+
+def _planes_sql() -> str:
+    planes = similarity.hyperplanes()
+    rows = ",".join(
+        "[" + ",".join(f"{w}" for w in plane) + "]" for plane in planes
+    )
+    return f"[{rows}]"
+
+
+@_reg(
+    "sim2_lsh_buckets",
+    f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::double AS x
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT vec_id, p, sum(x * ({_planes_sql()})[p+1][pos+1]) AS s
+      FROM flat CROSS JOIN (SELECT unnest(range(8)) AS p)
+      GROUP BY vec_id, p
+    )
+    SELECT vec_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::bigint << CAST(p AS int)) ELSE 0 END) AS bigint) AS bucket
+    FROM sums GROUP BY vec_id
+    """,
+    "random-hyperplane LSH bucket ids (literal planes, engine-agnostic)",
+)
+def sim2_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.lsh_buckets(load(spark, sf, "embeddings"))
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+
+@_reg(
+    "ta1_script_counts",
+    """
+    SELECT doc_id,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_latin,
+           length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS n_cyr,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           CASE WHEN length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))
+                     > length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                THEN 'cyrillic'
+                WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0
+                THEN 'latin' ELSE 'other' END AS script_guess
+    FROM documents
+    """,
+    "language-ID heuristic: script character-class counts (R6 analog)",
+)
+def ta1_script_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.script_counts(load(spark, sf, "documents"))
+
+
+@_reg(
+    "ta2_quality_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           round(len(list_filter(tk, x -> list_contains(
+                 ['the','a','and','of','to','in','is','it','on','for'], x)))
+                 / CAST(greatest(len(tk), 1) AS double), 4) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^!?.,;:]', '', 'g'))
+                 / CAST(greatest(length(text), 1) AS double), 4) AS punct_ratio,
+           round(least(len(tk) / 100.0, 1.0) * 0.5
+                 + (len(list_filter(tk, x -> list_contains(
+                     ['the','a','and','of','to','in','is','it','on','for'], x)))
+                    / CAST(greatest(len(tk), 1) AS double)) * 0.3
+                 + (1.0 - least(length(regexp_replace(text, '[^!?.,;:]', '', 'g'))
+                    / CAST(greatest(length(text), 1) AS double) * 10, 1.0)) * 0.2,
+                 4) AS quality_score
+    FROM toks
+    """,
+    "quality scoring: length/stopword/punctuation features (D3 family)",
+)
+def ta2_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.quality_score(load(spark, sf, "documents"))
+
+
+@_reg(
+    "ta3_fingerprints",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint,
+           substr(md5({_NORM_SQL}), 1, 8) AS fingerprint8
+    FROM documents
+    """,
+    "document fingerprinting (md5 over normalized text)",
+)
+def ta3_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.fingerprints(load(spark, sf, "documents"))
+
+
+@_reg(
+    "ta4_token_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws,
+             list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> '') AS wd
+      FROM documents
+    )
+    SELECT doc_id, len(ws) AS n_ws_tokens, len(wd) AS n_word_tokens,
+           length(text) AS n_chars,
+           round(length(array_to_string(ws, ''))
+                 / CAST(greatest(len(ws), 1) AS double), 4) AS avg_token_len
+    FROM toks
+    """,
+    "token counting: whitespace + word-regex tokenizers (R9 analog)",
+)
+def ta4_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.token_stats(load(spark, sf, "documents"))
+
+
+# =====================================================================
+# Events aggregation
+# =====================================================================
+
+
+@_reg(
+    "ev1_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "tumbling-window rollup (batch form of a streaming windowed agg)",
+)
+def ev1_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# =====================================================================
+# Extraction pipeline showcases (non-SQL — rows-only driver check;
+# byte-identity is asserted by pytest against the pure-Python oracle)
+# =====================================================================
+
+
+def _synthetic_pages_df(spark: SparkSession, n: int = 150):
+    import pandas as pd
+
+    from .. import gen_pages
+    from ..pipeline import PAGES_SCHEMA
+
+    rows = list(gen_pages.gen_rows(n))
+    pdf = pd.DataFrame(rows)
+    return spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+
+
+@_reg(
+    "x_extract_pages",
+    None,
+    "full extraction pipeline over the synthetic pages corpus "
+    "(boilerplate strip + PDF layout parse + normalization + salting)",
+)
+def x_extract_pages(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline import extract_pages
+
+    pages = _synthetic_pages_df(spark, 150)
+    out = extract_pages(pages, salt_threshold=16 * 1024, num_partitions=8)
+    return out.select(
+        "url",
+        "lang",
+        "n_blocks",
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@_reg(
+    "x_extract_lang_rollup",
+    None,
+    "extraction + per-language rollup (flagship summary shape)",
+)
+def x_extract_lang_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..pipeline import extract_pages
+
+    pages = _synthetic_pages_df(spark, 150)
+    out = extract_pages(pages, salt_threshold=16 * 1024, num_partitions=8)
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_blocks").alias("total_blocks"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.spark for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

