@@ -134,8 +134,12 @@ def run_extraction(
         carry_cols=("warc_ts", "pid"),
     )
 
+    # Cluster the NARROW extracted output by pid before the partitioned
+    # write (shuffle-late: text is ~10× smaller than html, and without
+    # this clustering partitionBy would fan out tasks × pids files).
     # Write output first, then commit lineage from the written data —
     # a partition is committed only if its rows are durably on disk.
+    extracted = extracted.repartition(num_partitions, F.col("pid"))
     extracted.write.mode("append").partitionBy("pid").parquet(output_path)
 
     written = spark.read.parquet(output_path)

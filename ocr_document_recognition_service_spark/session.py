@@ -17,7 +17,7 @@ def build_session(
     app_name: str = "ocr-document-recognition-service-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 1024,
+    arrow_batch: int = 4096,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
