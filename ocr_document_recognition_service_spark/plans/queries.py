@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
 from ..operators import dedup, metrics, similarity, text_analysis, windows
@@ -252,6 +252,55 @@ def f5_homoglyph_translate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "f3_token_len_filter",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'),
+               x -> length(x) BETWEEN 2 AND 15)) AS n_tokens_kept
+    FROM documents
+    """,
+    "F3 token-length filter 2..15 (wiki_parser_to_pdf.py:13-19)",
+)
+def f3_token_len_filter(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    kept = F.filter(toks, lambda w: F.length(w).between(2, 15))
+    return d.select("doc_id", F.size(kept).alias("n_tokens_kept"))
+
+
+@_reg(
+    "f6_strip_digits",
+    """
+    SELECT doc_id, translate(text, '0123456789', '') AS no_digits
+    FROM documents
+    """,
+    "F6 out-of-vocab char strip via translate-with-deletion "
+    "(str2vec, ocr_dataset.py:41-46 semantics)",
+)
+def f6_strip_digits(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.translate(F.col("text"), "0123456789", "").alias("no_digits")
+    )
+
+
+@_reg(
+    "f8_base64_roundtrip",
+    """
+    SELECT doc_id, to_base64(encode(substr(text, 1, 32))) AS b64
+    FROM documents
+    """,
+    "S3 base64 payload codec (base64utils.py:8-10,29-42) as native fn",
+)
+def f8_base64_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 32), "UTF-8")).alias("b64"),
+    )
+
+
+@_reg(
     "f9_top_orders",
     """
     SELECT o_orderkey, o_totalprice FROM orders
@@ -274,6 +323,35 @@ def f9_top_orders(spark: SparkSession, sf: str) -> DataFrame:
 
 # deterministic perturbation standing in for OCR noise
 _PRED_SQL = "replace(text, 'a', 'e')"
+
+
+@_reg(
+    "a1_iou",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(
+             greatest(least(l_quantity + 10, l_discount*100 + 15)
+                      - greatest(l_quantity, l_discount*100), 0)
+             / (10 + 15
+                - greatest(least(l_quantity + 10, l_discount*100 + 15)
+                           - greatest(l_quantity, l_discount*100), 0)
+                + 1e-6),
+             6) AS iou
+    FROM lineitem
+    """,
+    "A1 interval IoU with 1e-6 smoothing (metrics.py:87-105 semantics)",
+)
+def a1_iou(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    a_lo, a_hi = F.col("l_quantity"), F.col("l_quantity") + 10
+    b_lo, b_hi = F.col("l_discount") * 100, F.col("l_discount") * 100 + 15
+    inter = F.greatest(F.least(a_hi, b_hi) - F.greatest(a_lo, b_lo), F.lit(0))
+    union = F.lit(10) + F.lit(15) - inter + F.lit(1e-6)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(inter / union, 6).alias("iou"),
+    )
 
 
 @_reg(
@@ -751,6 +829,26 @@ def ta4_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "ev0_json_props",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "S9 JSON field extraction from the props column, aggregated",
+)
+def ev0_json_props(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(
+            F.get_json_object(F.col("props"), "$.k").cast("bigint")
+        ).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@_reg(
     "ev1_hourly_rollup",
     """
     SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -824,6 +922,29 @@ def x_extract_lang_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
             "n_errors"
         ),
+    )
+
+
+@_reg(
+    "x_media_meta",
+    None,
+    "multimodal binary plumbing: magic-byte format sniff + Arrow-batched "
+    "metadata decode (stubbed pixel backend) over page payloads",
+)
+def x_media_meta(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import multimodal
+
+    pages = _synthetic_pages_df(spark, 120).select(
+        "url", F.col("html").alias("payload")
+    )
+    meta = multimodal.decode_image_meta(multimodal.media_meta(pages))
+    return meta.select(
+        "url",
+        "n_bytes",
+        "format",
+        F.col("image_meta.width").alias("width"),
+        F.col("image_meta.height").alias("height"),
+        F.col("image_meta.decoder").alias("decoder"),
     )
 
 

@@ -27,3 +27,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+# --- CSV / JSON adapters (SURVEY §2.1 S8/S9: the reference reads wiki
+# CSVs and per-image JSON annotations, writes hard-negative CSVs) ------
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read.option("header", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)

@@ -1,0 +1,57 @@
+"""CSV/JSON adapters (S8/S9), W3 split, HTML report sink (S10)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_document_recognition_service_spark import lineage, report
+from ocr_document_recognition_service_spark.sources import tables
+
+pytestmark = pytest.mark.spark
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.range(50).select(
+        F.col("id"), F.concat(F.lit("name-"), F.col("id")).alias("name")
+    )
+    path = str(tmp_path / "csv_out")
+    tables.write_csv(df, path)
+    back = tables.read_csv(spark, path)
+    assert back.count() == 50
+    assert sorted(back.columns) == ["id", "name"]
+    assert back.filter(F.col("name") == "name-7").count() == 1
+
+
+def test_json_source(spark, tmp_path):
+    p = tmp_path / "rows.json"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    df = tables.read_json(spark, str(p))
+    assert df.count() == 2
+    assert {r["b"] for r in df.collect()} == {"x", "y"}
+
+
+def test_random_split_w3(spark):
+    # W3 train/val split (ocr_datamodule.py:90-96): seeded, disjoint,
+    # exhaustive
+    df = spark.range(1000)
+    a, b = df.randomSplit([0.8, 0.2], seed=42)
+    na, nb = a.count(), b.count()
+    assert na + nb == 1000
+    assert 700 < na < 900
+    a2, b2 = df.randomSplit([0.8, 0.2], seed=42)
+    assert a2.count() == na  # deterministic under the same seed
+
+
+def test_html_report_sink(spark, pages_parquet, tmp_path):
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    lineage.run_extraction(
+        spark, pages_parquet, out, ck, "run-r", num_partitions=4
+    )
+    html_path = tmp_path / "report.html"
+    report.write_run_report(
+        spark, ck, str(html_path),
+        bench_json='{"queries": {"q1": 1.5}}',
+    )
+    text = html_path.read_text()
+    assert "<table>" in text and "run-r" in text and "q1" in text
+    assert "Totals" in text
