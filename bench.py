@@ -40,7 +40,7 @@ HEADLINE = [
     "ev1_hourly_rollup",
 ]
 
-EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"))
+EXTRACT_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "50000"))
 
 
 def _time_noop_write(df) -> float:
@@ -87,12 +87,17 @@ def main() -> int:
         "overwrite"
     ).partitionBy("lang").parquet(corpus_dir + "/pages")
     t_setup = time.time() - t0
+    # blob-scan granularity: ~16 MB splits ≈ 1-2 core-sec of kernel per
+    # task (128 MB packs whole files → too coarse at 32-way; measured)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "1048576")
     src = spark.read.parquet(corpus_dir + "/pages")
     out = extract_pages(src, num_partitions=2 * cpus).select(
         "url", "lang", "n_blocks", "text", "error"
     )
     t_cold = _time_noop_write(out)  # includes Python-worker pool spin-up
-    t_ex = _time_noop_write(out)  # steady state — the sustained number
+    # steady state — min of two warm runs (single-box timings are noisy)
+    t_ex = min(_time_noop_write(out), _time_noop_write(out))
     times["extract_pages"] = round(t_ex, 3)
     shutil.rmtree(corpus_dir, ignore_errors=True)
 

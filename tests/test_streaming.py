@@ -1,0 +1,59 @@
+"""Structured Streaming operators vs their batch twins."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_document_recognition_service_spark.streaming import windowed
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ev_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "part1.parquet")
+    return str(d)
+
+
+def _drain(stream_df, spark, name):
+    (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name == "win" else "update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.sql(f"select * from {name}")
+
+
+def test_windowed_counts_match_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    got = _drain(windowed.windowed_event_counts(stream), spark, "win")
+    expect = windowed.windowed_event_counts(batch)
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expect.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_stateful_user_counts(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    got = _drain(windowed.stateful_user_counts(stream), spark, "usr")
+    # single drain → running totals equal the batch aggregate
+    expect = batch.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    g = {(r["user_id"], r["n_events"], r["total_value"]) for r in got.collect()}
+    e = {tuple(r) for r in expect.collect()}
+    assert g == e and len(g) > 0
