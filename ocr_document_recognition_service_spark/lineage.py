@@ -104,14 +104,23 @@ def run_extraction(
     num_partitions: int = 64,
     salt_threshold: int = 64 * 1024,
     limit_partitions: int | None = None,
+    fail_before_commit: bool = False,
 ) -> dict:
     """One (resumable) extraction run.
 
     Reads the pages table, skips partitions already committed for the
-    current input snapshot, extracts the rest, appends output parquet
-    (partitioned by pid) and lineage rows.  ``limit_partitions``
+    current input snapshot, extracts the rest, writes output parquet
+    (partitioned by pid) and appends lineage rows.  ``limit_partitions``
     processes only the first K uncommitted pids — used by tests to
-    simulate a mid-run kill.
+    simulate a mid-run kill; ``fail_before_commit`` raises after the
+    data write but before the lineage commit (crash injection).
+
+    Crash safety: output uses DYNAMIC partition overwrite — a pid's
+    files are atomically replaced, never appended.  If a run dies
+    between data write and lineage commit, the orphaned pid directories
+    are simply rewritten (identical content — extraction is
+    deterministic per snapshot) by the resume, which trusts only the
+    lineage table.  A partition is committed iff its lineage row exists.
 
     Returns {snapshot_id, partitions_processed, rows}.
     """
@@ -137,10 +146,21 @@ def run_extraction(
     # Cluster the NARROW extracted output by pid before the partitioned
     # write (shuffle-late: text is ~10× smaller than html, and without
     # this clustering partitionBy would fan out tasks × pids files).
-    # Write output first, then commit lineage from the written data —
-    # a partition is committed only if its rows are durably on disk.
+    # Dynamic partition overwrite keeps re-writes of a pid idempotent
+    # (crash between data write and lineage commit → resume rewrites
+    # the orphaned pid, no duplicates).  Write output first, then
+    # commit lineage from the written data — a partition is committed
+    # only if its rows are durably on disk.
     extracted = extracted.repartition(num_partitions, F.col("pid"))
-    extracted.write.mode("append").partitionBy("pid").parquet(output_path)
+    (
+        extracted.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pid")
+        .parquet(output_path)
+    )
+
+    if fail_before_commit:
+        raise RuntimeError("injected crash before lineage commit")
 
     written = spark.read.parquet(output_path)
     prev = committed_partitions(spark, checkpoint_path, snap)

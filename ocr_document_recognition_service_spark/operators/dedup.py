@@ -250,6 +250,68 @@ def simhash16(docs: DataFrame) -> DataFrame:
     )
 
 
+def char_ngram_jaccard_pairs(
+    docs: DataFrame,
+    block_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Character n-gram Jaccard near-dup pairs within a blocking key.
+
+    Shingles = distinct n-char substrings of the normalized text
+    (staged column first — lambda-CSE pitfall).  Same join shape as the
+    word-level variant; n-grams catch edits words miss."""
+    staged = docs.select(
+        "doc_id", F.col(block_col).alias("blk"), norm_text_col().alias("_t")
+    )
+    grams = F.array_distinct(
+        F.when(
+            F.length("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length("_t") - (n - 1)),
+                lambda k: F.col("_t").substr(k, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    shingles = staged.select(
+        "doc_id", "blk", F.explode(grams).alias("g")
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("ng"))
+    inter = (
+        shingles.alias("a")
+        .join(
+            shingles.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    j = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "ng", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "ng", "nb"
+            ),
+            "doc_b",
+        )
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def embedding_dup_pairs(
     emb: DataFrame, block_col: str = "label", threshold: float = 0.99
 ) -> DataFrame:

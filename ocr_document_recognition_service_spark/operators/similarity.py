@@ -129,6 +129,68 @@ def cosine_topk_arrays(
     )
 
 
+def lsh_topk(
+    emb: DataFrame,
+    planes: list[list[float]] | None = None,
+    k: int = 1,
+) -> DataFrame:
+    """Bucketed ANN: top-k neighbors searched ONLY within the query's
+    LSH bucket — the scale path (at 100 TB the bucket is the partition
+    key; a probe reads one bucket, not the corpus).  Fewer planes →
+    bigger buckets → better recall, more compute; callers pick.
+    Returns (query_id, neighbor_id, rank, cosine)."""
+    b = lsh_buckets(emb, planes)
+    flat = _flat(emb)
+    norms = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    cand = (
+        b.alias("qa")
+        .join(
+            b.alias("qb"),
+            (F.col("qa.bucket") == F.col("qb.bucket"))
+            & (F.col("qa.vec_id") != F.col("qb.vec_id")),
+        )
+        .select(
+            F.col("qa.vec_id").alias("query_id"),
+            F.col("qb.vec_id").alias("neighbor_id"),
+        )
+    )
+    dots = (
+        cand.join(
+            flat.alias("fa"), F.col("fa.vec_id") == F.col("query_id")
+        )
+        .join(
+            flat.alias("fb"),
+            (F.col("fb.vec_id") == F.col("neighbor_id"))
+            & (F.col("fb.pos") == F.col("fa.pos")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("fa.x") * F.col("fb.x")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .withColumnRenamed("nrm", "nq")
+        .join(
+            norms.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "nrm", "nn"
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cosine", F.round(F.col("dot") / (F.col("nq") * F.col("nn")), 4)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
     """(vec_id, bucket): bucket = Σ 2^p · [v·h_p > 0] over literal planes."""
     planes = planes or hyperplanes()

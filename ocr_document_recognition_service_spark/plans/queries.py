@@ -663,6 +663,41 @@ def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_reg(
+    "dd6_ngram_jaccard",
+    f"""
+    WITH staged AS (
+      SELECT doc_id, source AS blk, {_NORM_SQL} AS t FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, blk, g FROM (
+        SELECT doc_id, blk,
+               unnest(list_transform(range(1, length(t) - 1),
+                      k -> substr(t, CAST(k AS int), 3))) AS g
+        FROM staged WHERE length(t) >= 3
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS ng FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter / CAST(na.ng + nb.ng - inter AS double), 6) AS jaccard
+    FROM inter JOIN sizes na ON doc_a = na.doc_id
+               JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE round(inter / CAST(na.ng + nb.ng - inter AS double), 6) >= 0.9
+    """,
+    "near-dup: char 3-gram Jaccard with source blocking",
+)
+def dd6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.char_ngram_jaccard_pairs(
+        load(spark, sf, "documents"), block_col="source", n=3, threshold=0.9
+    )
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
@@ -703,8 +738,8 @@ def sim1_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _planes_sql() -> str:
-    planes = similarity.hyperplanes()
+def _planes_sql(n_planes: int = 8) -> str:
+    planes = similarity.hyperplanes(n_planes)
     rows = ",".join(
         "[" + ",".join(f"{w}" for w in plane) + "]" for plane in planes
     )
@@ -732,6 +767,59 @@ def _planes_sql() -> str:
 )
 def sim2_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_buckets(load(spark, sf, "embeddings"))
+
+
+@_reg(
+    "sim3_lsh_topk",
+    f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::double AS x
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
+    sums AS (
+      SELECT vec_id, p, sum(x * ({_planes_sql(4)})[p+1][pos+1]) AS s
+      FROM flat CROSS JOIN (SELECT unnest(range(4)) AS p)
+      GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::bigint << CAST(p AS int)) ELSE 0 END) AS bigint) AS bucket
+      FROM sums GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
+      FROM buckets qa JOIN buckets qb
+        ON qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, sum(fa.x * fb.x) AS dot
+      FROM cand c JOIN flat fa ON fa.vec_id = c.query_id
+                  JOIN flat fb ON fb.vec_id = c.neighbor_id
+                              AND fb.pos = fa.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nn.nrm), 4) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nn ON neighbor_id = nn.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 1
+    """,
+    "bucketed ANN: top-1 within the query's LSH bucket (the scale path)",
+)
+def sim3_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.lsh_topk(
+        load(spark, sf, "embeddings"),
+        planes=similarity.hyperplanes(4),
+        k=1,
+    )
 
 
 # =====================================================================

@@ -60,3 +60,35 @@ def test_kill_and_resume_processes_only_remainder(spark, pages_parquet, tmp_path
     )
     assert r3["partitions_processed"] == 0
     assert lineage.global_md5(spark, out) == full_md5
+
+
+def test_crash_between_write_and_commit_no_duplicates(
+    spark, pages_parquet, tmp_path
+):
+    """Crash injection: data written but lineage never committed →
+    resume rewrites the orphaned partitions; no duplicate rows, final
+    output byte-equal to a clean run."""
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    r1 = lineage.run_extraction(
+        spark, pages_parquet, out, ck, "run-a",
+        num_partitions=P, salt_threshold=16 * 1024, limit_partitions=2,
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lineage.run_extraction(
+            spark, pages_parquet, out, ck, "run-crash",
+            num_partitions=P, salt_threshold=16 * 1024,
+            fail_before_commit=True,
+        )
+    # orphaned pid dirs exist on disk but are NOT committed
+    assert spark.read.parquet(out).count() == 400  # data all present
+    # resume trusts lineage only: reprocesses the 6 uncommitted pids
+    r2 = lineage.run_extraction(
+        spark, pages_parquet, out, ck, "run-b",
+        num_partitions=P, salt_threshold=16 * 1024,
+    )
+    assert r2["partitions_processed"] == P - 2
+    assert r1["rows"] + r2["rows"] == 400
+    df = spark.read.parquet(out)
+    assert df.count() == 400
+    assert df.select("url").distinct().count() == 400  # no duplicates
