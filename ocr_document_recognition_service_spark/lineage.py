@@ -52,6 +52,11 @@ def snapshot_id_of(input_path: str) -> int:
     return zlib.crc32("|".join(sorted(entries)).encode("utf-8"))
 
 
+def snapshot_output_dir(output_path: str, snapshot_id: int) -> str:
+    """Output namespace for one input snapshot (snapshot isolation)."""
+    return os.path.join(output_path, f"snapshot={snapshot_id}")
+
+
 def with_partition_id(pages: DataFrame, num_partitions: int) -> DataFrame:
     return pages.withColumn(
         "pid", F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int")
@@ -122,9 +127,15 @@ def run_extraction(
     deterministic per snapshot) by the resume, which trusts only the
     lineage table.  A partition is committed iff its lineage row exists.
 
+    Snapshot isolation: output lands under ``{output_path}/snapshot=N``
+    so a re-run over a CHANGED input (new snapshot id) can never
+    overwrite a previous snapshot's committed data — each snapshot's
+    lineage rows always describe files that still exist.
+
     Returns {snapshot_id, partitions_processed, rows}.
     """
     snap = snapshot_id_of(input_path)
+    snap_dir = snapshot_output_dir(output_path, snap)
     pages = with_partition_id(spark.read.parquet(input_path), num_partitions)
 
     done = committed_partitions(spark, checkpoint_path, snap)
@@ -156,13 +167,13 @@ def run_extraction(
         extracted.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pid")
-        .parquet(output_path)
+        .parquet(snap_dir)
     )
 
     if fail_before_commit:
         raise RuntimeError("injected crash before lineage commit")
 
-    written = spark.read.parquet(output_path)
+    written = spark.read.parquet(snap_dir)
     prev = committed_partitions(spark, checkpoint_path, snap)
     fresh = written
     if prev is not None:
@@ -170,7 +181,9 @@ def run_extraction(
     lineage = (
         partition_lineage(fresh)
         .withColumn("run_id", F.lit(run_id))
-        .withColumn("snapshot_id", F.lit(snap))
+        # pinned long: a crc32 may or may not fit int32, and mixed
+        # int32/int64 parquet files in one checkpoint dir break reads
+        .withColumn("snapshot_id", F.lit(snap).cast("long"))
         .withColumn("committed_at", F.current_timestamp())
     )
     lineage.write.mode("append").parquet(checkpoint_path)
@@ -191,9 +204,15 @@ def run_extraction(
     }
 
 
-def global_md5(spark: SparkSession, output_path: str) -> str:
+def global_md5(
+    spark: SparkSession, output_path: str, snapshot_id: int | None = None
+) -> str:
     """md5 over ALL extracted texts in url order (test-scale helper;
-    at 100 TB you compare per-partition md5 sets instead)."""
+    at 100 TB you compare per-partition md5 sets instead).  Pass
+    ``snapshot_id`` to scope to one snapshot's namespace when the
+    output dir holds several."""
+    if snapshot_id is not None:
+        output_path = snapshot_output_dir(output_path, snapshot_id)
     df = spark.read.parquet(output_path)
     row = df.agg(
         F.md5(

@@ -52,24 +52,21 @@ def _words(col: str = "text") -> F.Column:
     )
 
 
-def word_jaccard_pairs(
-    docs: DataFrame, block_col: str = "source", threshold: float = 0.5
-) -> DataFrame:
-    """Pairwise word-set Jaccard within a blocking key.
+def _jaccard_pairs(features: DataFrame, threshold: float) -> DataFrame:
+    """Pair scoring shared by every set-similarity dedup variant.
 
-    exploded token join → |A∩B| per pair; |A|,|B| from per-doc counts;
-    J = inter / (na + nb − inter).  Block key bounds the join fan-out.
+    *features* = exploded (doc_id, blk, f) rows, one per distinct
+    feature per doc.  Self-join within the blocking key → |A∩B|;
+    per-doc counts → |A|,|B|; J = inter/(na+nb−inter), round 6dp —
+    the exact arithmetic the DuckDB oracles reproduce.
     """
-    words = docs.select(
-        "doc_id", F.col(block_col).alias("blk"), F.explode(_words()).alias("w")
-    )
-    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    sizes = features.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
-        words.alias("a")
+        features.alias("a")
         .join(
-            words.alias("b"),
+            features.alias("b"),
             (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.f") == F.col("b.f"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -78,11 +75,15 @@ def word_jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("n_words", "na")
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n", "na"
+            ),
+            "doc_a",
+        )
         .join(
             sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_words", "nb"
+                "n", "nb"
             ),
             "doc_b",
         )
@@ -95,6 +96,16 @@ def word_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def word_jaccard_pairs(
+    docs: DataFrame, block_col: str = "source", threshold: float = 0.5
+) -> DataFrame:
+    """Pairwise word-set Jaccard within a blocking key."""
+    words = docs.select(
+        "doc_id", F.col(block_col).alias("blk"), F.explode(_words()).alias("f")
+    )
+    return _jaccard_pairs(words, threshold)
 
 
 N_MINHASH = 8
@@ -273,43 +284,8 @@ def char_ngram_jaccard_pairs(
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    shingles = staged.select(
-        "doc_id", "blk", F.explode(grams).alias("g")
-    )
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("ng"))
-    inter = (
-        shingles.alias("a")
-        .join(
-            shingles.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    j = F.round(
-        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
-    )
-    return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "ng", "na"
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "ng", "nb"
-            ),
-            "doc_b",
-        )
-        .withColumn("jaccard", j)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    shingles = staged.select("doc_id", "blk", F.explode(grams).alias("f"))
+    return _jaccard_pairs(shingles, threshold)
 
 
 def embedding_dup_pairs(

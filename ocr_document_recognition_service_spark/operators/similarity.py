@@ -41,32 +41,16 @@ def _flat(emb: DataFrame) -> DataFrame:
     ).withColumn("x", F.col("x").cast("double"))
 
 
-def cosine_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 3
-) -> DataFrame:
-    """Brute-force top-k neighbors for vec_id < n_queries (self excluded).
-
-    Returns (query_id, neighbor_id, rank, cosine[rounded 4dp]); rank
-    breaks cosine ties by neighbor id — fully deterministic.
-    """
-    flat = _flat(emb)
-    norms = flat.groupBy("vec_id").agg(
+def _norms(flat: DataFrame) -> DataFrame:
+    return flat.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
     )
-    q = flat.filter(F.col("vec_id") < n_queries)
-    dots = (
-        q.alias("a")
-        .join(
-            flat.alias("b"),
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .groupBy(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-        )
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
-    )
+
+
+def _rank_by_cosine(dots: DataFrame, norms: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail: cosine = dot/(|q||n|) rounded 4dp, rank by
+    (cosine desc, neighbor_id asc), keep top-k.  This rounding and
+    tie-break IS the oracle contract — one copy only."""
     scored = (
         dots.join(norms.withColumnRenamed("vec_id", "query_id"), "query_id")
         .withColumnRenamed("nrm", "nq")
@@ -88,6 +72,32 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 3
+) -> DataFrame:
+    """Brute-force top-k neighbors for vec_id < n_queries (self excluded).
+
+    Returns (query_id, neighbor_id, rank, cosine[rounded 4dp]); rank
+    breaks cosine ties by neighbor id — fully deterministic.
+    """
+    flat = _flat(emb)
+    q = flat.filter(F.col("vec_id") < n_queries)
+    dots = (
+        q.alias("a")
+        .join(
+            flat.alias("b"),
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    )
+    return _rank_by_cosine(dots, _norms(flat), k)
 
 
 def cosine_topk_arrays(
@@ -141,9 +151,6 @@ def lsh_topk(
     Returns (query_id, neighbor_id, rank, cosine)."""
     b = lsh_buckets(emb, planes)
     flat = _flat(emb)
-    norms = flat.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
-    )
     cand = (
         b.alias("qa")
         .join(
@@ -168,27 +175,7 @@ def lsh_topk(
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum(F.col("fa.x") * F.col("fb.x")).alias("dot"))
     )
-    scored = (
-        dots.join(norms.withColumnRenamed("vec_id", "query_id"), "query_id")
-        .withColumnRenamed("nrm", "nq")
-        .join(
-            norms.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
-                "nrm", "nn"
-            ),
-            "neighbor_id",
-        )
-        .withColumn(
-            "cosine", F.round(F.col("dot") / (F.col("nq") * F.col("nn")), 4)
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rank_by_cosine(dots, _norms(flat), k)
 
 
 def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:

@@ -62,6 +62,36 @@ def test_kill_and_resume_processes_only_remainder(spark, pages_parquet, tmp_path
     assert lineage.global_md5(spark, out) == full_md5
 
 
+def test_snapshot_isolation_same_output_dir(spark, pages_parquet, tmp_path):
+    """A new input snapshot writing to the SAME output dir must not
+    destroy the previous snapshot's committed data (review finding:
+    dynamic overwrite would have silently replaced it)."""
+    from ocr_document_recognition_service_spark import gen_pages
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rA = lineage.run_extraction(
+        spark, pages_parquet, out, ck, "run-A", num_partitions=P
+    )
+    md5_A = lineage.global_md5(spark, out, snapshot_id=rA["snapshot_id"])
+
+    src_b = str(tmp_path / "pagesB.parquet")
+    gen_pages.write_pages_parquet(src_b, 150, seed=7)
+    rB = lineage.run_extraction(
+        spark, src_b, out, ck, "run-B", num_partitions=P
+    )
+    assert rB["snapshot_id"] != rA["snapshot_id"]
+    assert rB["rows"] == 150
+
+    # snapshot A's data is intact and its lineage still true
+    assert lineage.global_md5(spark, out, snapshot_id=rA["snapshot_id"]) == md5_A
+    # resume of snapshot A remains a no-op (all partitions committed)
+    rA2 = lineage.run_extraction(
+        spark, pages_parquet, out, ck, "run-A2", num_partitions=P
+    )
+    assert rA2["partitions_processed"] == 0
+
+
 def test_crash_between_write_and_commit_no_duplicates(
     spark, pages_parquet, tmp_path
 ):
