@@ -140,7 +140,12 @@ def main() -> int:
     d8 = N_DOCS / t8
     d32 = N_DOCS / t32
     raw_eff = (d32 / d8) / 4.0
-    norm_eff = (d32 / d8) / hw_scaling if hw_scaling > 0 else float("nan")
+    # clamp: the pure-python baseline includes corpus *generation* work,
+    # so Spark (extraction only, JVM/Python pipelined) can slightly
+    # exceed its scaling ratio; >1.0 carries no extra information
+    norm_eff = min(
+        1.0, (d32 / d8) / hw_scaling if hw_scaling > 0 else float("nan")
+    )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH — measured throughput & scaling evidence
