@@ -48,10 +48,27 @@ def _finalize(blocks: list[str], lang: str | None) -> ExtractResult:
     return ExtractResult(text="\n".join(normed), n_blocks=len(normed), lang=used)
 
 
-def extract_document(payload: bytes | None, lang: str | None) -> ExtractResult:
+# Hard payload cap: a single row above this is a data error, not skew
+# (skew up to the cap is handled by salting).  At 100 TB a handful of
+# pathological multi-GB "pages" must become error rows, not OOMs.
+MAX_PAYLOAD_BYTES = 64 * 1024 * 1024
+
+
+def extract_document(
+    payload: bytes | None,
+    lang: str | None,
+    max_bytes: int = MAX_PAYLOAD_BYTES,
+) -> ExtractResult:
     """Extract main content from one page payload (HTML or PDF bytes)."""
     if payload is None or len(payload) == 0:
         return ExtractResult(text="", n_blocks=0, lang=lang)
+    if max_bytes and len(payload) > max_bytes:
+        return ExtractResult(
+            text=None,
+            n_blocks=0,
+            lang=lang,
+            error=f"PayloadTooLarge: {len(payload)} > {max_bytes} bytes",
+        )
     try:
         if pdf_extract.is_pdf(payload):
             blocks = [

@@ -48,6 +48,15 @@ def test_none_payload():
     assert res.text == "" and res.error is None
 
 
+def test_payload_cap_yields_error_row():
+    big = b"<body><p>" + b"x " * 100 + b"</p></body>"
+    ok = extract_one.extract_document(big, "en")
+    assert ok.error is None and ok.text
+    capped = extract_one.extract_document(big, "en", max_bytes=64)
+    assert capped.text is None and capped.n_blocks == 0
+    assert capped.error and capped.error.startswith("PayloadTooLarge")
+
+
 def test_malformed_html_no_crash():
     res = extract_one.extract_document(b"<body><p>alpha beta <b>gamma", "en")
     assert res.error is None
