@@ -174,6 +174,100 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_reg(
+    "q6_forecast_revenue",
+    """
+    SELECT round(CAST(sum(CAST(l_extendedprice AS decimal(18,4))
+                           * CAST(l_discount AS decimal(18,4))) AS double), 2)
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6-style forecast revenue (pure scan+filter+agg, pushdown)",
+)
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.04, 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
+    return l.agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@_reg(
+    "q12_priority_mix",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    "TPC-H Q12-style conditional counts per group (join + CASE agg)",
+)
+def q12_priority_mix(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_reg(
+    "q18_large_orders",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           round(CAST(sum(CAST(l.l_quantity AS decimal(18,4))) AS double), 2)
+             AS total_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+    HAVING sum(CAST(l.l_quantity AS decimal(18,4))) > 220
+    """,
+    "TPC-H Q18-style large-volume orders (group-having over a join)",
+)
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast(_DEC)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.sum(qty).alias("_q"))
+        .filter(F.col("_q") > 220)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("_q").cast("double"), 2).alias("total_qty"),
+        )
+    )
+
+
 # =====================================================================
 # Filters / projections / scalar functions (SURVEY §2.2, §2.9)
 # =====================================================================
@@ -542,6 +636,26 @@ _WORDS_SQL = (
 )
 def dd1_exact(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.exact_groups(load(spark, sf, "documents"))
+
+
+@_reg(
+    "dd0_dedup_apply",
+    f"""
+    WITH keeps AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY md5({_NORM_SQL})
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN keeps USING (doc_id)
+    """,
+    "exact dedup APPLIED: the surviving documents after keep-min policy",
+)
+def dd0_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    keeps = dedup.exact_groups(d).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    return d.join(keeps, "doc_id").select("doc_id", "lang", "source", "n_chars")
 
 
 @_reg(
