@@ -135,11 +135,21 @@ def split_html(raw: bytes, target_bytes: int) -> list[bytes]:
 
 
 def extract_document_split(
-    payload: bytes | None, lang: str | None, target_bytes: int
+    payload: bytes | None,
+    lang: str | None,
+    target_bytes: int,
+    max_bytes: int = MAX_PAYLOAD_BYTES,
 ) -> ExtractResult:
-    """Oracle for the salted path: split, extract per chunk, re-join."""
-    if payload is None or len(payload) == 0 or pdf_extract.is_pdf(payload):
-        return extract_document(payload, lang)
+    """Oracle for the salted path: split, extract per chunk, re-join.
+    Payloads above the hard cap short-circuit to the error row (the
+    pipeline routes them away from the split branch the same way)."""
+    if (
+        payload is None
+        or len(payload) == 0
+        or (max_bytes and len(payload) > max_bytes)
+        or pdf_extract.is_pdf(payload)
+    ):
+        return extract_document(payload, lang, max_bytes=max_bytes)
     parts = split_html(payload, target_bytes)
     if len(parts) == 1:
         return extract_document(payload, lang)

@@ -218,7 +218,8 @@ import os as _os
 
 _TAG_RE = re.compile(
     r"""<(?:
-        !--(?:.*?--\s*>|.*$)            # comment (possibly unterminated)
+        !--.*?--\s*>                    # terminated comment (unterminated
+                                        # handled explicitly in _fast_feed)
       | !\[?[^>]*>?                     # doctype / decl / CDATA-ish
       | \?[^>]*>?                       # processing instruction
       | (/?)                            # 1: close marker
@@ -234,6 +235,11 @@ _ATTR_RE = re.compile(
     r"""([a-zA-Z][a-zA-Z0-9_:-]*)\s*=\s*("[^"]*"|'[^']*'|[^\s>]*)"""
 )
 _RAWTEXT = {"script", "style"}
+# case-insensitive close scan with a tag-boundary delimiter, mirroring
+# html.parser's CDATA-mode "interesting" pattern
+_RAWTEXT_CLOSE = {
+    t: re.compile(r"</\s*%s(?=[\s>/])" % t, re.IGNORECASE) for t in _RAWTEXT
+}
 _ATTR_HINT = re.compile(r"class|id|role", re.IGNORECASE)
 
 
@@ -243,6 +249,8 @@ def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
         v = m.group(2)
         if v and v[0] in "\"'":
             v = v[1:-1]
+        if v and "&" in v:  # charrefs in attr values, as html.parser does
+            v = _htmllib.unescape(v)
         out.append((m.group(1).lower(), v))
     return out
 
@@ -260,6 +268,20 @@ def _fast_feed(sink: "_BlockParser", text: str) -> None:
         if lt > pos:
             seg = text[pos:lt]
             sink.handle_data(_htmllib.unescape(seg) if "&" in seg else seg)
+        if text.startswith("<!--", lt) and text.find("-->", lt) == -1:
+            # unterminated comment: html.parser's close() recovery emits
+            # data up to just past the next '>' (else next '<', else one
+            # char) and keeps tokenizing — mirror CPython goahead(end=1)
+            k = text.find(">", lt + 1)
+            if k < 0:
+                k = text.find("<", lt + 1)
+                k = lt + 1 if k < 0 else k
+            else:
+                k += 1
+            seg = text[lt:k]
+            sink.handle_data(_htmllib.unescape(seg) if "&" in seg else seg)
+            pos = k
+            continue
         m = _TAG_RE.match(text, lt)
         if not m:
             sink.handle_data("<")
@@ -292,10 +314,10 @@ def _fast_feed(sink: "_BlockParser", text: str) -> None:
             continue
         sink.handle_starttag(name, attrs)
         if name in _RAWTEXT:  # skip rawtext content to the closing tag
-            close = text.find("</" + name, pos)
-            if close == -1:
-                break
-            gt = text.find(">", close)
+            cm = _RAWTEXT_CLOSE[name].search(text, pos)
+            if cm is None:
+                break  # unterminated rawtext: content is skipped anyway
+            gt = text.find(">", cm.start())
             sink.handle_endtag(name)
             pos = (gt + 1) if gt != -1 else n
 

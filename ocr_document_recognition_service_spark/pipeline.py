@@ -67,7 +67,7 @@ DEFAULT_CHUNK_TARGET = 32 * 1024
 _PDF_MAGIC_HEX = "25504446"  # b"%PDF"
 
 
-def _extract_udf(lang: str | None):
+def _extract_udf(lang: str | None, max_payload_bytes: int | None = None):
     """Vectorized extraction for one language branch.
 
     Iterator form: the (cheap) kernel import happens once per Python
@@ -79,10 +79,15 @@ def _extract_udf(lang: str | None):
     def extract(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         from ocr_document_recognition_service_spark import extract_one
 
+        cap = (
+            max_payload_bytes
+            if max_payload_bytes is not None
+            else extract_one.MAX_PAYLOAD_BYTES
+        )
         for payloads in batches:
             results = [
                 extract_one.extract_document(
-                    bytes(p) if p is not None else None, lang
+                    bytes(p) if p is not None else None, lang, max_bytes=cap
                 )
                 for p in payloads
             ]
@@ -126,6 +131,7 @@ def extract_pages(
     num_partitions: int | None = None,
     carry_cols: tuple[str, ...] = ("warc_ts",),
     pre_repartition: bool = False,
+    max_payload_bytes: int | None = None,
 ) -> DataFrame:
     """Full extraction plan: returns (url, *carry_cols, lang, text,
     n_blocks, error) with ``lang`` = the language actually used.
@@ -160,8 +166,20 @@ def extract_pages(
     # (L2/L3) and null-lang rows need a whole-document language vote.
     # coalesce → null lang lands in the unsplit path instead of
     # vanishing into filter(NULL) on both sides.
+    from . import extract_one as _x1
+
+    cap = (
+        max_payload_bytes
+        if max_payload_bytes is not None
+        else _x1.MAX_PAYLOAD_BYTES
+    )
     splittable = (
         (F.length("html") > salt_threshold)
+        # rows above the hard cap must NOT take the split branch (the
+        # split UDF would materialize the monster blob); they fall to
+        # the unsplit branch where the kernel emits a PayloadTooLarge
+        # error row instead
+        & (F.length("html") <= cap)
         & ~_is_pdf_col()
         & F.coalesce(F.col("lang").isin(*LANGS), F.lit(False))
     )
@@ -169,7 +187,9 @@ def extract_pages(
     def _narrow(df: DataFrame, ex_lang: str | None) -> DataFrame:
         """Apply the branch's extraction UDF, drop html immediately
         (column pruning past extraction, SURVEY §4)."""
-        return df.withColumn("ex", _extract_udf(ex_lang)(F.col("html"))).select(
+        return df.withColumn(
+            "ex", _extract_udf(ex_lang, cap)(F.col("html"))
+        ).select(
             "url",
             *carry_cols,
             *(["chunk_id"] if "chunk_id" in df.columns else []),

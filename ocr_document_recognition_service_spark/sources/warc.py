@@ -61,7 +61,15 @@ def write_warc(
 def parse_warc_bytes(
     blob: bytes,
 ) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
-    """Yield (url, ts, payload bytes) for each response record."""
+    """Yield (url, ts, payload bytes) for each response record.
+
+    Accepts gzipped input transparently — Common Crawl ships
+    ``*.warc.gz`` with per-record gzip members; ``gzip.decompress``
+    concatenates multi-member streams."""
+    if blob[:2] == b"\x1f\x8b":
+        import gzip
+
+        blob = gzip.decompress(blob)
     pos = 0
     n = len(blob)
     while pos < n:

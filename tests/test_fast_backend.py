@@ -29,6 +29,9 @@ _frag = st.sampled_from(
         "<a href='/x'>", "</a>", "<br/>", "<b>", "<!-- c -->",
         "<script>x<y</script>", "word", "два слова", "&amp;", "&lt;", " ",
         "<", ">", "<h2>", "</h2>", "123", "<p class=\"x\">",
+        # review counterexample classes
+        "</SCRIPT>", "<script>q", "<!-- open", "<style>s</StYlE >",
+        '<div class="nav&#95;bar">', "<p class='x&amp;y'>", "-->",
     ]
 )
 

@@ -67,6 +67,41 @@ def test_salted_rows_actually_split(spark, pages_parquet, corpus_rows):
     assert n_over >= 3
 
 
+def test_payload_cap_routes_to_error_row_not_split(spark, corpus_rows):
+    """A row above max_payload_bytes must bypass the split branch and
+    surface as a PayloadTooLarge error row (review finding: the cap
+    previously never fired for splittable HTML)."""
+    import pandas as pd
+
+    from ocr_document_recognition_service_spark.pipeline import PAGES_SCHEMA
+
+    rows = [dict(r) for r in corpus_rows[:20]]
+    big = dict(rows[0])
+    big["url"] = "https://en.example.org/doc/huge"
+    big["html"] = b"<body>" + b"<p>w x</p>" * 12000 + b"</body>"  # ~120KB
+    big["lang"] = "en"
+    df = spark.createDataFrame(pd.DataFrame(rows + [big]), schema=PAGES_SCHEMA)
+    out = {
+        r["url"]: r
+        for r in pipeline.extract_pages(
+            df,
+            salt_threshold=16 * 1024,
+            num_partitions=4,
+            max_payload_bytes=64 * 1024,
+        ).collect()
+    }
+    assert len(out) == 21
+    huge = out["https://en.example.org/doc/huge"]
+    assert huge["text"] is None and huge["error"].startswith("PayloadTooLarge")
+    # rows under the cap unaffected; any corpus row above it (the
+    # engineered oversized row) is also correctly capped
+    for r in rows:
+        if len(r["html"]) <= 64 * 1024:
+            assert out[r["url"]]["error"] is None, r["url"]
+        else:
+            assert out[r["url"]]["error"].startswith("PayloadTooLarge")
+
+
 def test_carry_cols_pass_through(spark, pages_parquet):
     df = spark.read.parquet(pages_parquet).withColumn(
         "pid", F.pmod(F.xxhash64("url"), F.lit(8))

@@ -42,6 +42,25 @@ def test_warc_roundtrip_and_extraction(spark, tmp_path, corpus_rows):
         ).text, r["url"]
 
 
+def test_gzipped_warc_supported(spark, tmp_path, corpus_rows):
+    import gzip
+
+    rows = corpus_rows[:30]
+    raw_path = tmp_path / "plain.warc"
+    warc.write_warc(
+        str(raw_path), [(r["url"], r["warc_ts"], r["html"]) for r in rows]
+    )
+    gz_path = tmp_path / "cc.warc.gz"
+    gz_path.write_bytes(gzip.compress(raw_path.read_bytes()))
+    raw_path.unlink()  # only the .gz remains, as Common Crawl ships it
+
+    pages = warc.read_warc(spark, str(tmp_path / "*.warc.gz"))
+    got = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    assert len(got) == 30
+    for r in rows:
+        assert got[r["url"]] == r["html"]
+
+
 def test_parse_skips_non_response_records(tmp_path):
     p = tmp_path / "mixed.warc"
     body = b"HTTP/1.1 200 OK\r\n\r\nhello"

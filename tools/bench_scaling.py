@@ -143,8 +143,10 @@ def main() -> int:
     # clamp: the pure-python baseline includes corpus *generation* work,
     # so Spark (extraction only, JVM/Python pipelined) can slightly
     # exceed its scaling ratio; >1.0 carries no extra information
-    norm_eff = min(
-        1.0, (d32 / d8) / hw_scaling if hw_scaling > 0 else float("nan")
+    norm_eff = (
+        min(1.0, (d32 / d8) / hw_scaling)
+        if hw_scaling > 0
+        else float("nan")  # invalid baseline must not fabricate a pass
     )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
