@@ -178,6 +178,69 @@ def lsh_topk(
     return _rank_by_cosine(dots, _norms(flat), k)
 
 
+def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid cell.  Deterministic centroids = the first *n_cells*
+    vectors (a seeded k-means would drop in on a cluster; the
+    assignment/probe plan is identical).  Returns (vec_id, cell,
+    dist2[rounded 6dp])."""
+    flat = _flat(emb)
+    cents = flat.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.col("pos").alias("cpos"),
+        F.col("x").alias("cx"),
+    )
+    d2 = (
+        flat.join(cents, F.col("pos") == F.col("cpos"))
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))),
+                6,
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("cell").asc()
+    )
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "dist2")
+    )
+
+
+def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 1) -> DataFrame:
+    """IVF-probed ANN: top-k by cosine among vectors sharing the
+    query's cell (probe=1).  The inverted-file twin of lsh_topk — at
+    scale the cell id is the partition key and a probe reads one cell."""
+    cells = ivf_assign(emb, n_cells).select("vec_id", "cell")
+    flat = _flat(emb)
+    cand = (
+        cells.alias("qa")
+        .join(
+            cells.alias("qb"),
+            (F.col("qa.cell") == F.col("qb.cell"))
+            & (F.col("qa.vec_id") != F.col("qb.vec_id")),
+        )
+        .select(
+            F.col("qa.vec_id").alias("query_id"),
+            F.col("qb.vec_id").alias("neighbor_id"),
+        )
+    )
+    dots = (
+        cand.join(flat.alias("fa"), F.col("fa.vec_id") == F.col("query_id"))
+        .join(
+            flat.alias("fb"),
+            (F.col("fb.vec_id") == F.col("neighbor_id"))
+            & (F.col("fb.pos") == F.col("fa.pos")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("fa.x") * F.col("fb.x")).alias("dot"))
+    )
+    return _rank_by_cosine(dots, _norms(flat), k)
+
+
 def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
     """(vec_id, bucket): bucket = Σ 2^p · [v·h_p > 0] over literal planes."""
     planes = planes or hyperplanes()

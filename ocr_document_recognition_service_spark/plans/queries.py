@@ -488,7 +488,9 @@ def a2_best_match(spark: SparkSession, sf: str) -> DataFrame:
     "A3–A7 WRR/CRR/CER/WER + harmonic mean in one aggregate",
 )
 def a3_eval_report(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    # documents is one small parquet file = one scan partition; fan the
+    # O(len²) levenshtein out across cores (6s -> sub-second at sf0.1)
+    d = load(spark, sf, "documents").repartition(32)
     pairs = d.select(
         F.regexp_replace(F.col("text"), "a", "e").alias("pred_text"),
         F.col("text").alias("gt_text"),
@@ -934,6 +936,62 @@ def sim3_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         planes=similarity.hyperplanes(4),
         k=1,
     )
+
+
+@_reg(
+    "sim4_ivf_topk",
+    """
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::double AS x
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
+    cents AS (
+      SELECT vec_id AS cell, pos AS cpos, x AS cx FROM flat WHERE vec_id < 8
+    ),
+    d2 AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM flat f JOIN cents c ON f.pos = c.cpos
+      GROUP BY f.vec_id, c.cell
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist2 ASC, cell ASC) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
+      FROM cells qa JOIN cells qb
+        ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, sum(fa.x * fb.x) AS dot
+      FROM cand c JOIN flat fa ON fa.vec_id = c.query_id
+                  JOIN flat fb ON fb.vec_id = c.neighbor_id
+                              AND fb.pos = fa.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nn.nrm), 4) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nn ON neighbor_id = nn.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 1
+    """,
+    "IVF-probed ANN: top-1 within the query's inverted-file cell "
+    "(8 deterministic centroids, probe=1)",
+)
+def sim4_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ivf_topk(load(spark, sf, "embeddings"), n_cells=8, k=1)
 
 
 # =====================================================================
