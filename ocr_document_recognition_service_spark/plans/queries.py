@@ -720,7 +720,9 @@ def dd2_word_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     "3-word-shingle MinHash(8, md5 family) + LSH(4 bands × 2) candidates",
 )
 def dd3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.lsh_candidate_pairs(load(spark, sf, "documents"), shingle="w3")
+    return dedup.lsh_candidate_pairs(
+        load(spark, sf, "documents").repartition(32), shingle="w3"
+    )
 
 
 @_reg(
@@ -746,7 +748,7 @@ def dd3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     "16-bit SimHash over word md5s (engine-agnostic bit extraction)",
 )
 def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash16(load(spark, sf, "documents"))
+    return dedup.simhash16(load(spark, sf, "documents").repartition(32))
 
 
 @_reg(
@@ -775,7 +777,9 @@ def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_dup_pairs(
-        load(spark, sf, "embeddings"), block_col="label", threshold=0.3
+        load(spark, sf, "embeddings").repartition(16),
+        block_col="label",
+        threshold=0.3,
     )
 
 
@@ -850,7 +854,7 @@ def dd6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 )
 def sim1_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(
-        load(spark, sf, "embeddings"), n_queries=5, k=3
+        load(spark, sf, "embeddings").repartition(16), n_queries=5, k=3
     )
 
 
