@@ -217,12 +217,16 @@ def _gen_row(i: int, seed: int) -> dict[str, Any]:
     }
 
 
-def write_pages_parquet(path: str, n: int, seed: int = 42) -> None:
-    """Materialize the corpus as one parquet file (pyarrow, no Spark)."""
+def write_pages_parquet(
+    path: str, n: int, seed: int = 42, start: int = 0
+) -> None:
+    """Materialize corpus rows [start, start+n) as one parquet file
+    (pyarrow, no Spark).  ``start`` lets tests simulate incremental
+    drops of later row ranges."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = list(gen_rows(n, seed=seed))
+    rows = [_gen_row(i, seed) for i in range(start, start + n)]
     table = pa.table(
         {
             "url": pa.array([r["url"] for r in rows], pa.string()),

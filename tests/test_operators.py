@@ -132,3 +132,25 @@ def test_streaming_incremental_matches_batch(spark, tmp_path):
     # drain again with no new files: exactly-once, nothing re-ingested
     incremental_extract(spark, str(src), out, ck, num_partitions=4)
     assert spark.read.parquet(out).count() == 60
+
+    # second drop: ONLY the new file's rows are processed
+    gen_pages.write_pages_parquet(str(src / "part2.parquet"), 25, start=60)
+    incremental_extract(spark, str(src), out, ck, num_partitions=4)
+    got2 = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert len(got2) == 85
+    for i, r in enumerate(gen_pages.gen_rows(85)):
+        assert got2[r["url"]] == extract_one.extract_document(
+            r["html"], r["lang"]
+        ).text
+
+
+def test_jobs_api(spark, pages_parquet, tmp_path):
+    from ocr_document_recognition_service_spark import jobs
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    rid = jobs.submit(spark, pages_parquet, out, ck, num_partitions=4)
+    st = jobs.status(spark, ck, rid)
+    assert st["state"] == "done" and st["rows"] == 400 and st["partitions"] == 4
+    res = jobs.result(spark, out, ck, rid)
+    assert res.count() == 400
+    assert jobs.status(spark, ck, "nope")["state"] == "unknown"
