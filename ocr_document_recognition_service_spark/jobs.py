@@ -36,29 +36,50 @@ def submit(
     return run_id
 
 
+def _latest_snapshot(mine: DataFrame) -> int | None:
+    """The snapshot a run most recently committed under (a run_id may
+    be resumed after the input changed; committed_at is the only
+    ordering key — snapshot ids are content fingerprints, not
+    monotonic)."""
+    row = mine.orderBy(F.col("committed_at").desc()).select(
+        "snapshot_id"
+    ).first()
+    return None if row is None else row["snapshot_id"]
+
+
 def status(spark: SparkSession, checkpoint_path: str, run_id: str) -> dict:
-    """Poll a job: done/error/unknown + per-partition progress counters
-    (the analog of GET /status/{id}, app.py:125-163)."""
+    """Poll a job (GET /status/{id} analog, app.py:125-163).
+
+    States: ``done`` — every input partition of the run's (latest)
+    snapshot is committed (by this or any resuming run); ``partial`` —
+    some are not (crashed/in-flight); ``unknown`` — no lineage rows.
+    Per-document extraction errors are DATA (``error_rows``), not a job
+    state: an engine whose contract is "error rows, not crashes" must
+    not mislabel a completed run over messy input as failed."""
     try:
         ck = spark.read.parquet(checkpoint_path)
     except Exception:
         return {"run_id": run_id, "state": "unknown", "partitions": 0}
     mine = ck.filter(F.col("run_id") == run_id)
-    row = mine.agg(
-        F.countDistinct("pid").alias("parts"),
-        F.sum("row_count").alias("rows"),
-        F.sum("error_count").alias("errors"),
-        F.max("snapshot_id").alias("snapshot_id"),
-    ).collect()[0]
-    if row["parts"] == 0:
+    snap = _latest_snapshot(mine)
+    if snap is None:
         return {"run_id": run_id, "state": "unknown", "partitions": 0}
+    snap_rows = ck.filter(F.col("snapshot_id") == snap)
+    agg = snap_rows.agg(
+        F.countDistinct("pid").alias("committed"),
+        F.max("expected_partitions").alias("expected"),
+        F.sum("row_count").alias("rows"),
+        F.sum("error_count").alias("error_rows"),
+    ).collect()[0]
+    done = agg["expected"] is not None and agg["committed"] >= agg["expected"]
     return {
         "run_id": run_id,
-        "state": "error" if (row["errors"] or 0) > 0 else "done",
-        "partitions": row["parts"],
-        "rows": row["rows"],
-        "errors": row["errors"] or 0,
-        "snapshot_id": row["snapshot_id"],
+        "state": "done" if done else "partial",
+        "snapshot_id": snap,
+        "partitions": agg["committed"],
+        "expected_partitions": agg["expected"],
+        "rows": agg["rows"],
+        "error_rows": agg["error_rows"] or 0,
     }
 
 
@@ -68,16 +89,21 @@ def result(
     checkpoint_path: str,
     run_id: str,
 ) -> DataFrame:
-    """Fetch a job's extracted rows (GET /result/{id} analog): the
-    partitions this run committed, from its snapshot's namespace."""
-    ck = spark.read.parquet(checkpoint_path).filter(
-        F.col("run_id") == run_id
-    )
-    snap = ck.select("snapshot_id").first()
+    """Fetch a job's extracted rows (GET /result/{id} analog): all
+    committed partitions of the run's latest snapshot.  Raises
+    ``ValueError`` for an unknown run id or missing checkpoint (the
+    404 analog — one exception type for every not-found case)."""
+    try:
+        ck = spark.read.parquet(checkpoint_path)
+        snap = _latest_snapshot(ck.filter(F.col("run_id") == run_id))
+    except ValueError:
+        raise
+    except Exception as exc:
+        raise ValueError(f"unknown run_id: {run_id} ({exc})") from None
     if snap is None:
         raise ValueError(f"unknown run_id: {run_id}")
-    pids = ck.select("pid").distinct()
-    out = spark.read.parquet(
-        lineage.snapshot_output_dir(output_path, snap["snapshot_id"])
-    )
+    # committed pids of the SNAPSHOT, not just this run's rows — a
+    # resumed job's result is the union of every contributing run
+    pids = ck.filter(F.col("snapshot_id") == snap).select("pid").distinct()
+    out = spark.read.parquet(lineage.snapshot_output_dir(output_path, snap))
     return out.join(F.broadcast(pids), "pid", "inner")

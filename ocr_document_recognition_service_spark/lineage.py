@@ -178,12 +178,20 @@ def run_extraction(
     fresh = written
     if prev is not None:
         fresh = written.join(F.broadcast(prev), "pid", "left_anti")
+    # expected_partitions = distinct pids present in THIS snapshot's
+    # input (not num_partitions: sparse inputs can leave pids empty) —
+    # lets job status distinguish done from partially-committed
+    expected = with_partition_id(
+        spark.read.parquet(input_path), num_partitions
+    ).select("pid").distinct().count()
+
     lineage = (
         partition_lineage(fresh)
         .withColumn("run_id", F.lit(run_id))
         # pinned long: a crc32 may or may not fit int32, and mixed
         # int32/int64 parquet files in one checkpoint dir break reads
         .withColumn("snapshot_id", F.lit(snap).cast("long"))
+        .withColumn("expected_partitions", F.lit(expected).cast("int"))
         .withColumn("committed_at", F.current_timestamp())
     )
     lineage.write.mode("append").parquet(checkpoint_path)

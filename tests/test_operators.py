@@ -148,9 +148,26 @@ def test_jobs_api(spark, pages_parquet, tmp_path):
     from ocr_document_recognition_service_spark import jobs
 
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
-    rid = jobs.submit(spark, pages_parquet, out, ck, num_partitions=4)
-    st = jobs.status(spark, ck, rid)
-    assert st["state"] == "done" and st["rows"] == 400 and st["partitions"] == 4
-    res = jobs.result(spark, out, ck, rid)
+
+    # a crashed/partial job must NOT report done (review finding)
+    rid1 = jobs.submit(
+        spark, pages_parquet, out, ck, num_partitions=4, limit_partitions=2
+    )
+    st1 = jobs.status(spark, ck, rid1)
+    assert st1["state"] == "partial"
+    assert st1["partitions"] == 2 and st1["expected_partitions"] == 4
+
+    # resume under a new run id completes the snapshot → done
+    rid2 = jobs.submit(spark, pages_parquet, out, ck, num_partitions=4)
+    st2 = jobs.status(spark, ck, rid2)
+    assert st2["state"] == "done" and st2["rows"] == 400
+    # the original job now also reads as done (snapshot-level progress)
+    assert jobs.status(spark, ck, rid1)["state"] == "done"
+
+    res = jobs.result(spark, out, ck, rid2)
     assert res.count() == 400
     assert jobs.status(spark, ck, "nope")["state"] == "unknown"
+    with pytest.raises(ValueError, match="unknown run_id"):
+        jobs.result(spark, out, ck, "nope")
+    with pytest.raises(ValueError, match="unknown run_id"):
+        jobs.result(spark, out, str(tmp_path / "no_ck"), rid2)
