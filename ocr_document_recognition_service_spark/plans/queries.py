@@ -175,6 +175,34 @@ def q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "q4_late_orders",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    "TPC-H Q4-style EXISTS semi-join: orders with a late shipment",
+)
+def q4_late_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    l = load(spark, sf, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@_reg(
     "q6_forecast_revenue",
     """
     SELECT round(CAST(sum(CAST(l_extendedprice AS decimal(18,4))
@@ -1129,6 +1157,56 @@ def ev1_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@_reg(
+    "ev2_rollup",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS timestamp) AS day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS timestamp))
+    """,
+    "OLAP ROLLUP (hypertable-rollup analog): per (type, day), per type, "
+    "grand total in one pass",
+)
+def ev2_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    return e.rollup("event_type", "day").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@_reg(
+    "ev3_pivot",
+    """
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events GROUP BY user_id
+    """,
+    "pivot to wide per-user event-type counts (explicit value list)",
+)
+def ev3_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "error"])
+        .select(
+            "user_id",
+            F.col("click").cast("bigint").alias("click"),
+            F.col("view").cast("bigint").alias("view"),
+            F.col("error").cast("bigint").alias("error"),
+        )
     )
 
 
