@@ -1,0 +1,115 @@
+"""End-to-end corpus curation: the training-data pipeline composed.
+
+raw pages ──extract──► text ──quality──► filter ──exact dedup──►
+──near-dup (MinHash-LSH)──► ──balanced sample──► train/val split
+
+Each stage is one of this package's operators; this module only wires
+them, in the order a real pretraining-data pipeline runs them.  Every
+stage is a narrow projection + one keyed shuffle, so the composition
+inherits the per-stage scale properties (nothing here is new physics).
+
+Stage semantics:
+- quality gate: token count ≥ min_tokens and quality_score ≥ min_score
+  (D3-family features, text_analysis.quality_score);
+- exact dedup: keep the smallest url per normalized-text fingerprint;
+- near-dup: MinHash+LSH candidate pairs (3-word shingles); the
+  lexicographically larger url of each pair is dropped — deterministic
+  keep policy;
+- balanced sample: ≤ n_per_lang docs per language (W4, the reference's
+  50k-per-source train set policy, datasets/README.md "v2_50k");
+- split: seeded randomSplit (W3, ocr_datamodule.py:90-96).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
+from . import dedup, text_analysis, windows
+
+
+def curate(
+    extracted: DataFrame,
+    *,
+    min_tokens: int = 20,
+    min_score: float = 0.3,
+    jaccard_block: str = "lang",
+    n_per_lang: int = 10_000,
+    split_weights: tuple[float, float] = (0.8, 0.2),
+    seed: int = 42,
+) -> dict[str, DataFrame]:
+    """Curate an extracted corpus (url, lang, text, n_blocks, error).
+
+    Returns {"curated", "train", "val", "stats"} DataFrames; all
+    deterministic given the input and seed.
+    """
+    # 0. drop error rows and empties (they are lineage-counted, not food)
+    docs = (
+        extracted.filter(F.col("error").isNull() & (F.length("text") > 0))
+        .select("url", "lang", "text")
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+
+    # 1. quality gate (JVM-side expressions only)
+    q = text_analysis.quality_score(docs)
+    gated = (
+        docs.join(q, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_score)
+        )
+        .select("doc_id", "url", "lang", "text", "n_tokens", "quality_score")
+    )
+
+    # 2. exact dedup: keep min url per normalized fingerprint
+    fp = F.md5(
+        F.lower(
+            F.trim(
+                F.regexp_replace(
+                    F.translate(F.col("text"), HOMOGLYPH_SRC, HOMOGLYPH_DST),
+                    r"\s+",
+                    " ",
+                )
+            )
+        )
+    )
+    keep_urls = (
+        gated.select(F.col("url"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("url").alias("url"))
+        .select("url")
+    )
+    exact = gated.join(keep_urls, "url")
+
+    # 3. near-dup removal: LSH candidates → drop the larger url
+    pairs = dedup.lsh_candidate_pairs(
+        exact.select(F.col("url").alias("doc_id"), "text"), shingle="w3"
+    )
+    drop = pairs.select(
+        F.greatest("doc_a", "doc_b").alias("url")
+    ).distinct()
+    neardeduped = exact.join(drop, "url", "left_anti")
+
+    # 4. balanced per-lang sample (deterministic order key = url)
+    sampled = windows.balanced_sample(
+        neardeduped, group_col="lang", order_col="url", n_per_group=n_per_lang
+    )
+
+    # persist: four returned frames (curated/train/val/stats) share this
+    # subtree — without a cache every downstream action re-runs the whole
+    # extraction+dedup DAG (the shared-UDF-subtree re-evaluation rule).
+    # The curated set is narrow and post-sampling, so this is the one
+    # place caching is cheap and correct even at scale.
+    curated = sampled.select(
+        "url", "lang", "text", "n_tokens", "quality_score"
+    ).persist()
+
+    # 5. seeded split
+    train, val = curated.randomSplit(list(split_weights), seed=seed)
+
+    stats = curated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+    return {"curated": curated, "train": train, "val": val, "stats": stats}

@@ -1268,6 +1268,22 @@ def x_extract_lang_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "x_curate_corpus",
+    None,
+    "end-to-end curation: extract → quality gate → exact dedup → "
+    "MinHash-LSH near-dup removal → balanced sample → stats",
+)
+def x_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.curate import curate
+    from ..pipeline import extract_pages
+
+    pages = _synthetic_pages_df(spark, 200)
+    extracted = extract_pages(pages, salt_threshold=16 * 1024, num_partitions=8)
+    out = curate(extracted, min_tokens=10, min_score=0.2, n_per_lang=1000)
+    return out["stats"].orderBy("lang")
+
+
+@_reg(
     "x_media_meta",
     None,
     "multimodal binary plumbing: magic-byte format sniff + Arrow-batched "
