@@ -175,10 +175,16 @@ def run_extraction(
 
     try:
         written = spark.read.parquet(snap_dir)
-    except Exception:
-        # zero uncommitted rows → the partitioned write produced no
-        # files; commit nothing, but don't crash an empty/no-op run
-        written = spark.createDataFrame([], extracted.schema)
+    except Exception as exc:
+        # only the empty-write case is benign: zero uncommitted rows →
+        # the partitioned write produced no files.  Any other read-back
+        # failure (corrupt footer, fs error) must fail the run, not
+        # silently commit nothing.
+        msg = str(exc)
+        if "UNABLE_TO_INFER_SCHEMA" in msg or "PATH_NOT_FOUND" in msg:
+            written = spark.createDataFrame([], extracted.schema)
+        else:
+            raise
     prev = committed_partitions(spark, checkpoint_path, snap)
     fresh = written
     if prev is not None:

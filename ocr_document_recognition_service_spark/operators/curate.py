@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
 from . import dedup, text_analysis, windows
 
 
@@ -61,21 +60,12 @@ def curate(
         .select("doc_id", "url", "lang", "text", "n_tokens", "quality_score")
     )
 
-    # 2. exact dedup: keep min url per normalized fingerprint
-    fp = F.md5(
-        F.lower(
-            F.trim(
-                F.regexp_replace(
-                    F.translate(F.col("text"), HOMOGLYPH_SRC, HOMOGLYPH_DST),
-                    r"\s+",
-                    " ",
-                )
-            )
-        )
-    )
+    # 2. exact dedup: keep min url per normalized fingerprint — the
+    # SAME oracled fingerprint family as ta3 (text_analysis.fingerprints)
+    fps = text_analysis.fingerprints(gated).select("doc_id", "fingerprint")
     keep_urls = (
-        gated.select(F.col("url"), fp.alias("fp"))
-        .groupBy("fp")
+        gated.join(fps, "doc_id")
+        .groupBy("fingerprint")
         .agg(F.min("url").alias("url"))
         .select("url")
     )

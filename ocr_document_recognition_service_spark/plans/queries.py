@@ -1280,7 +1280,11 @@ def x_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
     pages = _synthetic_pages_df(spark, 200)
     extracted = extract_pages(pages, salt_threshold=16 * 1024, num_partitions=8)
     out = curate(extracted, min_tokens=10, min_score=0.2, n_per_lang=1000)
-    return out["stats"].orderBy("lang")
+    # materialize, then release the pipeline's internal cache — repeated
+    # invocations must not accumulate persisted blocks in the session
+    rows = out["stats"].orderBy("lang").collect()
+    out["curated"].unpersist()
+    return spark.createDataFrame(rows, schema=out["stats"].schema)
 
 
 @_reg(

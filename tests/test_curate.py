@@ -58,11 +58,18 @@ def test_split_disjoint_exhaustive(curated):
 
 
 def test_stats_shape_and_determinism(curated, spark):
-    _, out = curated
+    rows, out = curated
     stats = {r["lang"]: r for r in out["stats"].collect()}
     assert set(stats) <= {"en", "ru", "kk"}
     total = sum(r["n_docs"] for r in stats.values())
     assert total == out["curated"].count()
-    # rerun → identical curated set
-    again = {r["url"] for r in out["curated"].collect()}
-    assert again == {r["url"] for r in out["curated"].collect()}
+
+    # a genuinely fresh curate() invocation over freshly-built input
+    # must yield the identical curated set (determinism contract)
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA)
+    extracted = extract_pages(pages, salt_threshold=16 * 1024, num_partitions=8)
+    out2 = curate(extracted, min_tokens=10, min_score=0.2, n_per_lang=500)
+    first = {r["url"] for r in out["curated"].collect()}
+    second = {r["url"] for r in out2["curated"].collect()}
+    out2["curated"].unpersist()
+    assert first == second
