@@ -21,9 +21,9 @@ def script_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
     return docs.select(
         "doc_id",
-        n_latin.alias("n_latin"),
-        n_cyr.alias("n_cyr"),
-        n_digit.alias("n_digit"),
+        n_latin.cast("long").alias("n_latin"),
+        n_cyr.cast("long").alias("n_cyr"),
+        n_digit.cast("long").alias("n_digit"),
         F.when(n_cyr > n_latin, F.lit("cyrillic"))
         .when(n_latin > 0, F.lit("latin"))
         .otherwise(F.lit("other"))
@@ -47,9 +47,9 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return staged.select(
         "doc_id",
-        F.size("_ws").alias("n_ws_tokens"),
-        F.size("_wd").alias("n_word_tokens"),
-        "n_chars",
+        F.size("_ws").cast("long").alias("n_ws_tokens"),
+        F.size("_wd").cast("long").alias("n_word_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
         F.round(
             F.length(F.array_join(F.col("_ws"), ""))
             / F.greatest(F.size("_ws"), F.lit(1)),
@@ -85,7 +85,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return staged.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         score.alias("quality_score"),

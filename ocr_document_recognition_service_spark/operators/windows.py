@@ -10,7 +10,7 @@ def reading_order_rank(
 ) -> DataFrame:
     """W1: row_number per partition in a deterministic order."""
     w = Window.partitionBy(part).orderBy(*[F.col(c).asc() for c in order_cols])
-    return df.withColumn("rank", F.row_number().over(w))
+    return df.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def chunk_ids(

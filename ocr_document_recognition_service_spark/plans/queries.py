@@ -348,7 +348,9 @@ def f4_whitespace_norm(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     return d.select(
-        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("norm_len"),
     )
 
 
@@ -387,7 +389,7 @@ def f3_token_len_filter(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     toks = F.split(F.col("text"), r"\s+")
     kept = F.filter(toks, lambda w: F.length(w).between(2, 15))
-    return d.select("doc_id", F.size(kept).alias("n_tokens_kept"))
+    return d.select("doc_id", F.size(kept).cast("long").alias("n_tokens_kept"))
 
 
 @_reg(

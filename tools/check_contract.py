@@ -46,6 +46,34 @@ def canon(v) -> str:
     return str(v)
 
 
+_SPARK_T = {
+    "bigint": "i64", "long": "i64", "int": "i32", "integer": "i32",
+    "smallint": "i32", "double": "f", "float": "f", "string": "s",
+    "varchar": "s", "timestamp": "ts", "timestamp_ntz": "ts",
+    "boolean": "b", "date": "d",
+}
+_DUCK_T = {
+    "BIGINT": "i64", "HUGEINT": "i64", "INTEGER": "i32", "SMALLINT": "i32",
+    "DOUBLE": "f", "FLOAT": "f", "VARCHAR": "s", "TIMESTAMP": "ts",
+    "TIMESTAMP_NS": "ts", "BOOLEAN": "b", "DATE": "d", "NUMBER": "f",
+}
+
+
+def type_warnings(
+    scols: list[str], stypes: list[str], dcols: list[str], dtypes: list[str]
+) -> list[str]:
+    """Canonicalized dtype diffs (int width / float-vs-decimal) — the
+    class of mismatch an order-insensitive value hash can still trip
+    on via formatting."""
+    smap = {c: _SPARK_T.get(t.lower(), t.lower()) for c, t in zip(scols, stypes)}
+    dmap = {c: _DUCK_T.get(t.upper(), t.lower()) for c, t in zip(dcols, dtypes)}
+    return [
+        f"{c}: spark={smap[c]} duckdb={dmap[c]}"
+        for c in smap
+        if c in dmap and smap[c] != dmap[c]
+    ]
+
+
 def frame_hash(cols: list[str], rows: list[tuple]) -> tuple[str, list[str]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -80,6 +108,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf)
             scols = sdf.columns
+            stypes = [t for _, t in sdf.dtypes]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -93,13 +122,18 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            desc = con.execute(
+                f"DESCRIBE ({oracles[name]})"
+            ).fetchall()
+            dcols = [r[0] for r in desc]
+            dtypes = [r[1] for r in desc]
+            drows = con.execute(oracles[name]).fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        for w in type_warnings(scols, stypes, dcols, dtypes):
+            print(f"WARN  {name}: dtype {w}")
         ok = True
         msgs = []
         if sorted(scols) != sorted(dcols):
