@@ -158,3 +158,31 @@ def test_extraction_deterministic(corpus_rows):
     again = list(gen_pages.gen_rows(40, seed=42))
     for r1, r2 in zip(corpus_rows[:40], again):
         assert r1 == r2
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.integers(1, 6),  # rows
+    st.integers(1, 3),  # cols
+    st.floats(-0.12, 0.12, allow_nan=False),  # doc skew angle
+    st.integers(0, 2**30),  # shuffle seed
+)
+def test_pdf_layout_roundtrip_property(n_rows, n_cols, angle, shuf_seed):
+    """Random grid layouts, shuffled emission, uniform skew: the parser
+    + L1–L3 ordering must always recover row-major reading order."""
+    import random as _r
+
+    blocks = []
+    expect = []
+    for r in range(n_rows):
+        y = 60.0 + r * 40.0
+        for c in range(n_cols):
+            text = f"r{r}c{c} words"
+            blocks.append((40.0 + c * 170.0, y, text))
+            expect.append(text)
+    shuffled = blocks[:]
+    _r.Random(shuf_seed).shuffle(shuffled)
+    payload = pdf_extract.build_pdf(shuffled, angle=angle)
+    res = extract_one.extract_document(payload, "en")
+    assert res.error is None
+    assert res.text == "\n".join(expect)
