@@ -235,10 +235,10 @@ def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     "q12_priority_mix",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -1126,7 +1126,8 @@ def ta4_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     "ev0_json_props",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS bigint))
+                AS BIGINT) AS sum_k,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -1189,9 +1190,12 @@ def ev2_rollup(spark: SparkSession, sf: str) -> DataFrame:
     "ev3_pivot",
     """
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error
     FROM events GROUP BY user_id
     """,
     "pivot to wide per-user event-type counts (explicit value list)",

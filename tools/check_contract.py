@@ -53,7 +53,10 @@ _SPARK_T = {
     "boolean": "b", "date": "d",
 }
 _DUCK_T = {
-    "BIGINT": "i64", "HUGEINT": "i64", "INTEGER": "i32", "SMALLINT": "i32",
+    # HUGEINT deliberately maps to its own tag: the driver's value hash is
+    # type-sensitive, so an uncast sum() (HUGEINT) must FAIL locally even
+    # though the values stringify identically (round-1 lesson: q12/ev0/ev3).
+    "BIGINT": "i64", "HUGEINT": "i128", "INTEGER": "i32", "SMALLINT": "i32",
     "DOUBLE": "f", "FLOAT": "f", "VARCHAR": "s", "TIMESTAMP": "ts",
     "TIMESTAMP_NS": "ts", "BOOLEAN": "b", "DATE": "d", "NUMBER": "f",
 }
@@ -132,10 +135,14 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        for w in type_warnings(scols, stypes, dcols, dtypes):
-            print(f"WARN  {name}: dtype {w}")
         ok = True
         msgs = []
+        dtype_diffs = type_warnings(scols, stypes, dcols, dtypes)
+        if dtype_diffs:
+            # dtype drift is a hard failure: the driver's external hash is
+            # type-sensitive, so local green must imply driver green.
+            ok = False
+            msgs.append("dtype " + "; ".join(dtype_diffs))
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
