@@ -25,6 +25,7 @@ Errors never propagate (the reference swallows per-stage exceptions,
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from . import charsets, html_extract, pdf_extract
@@ -94,40 +95,146 @@ def extract_document(
 # byte-identical to unsplit extraction — asserted by tests.
 # ---------------------------------------------------------------------------
 
-# Cut only after paragraph/heading closes: these never occur inside the
-# boilerplate containers our model recognizes, so chunk boundaries can't
-# sever a boiler scope.  </li>/</div> are deliberately NOT markers.
-_SPLIT_MARKERS = (b"</p>", b"</h1>", b"</h2>", b"</h3>")
+# Cut only after paragraph/heading closes, and ONLY when the block
+# parser is provably back in its initial scope state at that byte: no
+# open SKIP tag, no open boilerplate container, no open <a>, not inside
+# a comment / rawtext script / attribute value.  A cut inside any open
+# scope makes the next chunk's fresh parser classify boilerplate (or
+# link text) as content — byte divergence from the unsplit oracle.
+# </li>/</div> are deliberately NOT cut tags (they nest too freely).
+_SPLIT_CLOSE_TAGS = frozenset((b"p", b"h1", b"h2", b"h3"))
+
+# Byte-level twins of the html_extract fast-tokenizer patterns.  Tag
+# syntax is pure ASCII and UTF-8 is ASCII-transparent, so tokenizing the
+# raw bytes is isomorphic to tokenizing the decoded text (split only
+# runs for UTF-8/unmarked documents — enforced below).
+_TAG_RE_B = re.compile(
+    rb"""<(?:
+        !--.*?--\s*>
+      | !\[?[^>]*>?
+      | \?[^>]*>?
+      | (/?)
+        ([a-zA-Z][a-zA-Z0-9.:_-]*)
+        ((?:"[^"]*"|'[^']*'|[^>"'])*)
+        (/?)
+        >
+    )""",
+    re.DOTALL | re.VERBOSE,
+)
+_RAWTEXT_CLOSE_B = {
+    t: re.compile(rb"</\s*%s(?=[\s>/])" % t.encode(), re.IGNORECASE)
+    for t in ("script", "style")
+}
+_ATTR_HINT_B = re.compile(rb"class|id|role", re.IGNORECASE)
+
+
+def _safe_cut_points(raw: bytes) -> list[int]:
+    """Byte offsets immediately after a </p>/</h1>-</h3> close tag at
+    which the block parser's scope state equals its initial state, so a
+    fresh parser on the next chunk reproduces the unsplit parse exactly.
+
+    Runs the same tag tokenization as ``html_extract._fast_feed`` (byte
+    flavor) and mirrors exactly the state transitions of
+    ``_BlockParser.handle_starttag/handle_endtag`` that outlive a flush:
+    the SKIP counter, the boiler stack, and the <a> depth.  Conservative
+    on un-analyzable tails (unterminated comment / rawtext): no point
+    after them is reported, so those documents simply split less.
+    """
+    pts: list[int] = []
+    skip = 0
+    boiler_stack: list[str] = []
+    a_depth = 0
+    pos, n = 0, len(raw)
+    while pos < n:
+        lt = raw.find(b"<", pos)
+        if lt == -1:
+            break
+        if raw.startswith(b"<!--", lt) and raw.find(b"-->", lt) == -1:
+            break  # unterminated comment: tail state not provable
+        m = _TAG_RE_B.match(raw, lt)
+        if not m:
+            pos = lt + 1  # bare '<' is data, as in the parser
+            continue
+        pos = m.end()
+        bname = m.group(2)
+        if not bname:  # comment / decl / PI
+            continue
+        name = bname.lower().decode("ascii")
+        if m.group(1):  # ---- close tag --------------------------------
+            if name in html_extract.SKIP_TAGS:
+                skip = max(0, skip - 1)
+                continue
+            if boiler_stack and name == boiler_stack[-1]:
+                boiler_stack.pop()
+            if name == "a":
+                a_depth = max(0, a_depth - 1)
+            if (
+                bname.lower() in _SPLIT_CLOSE_TAGS
+                and not skip
+                and not boiler_stack
+                and not a_depth
+            ):
+                pts.append(pos)
+            continue
+        # ---- start tag ------------------------------------------------
+        raw_attrs = m.group(3) or b""
+        selfclose = bool(m.group(4))
+        if not selfclose and raw_attrs.endswith(b"/"):
+            prev = raw_attrs[-2:-1]
+            if prev in (b"", b" ", b"\t", b"\n", b"\r", b'"', b"'"):
+                selfclose = True
+                raw_attrs = raw_attrs[:-1]
+        if selfclose:
+            continue  # handle_startendtag never touches scope state
+        if name in html_extract.SKIP_TAGS:
+            skip += 1
+            if name in _RAWTEXT_CLOSE_B:  # script/style: raw content
+                cm = _RAWTEXT_CLOSE_B[name].search(raw, pos)
+                if cm is None:
+                    break  # unterminated rawtext: tail is skipped anyway
+                gt = raw.find(b">", cm.start())
+                skip = max(0, skip - 1)
+                pos = (gt + 1) if gt != -1 else n
+            continue
+        if name in html_extract.BOILER_TAGS or (
+            _ATTR_HINT_B.search(raw_attrs)
+            and html_extract._BlockParser._is_boiler_attrs(
+                html_extract._parse_attrs(raw_attrs.decode("utf-8", "replace"))
+            )
+        ):
+            boiler_stack.append(name)
+        if name == "a":
+            a_depth += 1
+    return pts
 
 
 def split_html(raw: bytes, target_bytes: int) -> list[bytes]:
     """Split raw HTML into ~target_bytes chunks at safe block boundaries.
 
-    A cut happens only immediately after a block close marker, so no
-    block (or boilerplate container) is ever severed.  PDF payloads are
-    never split (document-global deskew/median stats, L2/L3); non-UTF-8
-    documents are never split (chunks 1+ would lose the ``meta charset``
-    declaration sniffed in chunk 0).
+    A cut happens only immediately after a </p>/</h1>-</h3> close AND
+    outside every SKIP/boiler/<a> scope (see ``_safe_cut_points``), so
+    no block, boilerplate container, or link scope is ever severed.  PDF
+    payloads are never split (document-global deskew/median stats,
+    L2/L3); non-UTF-8 documents are never split (chunks 1+ would lose
+    the ``meta charset`` declaration sniffed in chunk 0).
     """
     if len(raw) <= target_bytes or pdf_extract.is_pdf(raw):
         return [raw]
     m = html_extract._CHARSET_RE.search(raw[:2048])
     if m and m.group(1).lower() not in (b"utf-8", b"utf8"):
         return [raw]
+    pts = _safe_cut_points(raw)
     chunks: list[bytes] = []
     start = 0
     n = len(raw)
+    i = 0
     while n - start > target_bytes:
-        # find the closest marker at/after the target cut point
-        cut = -1
-        for marker in _SPLIT_MARKERS:
-            pos = raw.find(marker, start + target_bytes)
-            if pos != -1:
-                end = pos + len(marker)
-                if cut == -1 or end < cut:
-                    cut = end
-        if cut == -1:
+        want = start + target_bytes
+        while i < len(pts) and pts[i] < want:
+            i += 1
+        if i >= len(pts):
             break
+        cut = pts[i]
         chunks.append(raw[start:cut])
         start = cut
     chunks.append(raw[start:])

@@ -131,6 +131,77 @@ def test_split_invariance_whole_corpus(corpus_rows):
     assert n_chunked >= 3  # skew rows exist and actually split
 
 
+def _split_equals_unsplit(html: bytes, lang: str, tgt: int) -> int:
+    """Assert split ∘ extract ∘ join == extract; return chunk count."""
+    base = extract_one.extract_document(html, lang)
+    sp = extract_one.extract_document_split(html, lang, tgt)
+    assert sp.text == base.text
+    assert sp.n_blocks == base.n_blocks
+    return len(extract_one.split_html(html, tgt))
+
+
+def test_split_never_cuts_open_boiler_scope():
+    """ADVICE r1 (medium): a >target_bytes boilerplate container full of
+    </p> closes used to get cut mid-scope, so the next chunk's fresh
+    parser classified boiler text as content.  Safe-cut scanner must
+    refuse those points and still match the unsplit oracle."""
+    para = b"<p>" + b"spam nav words here " * 40 + b"</p>"
+    boiler = b"<div class='comment'>" + para * 60 + b"</div>"
+    html = (
+        b"<body><p>real opening content words</p>"
+        + boiler
+        + b"<p>real closing content words</p></body>"
+    )
+    tgt = 4 * 1024
+    assert len(boiler) > 4 * tgt  # the boiler scope spans many targets
+    n = _split_equals_unsplit(html, "en", tgt)
+    assert n >= 1  # may or may not split — byte identity is the contract
+    res = extract_one.extract_document_split(html, "en", tgt)
+    assert "spam nav words" not in (res.text or "")
+
+
+def test_split_never_cuts_open_nav_and_anchor_scope():
+    nav_para = b"<p>menu item words " * 30 + b"</p>"
+    html = (
+        b"<body><p>intro content words</p><nav>"
+        + nav_para * 40
+        + b"</nav><p>after nav content words</p>"
+        + b"<a href='/x'><p>"
+        + b"anchor text words " * 400
+        + b"</p>trailing anchor text</a>"
+        + b"<p>final real content words</p></body>"
+    )
+    for tgt in (2 * 1024, 8 * 1024):
+        _split_equals_unsplit(html, "en", tgt)
+    res = extract_one.extract_document_split(html, "en", 2 * 1024)
+    assert "menu item" not in (res.text or "")
+    assert "anchor text" not in (res.text or "")  # link-density drop
+
+
+def test_split_never_cuts_inside_comment_or_script():
+    """Literal </p> bytes inside a comment or a script rawtext body are
+    not real close tags; the old byte-search would cut there."""
+    comment = b"<!-- " + b"</p> fake close " * 600 + b"-->"
+    script = b"<script>var s='" + b"</p>" * 2000 + b"';</script>"
+    html = (
+        b"<body><p>first real content words</p>"
+        + comment
+        + script
+        + b"<p>second real content words</p>"
+        + b"<p>filler words here </p>" * 200
+        + b"</body>"
+    )
+    for tgt in (1024, 4 * 1024):
+        n = _split_equals_unsplit(html, "en", tgt)
+    assert n >= 2  # the filler tail still provides safe cut points
+
+
+def test_split_cuts_still_happen_on_plain_documents():
+    html = b"<body>" + b"<p>plain real content words</p>" * 500 + b"</body>"
+    n = _split_equals_unsplit(html, "en", 2 * 1024)
+    assert n > 3  # scanner isn't so conservative it never splits
+
+
 def test_corpus_golden_hash_frozen(corpus_rows):
     """Freeze the whole-corpus extraction output — any semantic drift in
     parser/normalizer/layout breaks this hash (byte-identity contract)."""
