@@ -5,18 +5,19 @@ plans (shuffles only on the grouping/join keys, map-side combines for
 free, broadcast where one side is small):
 
 - exact:        fingerprint groupBy (one shuffle on the hash)
-- word Jaccard: token-set similarity with key blocking
 - MinHash+LSH:  md5-based min-hash signatures → banded candidate join.
   md5 is used as the hash family (seed-prefixed) so the SAME signature
   is computable in any engine — the DuckDB oracle reproduces it exactly.
+- word Jaccard / char n-gram Jaccard: exact set similarity computed
+  ONLY over the MinHash-LSH candidate pairs (generate-then-verify)
 - SimHash:      16-bit sign-sum over per-word md5 bits
-- embedding:    cosine near-dup within a blocking key
+- embedding:    exact cosine over random-hyperplane LSH bucket pairs
 
 Scale notes (100 TB): exact/minhash/simhash are linear scans + one
-shuffle on a short key — they scale trivially.  The pairwise joins
-(Jaccard verify, embedding dup) are blocked (source/label/LSH band) so
-the quadratic term is bounded per block; at production scale the block
-key is the LSH bucket, never the whole table.
+shuffle on a short key — they scale trivially.  Every pairwise verify
+(Jaccard, embedding cosine) runs over LSH candidate pairs only, so the
+quadratic term is bounded by bucket population, never table size —
+there is NO low-cardinality blocking key anywhere in this module.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
+from . import similarity
 
 
 def norm_text_col(col: str = "text") -> F.Column:
@@ -52,45 +54,35 @@ def _words(col: str = "text") -> F.Column:
     )
 
 
-def _jaccard_pairs(features: DataFrame, threshold: float) -> DataFrame:
-    """Pair scoring shared by every set-similarity dedup variant.
+def _verify_jaccard_on_candidates(
+    cand: DataFrame, feats: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact set-Jaccard verification over candidate pairs.
 
-    *features* = exploded (doc_id, blk, f) rows, one per distinct
-    feature per doc.  Self-join within the blocking key → |A∩B|;
-    per-doc counts → |A|,|B|; J = inter/(na+nb−inter), round 6dp —
-    the exact arithmetic the DuckDB oracles reproduce.
+    *cand* = (doc_a, doc_b) pairs (from LSH); *feats* = (doc_id, fs)
+    with fs a DISTINCT feature array per doc.  The candidate pair join
+    pulls both arrays, |A∩B| is a codegen'd array_intersect (no explode,
+    no shuffle on feature values), J = inter/(na+nb−inter) rounded 6dp —
+    the exact arithmetic the DuckDB oracles reproduce.  Work is
+    O(candidates × doc size): bounded by the LSH bucket population,
+    never table size.
     """
-    sizes = features.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        features.alias("a")
-        .join(
-            features.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.f") == F.col("b.f"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
+    fa = feats.select(
+        F.col("doc_id").alias("doc_a"), F.col("fs").alias("fa")
+    )
+    fb = feats.select(
+        F.col("doc_id").alias("doc_b"), F.col("fs").alias("fb")
     )
     return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "n", "na"
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n", "nb"
-            ),
-            "doc_b",
-        )
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("fa", "fb")))
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+                F.col("inter")
+                / (F.size("fa") + F.size("fb") - F.col("inter")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -98,14 +90,16 @@ def _jaccard_pairs(features: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def word_jaccard_pairs(
-    docs: DataFrame, block_col: str = "source", threshold: float = 0.5
-) -> DataFrame:
-    """Pairwise word-set Jaccard within a blocking key."""
-    words = docs.select(
-        "doc_id", F.col(block_col).alias("blk"), F.explode(_words()).alias("f")
-    )
-    return _jaccard_pairs(words, threshold)
+def word_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact word-set Jaccard over MinHash-LSH candidate pairs.
+
+    Generate-then-verify: candidates come from ``lsh_candidate_pairs``
+    (banded 3-word-shingle MinHash), exact word-set Jaccard confirms.
+    No all-pairs join at any scale.
+    """
+    cand = lsh_candidate_pairs(docs, shingle="w3")
+    feats = docs.select("doc_id", _words().alias("fs"))
+    return _verify_jaccard_on_candidates(cand, feats, threshold)
 
 
 N_MINHASH = 8
@@ -262,19 +256,15 @@ def simhash16(docs: DataFrame) -> DataFrame:
 
 
 def char_ngram_jaccard_pairs(
-    docs: DataFrame,
-    block_col: str = "source",
-    n: int = 3,
-    threshold: float = 0.9,
+    docs: DataFrame, n: int = 3, threshold: float = 0.9
 ) -> DataFrame:
-    """Character n-gram Jaccard near-dup pairs within a blocking key.
+    """Character n-gram Jaccard over MinHash-LSH candidate pairs.
 
-    Shingles = distinct n-char substrings of the normalized text
-    (staged column first — lambda-CSE pitfall).  Same join shape as the
-    word-level variant; n-grams catch edits words miss."""
-    staged = docs.select(
-        "doc_id", F.col(block_col).alias("blk"), norm_text_col().alias("_t")
-    )
+    Generate-then-verify like ``word_jaccard_pairs``: shingles =
+    distinct n-char substrings of the normalized text (staged column
+    first — lambda-CSE pitfall); n-grams catch edits words miss."""
+    cand = lsh_candidate_pairs(docs, shingle="w3")
+    staged = docs.select("doc_id", norm_text_col().alias("_t"))
     grams = F.array_distinct(
         F.when(
             F.length("_t") >= n,
@@ -284,39 +274,54 @@ def char_ngram_jaccard_pairs(
             ),
         ).otherwise(F.array().cast("array<string>"))
     )
-    shingles = staged.select("doc_id", "blk", F.explode(grams).alias("f"))
-    return _jaccard_pairs(shingles, threshold)
+    feats = staged.select("doc_id", grams.alias("fs"))
+    return _verify_jaccard_on_candidates(cand, feats, threshold)
 
 
 def embedding_dup_pairs(
-    emb: DataFrame, block_col: str = "label", threshold: float = 0.99
+    emb: DataFrame,
+    planes: list[list[float]] | None = None,
+    n_planes: int = 6,
+    threshold: float = 0.99,
 ) -> DataFrame:
-    """Embedding cosine near-dup pairs within a blocking key.
+    """Embedding cosine near-dup pairs over random-hyperplane LSH
+    bucket candidates (generate-then-verify; no label/source blocking).
 
-    Vectors unnested to (vec_id, pos, x) and dot/norms computed as
-    grouped sums in double — the exact same arithmetic the SQL oracle
-    runs, so values match to rounding.
+    Candidates = same-bucket (vec_a < vec_b) pairs from
+    ``similarity.lsh_buckets`` — at 100 TB the bucket id is the
+    partition key and the quadratic term is bounded per bucket.  Exact
+    cosine on candidates only: vectors unnested to (vec_id, pos, x) and
+    dot/norms computed as grouped sums in double — the exact arithmetic
+    the SQL oracle runs, so values match to rounding.
     """
+    planes = planes or similarity.hyperplanes(n_planes)
+    b = similarity.lsh_buckets(emb, planes)
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+    )
     flat = emb.select(
-        "vec_id",
-        F.col(block_col).alias("blk"),
-        F.posexplode(F.col("embedding")).alias("pos", "x"),
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
     norms = flat.groupBy("vec_id").agg(
         F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
     )
     dots = (
-        flat.alias("a")
+        cand.join(flat.alias("fa"), F.col("fa.vec_id") == F.col("vec_a"))
         .join(
-            flat.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            flat.alias("fb"),
+            (F.col("fb.vec_id") == F.col("vec_b"))
+            & (F.col("fb.pos") == F.col("fa.pos")),
         )
-        .groupBy(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("fa.x") * F.col("fb.x")).alias("dot"))
     )
     return (
         dots.join(norms.withColumnRenamed("vec_id", "vec_a"), "vec_a")

@@ -656,6 +656,48 @@ _WORDS_SQL = (
     "string_split_regex(lower(text), '\\s+'), x -> x <> '')))"
 )
 
+# MinHash-LSH candidate generation, shared by dd3 (the generator query)
+# and the generate-then-verify near-dup queries dd2/dd6 — ONE definition
+# so the oracle's candidate set is exactly dd3's.
+_LSH_CAND_CTES = """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                      k -> tk[k] || ' ' || tk[k+1] || ' ' || tk[k+2])) AS w
+        FROM toks WHERE len(tk) >= 3
+      )
+    ),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS varchar) || ':' || w)) AS sig
+      FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed)
+      GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS int) AS band,
+             string_agg(sig, '|' ORDER BY seed) AS band_sig
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+"""
+
+
+def _planes_sql(n_planes: int = 8) -> str:
+    planes = similarity.hyperplanes(n_planes)
+    rows = ",".join(
+        "[" + ",".join(f"{w}" for w in plane) + "]" for plane in planes
+    )
+    return f"[{rows}]"
+
 
 @_reg(
     "dd1_exact",
@@ -693,59 +735,35 @@ def dd0_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
 @_reg(
     "dd2_word_jaccard",
     f"""
-    WITH words AS (
-      SELECT doc_id, source AS blk, {_WORDS_SQL} AS w FROM documents
-    ),
+    WITH {_LSH_CAND_CTES},
+    words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     sizes AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM words a JOIN words b
-        ON a.blk = b.blk AND a.w = b.w AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c JOIN words a ON a.doc_id = c.doc_a
+                  JOIN words b ON b.doc_id = c.doc_b AND b.w = a.w
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
            round(inter / CAST(na.n_words + nb.n_words - inter AS double), 6) AS jaccard
     FROM inter JOIN sizes na ON doc_a = na.doc_id
                JOIN sizes nb ON doc_b = nb.doc_id
-    WHERE round(inter / CAST(na.n_words + nb.n_words - inter AS double), 6) >= 0.8
+    WHERE round(inter / CAST(na.n_words + nb.n_words - inter AS double), 6) >= 0.7
     """,
-    "near-dup: word-set Jaccard with source blocking",
+    "near-dup: exact word-set Jaccard verified over MinHash-LSH "
+    "candidate pairs (generate-then-verify; no low-cardinality blocking)",
 )
 def dd2_word_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.word_jaccard_pairs(
-        load(spark, sf, "documents"), block_col="source", threshold=0.8
+        load(spark, sf, "documents").repartition(32), threshold=0.7
     )
 
 
 @_reg(
     "dd3_minhash_lsh",
-    """
-    WITH toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
-      FROM documents
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id, w FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
-                      k -> tk[k] || ' ' || tk[k+1] || ' ' || tk[k+2])) AS w
-        FROM toks WHERE len(tk) >= 3
-      )
-    ),
-    sig AS (
-      SELECT doc_id, seed, min(md5(CAST(seed AS varchar) || ':' || w)) AS sig
-      FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed)
-      GROUP BY doc_id, seed
-    ),
-    bands AS (
-      SELECT doc_id, CAST(seed // 2 AS int) AS band,
-             string_agg(sig, '|' ORDER BY seed) AS band_sig
-      FROM sig GROUP BY doc_id, band
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    f"""
+    WITH {_LSH_CAND_CTES}
+    SELECT doc_a, doc_b FROM cand
     """,
     "3-word-shingle MinHash(8, md5 family) + LSH(4 bands × 2) candidates",
 )
@@ -783,18 +801,32 @@ def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 @_reg(
     "dd5_embedding_dup",
-    """
+    f"""
     WITH flat AS (
-      SELECT vec_id, label AS blk,
-             generate_subscripts(embedding, 1) - 1 AS pos,
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
              unnest(embedding)::double AS x
       FROM embeddings
     ),
     norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
+    sums AS (
+      SELECT vec_id, p, sum(x * ({_planes_sql(6)})[p+1][pos+1]) AS s
+      FROM flat CROSS JOIN (SELECT unnest(range(6)) AS p)
+      GROUP BY vec_id, p
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::bigint << CAST(p AS int)) ELSE 0 END) AS bigint) AS bucket
+      FROM sums GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b
+      FROM buckets qa JOIN buckets qb
+        ON qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
+    ),
     dots AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x*b.x) AS dot
-      FROM flat a JOIN flat b
-        ON a.blk = b.blk AND a.pos = b.pos AND a.vec_id < b.vec_id
+      SELECT c.vec_a, c.vec_b, sum(fa.x * fb.x) AS dot
+      FROM cand c JOIN flat fa ON fa.vec_id = c.vec_a
+                  JOIN flat fb ON fb.vec_id = c.vec_b AND fb.pos = fa.pos
       GROUP BY 1, 2
     )
     SELECT vec_a, vec_b,
@@ -803,12 +835,13 @@ def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
               JOIN norms nb ON vec_b = nb.vec_id
     WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.3
     """,
-    "embedding cosine near-dup pairs with label blocking",
+    "embedding cosine near-dup verified over random-hyperplane LSH "
+    "bucket pairs (generate-then-verify; no label blocking)",
 )
 def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_dup_pairs(
         load(spark, sf, "embeddings").repartition(16),
-        block_col="label",
+        n_planes=6,
         threshold=0.3,
     )
 
@@ -816,35 +849,35 @@ def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
 @_reg(
     "dd6_ngram_jaccard",
     f"""
-    WITH staged AS (
-      SELECT doc_id, source AS blk, {_NORM_SQL} AS t FROM documents
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id, blk, g FROM (
-        SELECT doc_id, blk,
+    WITH {_LSH_CAND_CTES},
+    staged AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
                unnest(list_transform(range(1, length(t) - 1),
                       k -> substr(t, CAST(k AS int), 3))) AS g
         FROM staged WHERE length(t) >= 3
       )
     ),
-    sizes AS (SELECT doc_id, count(*) AS ng FROM shingles GROUP BY doc_id),
+    gsizes AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM shingles a JOIN shingles b
-        ON a.blk = b.blk AND a.g = b.g AND a.doc_id < b.doc_id
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c JOIN grams a ON a.doc_id = c.doc_a
+                  JOIN grams b ON b.doc_id = c.doc_b AND b.g = a.g
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
            round(inter / CAST(na.ng + nb.ng - inter AS double), 6) AS jaccard
-    FROM inter JOIN sizes na ON doc_a = na.doc_id
-               JOIN sizes nb ON doc_b = nb.doc_id
-    WHERE round(inter / CAST(na.ng + nb.ng - inter AS double), 6) >= 0.9
+    FROM inter JOIN gsizes na ON doc_a = na.doc_id
+               JOIN gsizes nb ON doc_b = nb.doc_id
+    WHERE round(inter / CAST(na.ng + nb.ng - inter AS double), 6) >= 0.8
     """,
-    "near-dup: char 3-gram Jaccard with source blocking",
+    "near-dup: char 3-gram Jaccard verified over MinHash-LSH candidate "
+    "pairs (generate-then-verify; no low-cardinality blocking)",
 )
 def dd6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.char_ngram_jaccard_pairs(
-        load(spark, sf, "documents"), block_col="source", n=3, threshold=0.9
+        load(spark, sf, "documents").repartition(32), n=3, threshold=0.8
     )
 
 
@@ -886,14 +919,6 @@ def sim1_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(
         load(spark, sf, "embeddings").repartition(16), n_queries=5, k=3
     )
-
-
-def _planes_sql(n_planes: int = 8) -> str:
-    planes = similarity.hyperplanes(n_planes)
-    rows = ",".join(
-        "[" + ",".join(f"{w}" for w in plane) + "]" for plane in planes
-    )
-    return f"[{rows}]"
 
 
 @_reg(
