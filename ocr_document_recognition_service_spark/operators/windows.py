@@ -18,20 +18,58 @@ def chunk_ids(
     length_col: str = "n_chars",
     order_col: str = "doc_id",
     max_chars: int = 4000,
+    group_size: int = 65536,
 ) -> DataFrame:
-    """W2 size-capped chunking, SQL variant: chunk id from the running
-    length BEFORE each row (the deterministic window re-expression of
-    the reference's stateful carry loop, wiki_parser_to_pdf.py:89-105;
-    also the template for salt-splitting oversized blobs)."""
-    w = (
-        Window.orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    """W2 size-capped chunking, scalable two-pass prefix-sum form.
+
+    chunk_id = floor(global running length BEFORE the row / max_chars),
+    globally ordered by the numeric *order_col* (the deterministic
+    window re-expression of the reference's stateful carry loop,
+    wiki_parser_to_pdf.py:89-105; also the template for salt-splitting
+    oversized blobs).
+
+    A plain ``Window.orderBy`` funnels the whole table through ONE task.
+    Here the running sum decomposes over a group key that is monotone in
+    the global order — grp = floor(order_col / group_size) — so:
+
+    - pass 1: cumulative sum WITHIN each group (keyed window; the big
+      table moves through one hash exchange, every group in parallel,
+      group population bounded by *group_size*);
+    - pass 2: per-group totals (map-side-combined agg, n/group_size
+      rows) → exclusive prefix over groups (a window over only the tiny
+      per-group table) → broadcast-joined back.
+
+    At 10^11 rows and the default group_size the offsets table is ~10^6
+    short rows — driver-trivial; recurse the same decomposition if ever
+    not.  Values are exactly the global-window result (integer sums),
+    which is what the SQL oracle computes.
+    """
+    grp = F.floor(F.col(order_col) / group_size)
+    staged = docs.select(order_col, length_col).withColumn("_g", grp)
+    wg = Window.partitionBy("_g").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.sum(length_col).over(w) - F.col(length_col)
-    return docs.select(
-        F.col(order_col),
-        F.col(length_col),
-        F.floor(cum / max_chars).cast("int").alias("chunk_id"),
+    local = staged.withColumn(
+        "_cum", F.sum(length_col).over(wg) - F.col(length_col)
+    )
+    wo = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        staged.groupBy("_g")
+        .agg(F.sum(length_col).alias("_tot"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_tot").over(wo), F.lit(0)).cast("long")
+        )
+        .select("_g", "_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_g")
+        .select(
+            F.col(order_col),
+            F.col(length_col),
+            F.floor((F.col("_cum") + F.col("_off")) / max_chars)
+            .cast("int")
+            .alias("chunk_id"),
+        )
     )
 
 

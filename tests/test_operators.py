@@ -171,3 +171,43 @@ def test_jobs_api(spark, pages_parquet, tmp_path):
         jobs.result(spark, out, ck, "nope")
     with pytest.raises(ValueError, match="unknown run_id"):
         jobs.result(spark, out, str(tmp_path / "no_ck"), rid2)
+
+
+def test_chunk_ids_two_pass_equals_global_window(spark, docs):
+    """W2: the grouped two-pass prefix sum must equal the naive global
+    running sum for every row, at group sizes that exercise multi-group
+    offsets, and its plan must not funnel the table through one task."""
+    from pyspark.sql import Window
+
+    from ocr_document_recognition_service_spark.operators import windows
+
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = docs.select(
+        "doc_id",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / 4000)
+        .cast("int")
+        .alias("chunk_id"),
+    )
+    expect = {r["doc_id"]: r["chunk_id"] for r in naive.collect()}
+    for gsz in (7, 100, 65536):
+        got = windows.chunk_ids(docs, max_chars=4000, group_size=gsz)
+        rows = {r["doc_id"]: r["chunk_id"] for r in got.collect()}
+        assert rows == expect, f"group_size={gsz}"
+
+    plan = (
+        windows.chunk_ids(docs, max_chars=4000, group_size=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the full-table window is keyed on the group column ...
+    assert "hashpartitioning(_g" in plan
+    # ... and every single-partition exchange sits directly above the
+    # tiny per-group aggregate, never a raw scan
+    tails = plan.split("Exchange SinglePartition")[1:]
+    assert tails, "expected the offsets window in the plan"
+    for tail in tails:
+        first_op = tail.splitlines()[1] if "\n" in tail else tail
+        assert "HashAggregate" in first_op, first_op
