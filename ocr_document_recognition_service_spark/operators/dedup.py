@@ -211,48 +211,37 @@ def lsh_candidate_pairs(
 
 
 def simhash16(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash per document over word md5s.
+    """16-bit SimHash per document over word md5s, ONE aggregation pass.
 
     bit k of word-hash = bit (k mod 4) of hex digit (k div 4) of
-    md5(word) — extracted arithmetically (strpos over the hex alphabet,
-    floor-div, mod), so any engine computes the identical signature.
+    md5(word) — extracted arithmetically, so any engine computes the
+    identical signature.  All 16 sign-sums are wide agg columns over the
+    word rows (the same trick as the MinHash wide agg): map-side
+    combine, 1/16th of the shuffle rows of the explode(16) form, and no
+    second shuffle for the bit re-assembly.
     """
     words = docs.select("doc_id", F.explode(_words()).alias("w")).withColumn(
         "h", F.md5("w")
     )
-    bits = words.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("k"),
-    ).withColumn(
-        "hexval",
-        F.conv(
-            F.substring(F.col("h"), (F.col("k") / 4).cast("int") + 1, 1), 16, 10
-        ).cast("int"),
-    ).withColumn(
-        "bit",
-        F.floor(
-            F.col("hexval")
-            / F.pow(F.lit(2.0), (F.col("k") % 4).cast("double"))
-        ).cast("int")
-        % 2,
-    )
-    contrib = bits.withColumn(
-        "c", F.when(F.col("bit") == 1, 1).otherwise(-1)
-    )
-    return (
-        contrib.groupBy("doc_id", "k")
-        .agg(F.sum("c").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(
-                F.col("s") > 0,
-                F.pow(F.lit(2.0), F.col("k").cast("double")).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
+
+    def sign_sum(k: int) -> F.Column:
+        hexval = F.conv(F.substring(F.col("h"), k // 4 + 1, 1), 16, 10).cast(
+            "int"
         )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash16"))
+        bit = F.shiftright(hexval, k % 4) % 2
+        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{k}")
+
+    sums = words.groupBy("doc_id").agg(*[sign_sum(k) for k in range(16)])
+    total = sum(
+        [
+            F.when(F.col(f"s{k}") > 0, F.lit(2**k).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for k in range(16)
+        ],
+        F.lit(0).cast("long"),
     )
+    return sums.select("doc_id", total.cast("long").alias("simhash16"))
 
 
 def char_ngram_jaccard_pairs(
