@@ -139,23 +139,60 @@ def cosine_topk_arrays(
     )
 
 
-def lsh_topk(
+def lsh_tables(
     emb: DataFrame,
-    planes: list[list[float]] | None = None,
-    k: int = 1,
+    n_planes: int = 4,
+    n_tables: int = 1,
+    base_seed: int = 7,
 ) -> DataFrame:
-    """Bucketed ANN: top-k neighbors searched ONLY within the query's
-    LSH bucket — the scale path (at 100 TB the bucket is the partition
-    key; a probe reads one bucket, not the corpus).  Fewer planes →
-    bigger buckets → better recall, more compute; callers pick.
-    Returns (query_id, neighbor_id, rank, cosine)."""
-    b = lsh_buckets(emb, planes)
-    flat = _flat(emb)
+    """(vec_id, tbl, bucket) over *n_tables* independent hyperplane
+    sets (seeds base_seed, base_seed+1, …).  Multi-table OR-probing:
+    two vectors are candidates if they collide in ANY table — the
+    standard LSH recall amplifier."""
+    parts = [
+        lsh_buckets(emb, hyperplanes(n_planes, seed=base_seed + t))
+        .withColumn("tbl", F.lit(t))
+        for t in range(n_tables)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("vec_id", "tbl", "bucket")
+
+
+def lsh_probe_candidates(
+    emb: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 1,
+    bucket_cap: int | None = None,
+    base_seed: int = 7,
+) -> DataFrame:
+    """(query_id, neighbor_id) LSH candidates with bounded fan-out.
+
+    *bucket_cap* bounds the worst-case bucket population on the INDEX
+    side: within each (tbl, bucket) only the *bucket_cap* smallest
+    vec_ids serve as neighbors (deterministic truncation).  Every
+    vector still probes as a query, so per-query work is at most
+    n_tables × bucket_cap candidates — a skewed bucket can no longer go
+    quadratic.  Recall trade: neighbors truncated out of an
+    over-full bucket are only reachable through another table — that is
+    the documented cost of boundedness (raise n_tables to buy it back).
+    """
+    b = lsh_tables(emb, n_planes, n_tables, base_seed)
+    idx = b
+    if bucket_cap is not None:
+        w = Window.partitionBy("tbl", "bucket").orderBy(F.col("vec_id").asc())
+        idx = (
+            b.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= bucket_cap)
+            .drop("rn")
+        )
     cand = (
         b.alias("qa")
         .join(
-            b.alias("qb"),
-            (F.col("qa.bucket") == F.col("qb.bucket"))
+            idx.alias("qb"),
+            (F.col("qa.tbl") == F.col("qb.tbl"))
+            & (F.col("qa.bucket") == F.col("qb.bucket"))
             & (F.col("qa.vec_id") != F.col("qb.vec_id")),
         )
         .select(
@@ -163,6 +200,46 @@ def lsh_topk(
             F.col("qb.vec_id").alias("neighbor_id"),
         )
     )
+    # collisions can repeat across tables; pairs must be unique
+    return cand.distinct() if n_tables > 1 else cand
+
+
+def lsh_topk(
+    emb: DataFrame,
+    planes: list[list[float]] | None = None,
+    k: int = 1,
+    n_tables: int | None = None,
+    n_planes: int = 4,
+    bucket_cap: int | None = None,
+    base_seed: int = 7,
+) -> DataFrame:
+    """Bucketed ANN: top-k neighbors searched ONLY within the query's
+    LSH bucket(s) — the scale path (at 100 TB the bucket is the
+    partition key; a probe reads one bucket, not the corpus).  Fewer
+    planes → bigger buckets → better recall, more compute; callers
+    pick.  With *n_tables*/*bucket_cap* set, candidates come from
+    multi-table OR-probing with a per-bucket population cap (see
+    ``lsh_probe_candidates``) — bounded worst-case fan-out.
+    Returns (query_id, neighbor_id, rank, cosine)."""
+    flat = _flat(emb)
+    if n_tables is not None:
+        cand = lsh_probe_candidates(
+            emb, n_planes, n_tables, bucket_cap, base_seed
+        )
+    else:
+        b = lsh_buckets(emb, planes)
+        cand = (
+            b.alias("qa")
+            .join(
+                b.alias("qb"),
+                (F.col("qa.bucket") == F.col("qb.bucket"))
+                & (F.col("qa.vec_id") != F.col("qb.vec_id")),
+            )
+            .select(
+                F.col("qa.vec_id").alias("query_id"),
+                F.col("qb.vec_id").alias("neighbor_id"),
+            )
+        )
     dots = (
         cand.join(
             flat.alias("fa"), F.col("fa.vec_id") == F.col("query_id")

@@ -691,8 +691,8 @@ _LSH_CAND_CTES = """
 """
 
 
-def _planes_sql(n_planes: int = 8) -> str:
-    planes = similarity.hyperplanes(n_planes)
+def _planes_sql(n_planes: int = 8, seed: int = 7) -> str:
+    planes = similarity.hyperplanes(n_planes, seed=seed)
     rows = ",".join(
         "[" + ",".join(f"{w}" for w in plane) + "]" for plane in planes
     )
@@ -954,19 +954,30 @@ def sim2_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     ),
     norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
     sums AS (
-      SELECT vec_id, p, sum(x * ({_planes_sql(4)})[p+1][pos+1]) AS s
-      FROM flat CROSS JOIN (SELECT unnest(range(4)) AS p)
-      GROUP BY vec_id, p
+      SELECT vec_id, t.tbl, p,
+             sum(x * CASE WHEN t.tbl = 0 THEN ({_planes_sql(4, seed=7)})[p+1][pos+1]
+                          ELSE ({_planes_sql(4, seed=8)})[p+1][pos+1] END) AS s
+      FROM flat CROSS JOIN (SELECT unnest(range(2)) AS tbl) t
+                CROSS JOIN (SELECT unnest(range(4)) AS p)
+      GROUP BY vec_id, t.tbl, p
     ),
     buckets AS (
-      SELECT vec_id,
+      SELECT vec_id, tbl,
              CAST(sum(CASE WHEN s > 0 THEN (1::bigint << CAST(p AS int)) ELSE 0 END) AS bigint) AS bucket
-      FROM sums GROUP BY vec_id
+      FROM sums GROUP BY vec_id, tbl
+    ),
+    idx AS (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT *, row_number() OVER (PARTITION BY tbl, bucket
+                                     ORDER BY vec_id ASC) AS rn
+        FROM buckets
+      ) WHERE rn <= 64
     ),
     cand AS (
-      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
-      FROM buckets qa JOIN buckets qb
-        ON qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
+      SELECT DISTINCT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
+      FROM buckets qa JOIN idx qb
+        ON qa.tbl = qb.tbl AND qa.bucket = qb.bucket
+       AND qa.vec_id <> qb.vec_id
     ),
     dots AS (
       SELECT c.query_id, c.neighbor_id, sum(fa.x * fb.x) AS dot
@@ -987,12 +998,15 @@ def sim2_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
       FROM scored
     ) WHERE rank <= 1
     """,
-    "bucketed ANN: top-1 within the query's LSH bucket (the scale path)",
+    "bucketed ANN: top-1 via 2-table OR-probed LSH with a 64-vector "
+    "bucket cap (bounded worst-case fan-out — the scale path)",
 )
 def sim3_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_topk(
         load(spark, sf, "embeddings"),
-        planes=similarity.hyperplanes(4),
+        n_planes=4,
+        n_tables=2,
+        bucket_cap=64,
         k=1,
     )
 

@@ -211,3 +211,28 @@ def test_chunk_ids_two_pass_equals_global_window(spark, docs):
     for tail in tails:
         first_op = tail.splitlines()[1] if "\n" in tail else tail
         assert "HashAggregate" in first_op, first_op
+
+
+def test_lsh_probe_candidates_bounded_under_skew(spark):
+    """A degenerate corpus (every vector identical → ONE bucket per
+    table) must not go quadratic: with a bucket cap, per-query fan-out
+    is bounded by n_tables × bucket_cap."""
+    n, cap, tables = 120, 8, 2
+    rows = [(i, [1.0] * 8) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cand = similarity.lsh_probe_candidates(
+        emb, n_planes=4, n_tables=tables, bucket_cap=cap
+    )
+    per_q = {
+        r["query_id"]: r["n"]
+        for r in cand.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(per_q) == n  # every vector still probes
+    assert max(per_q.values()) <= tables * cap
+    # uncapped control: the same corpus explodes to n-1 per query
+    uncapped = similarity.lsh_probe_candidates(emb, n_planes=4, n_tables=1)
+    worst = (
+        uncapped.groupBy("query_id").agg(F.count("*").alias("n"))
+        .agg(F.max("n")).collect()[0][0]
+    )
+    assert worst == n - 1
