@@ -135,16 +135,23 @@ def _build_html(
 
 
 def _build_pdf(rng: random.Random, lang: str) -> bytes:
-    n_rows = rng.randint(3, 8)
-    blocks: list[tuple[float, float, str]] = []
-    for r in range(n_rows):
-        y = 60.0 + r * 30.0 + rng.uniform(-3.0, 3.0)
-        for c in range(rng.randint(1, 3)):
-            x = 40.0 + c * 180.0 + rng.uniform(-5.0, 5.0)
-            blocks.append((x, y, _words(rng, lang, rng.randint(2, 5))))
-    rng.shuffle(blocks)
+    """Mini-PDF variants: ~40% multi-page (2-3 pages), ~60% FlateDecode
+    compressed streams — the shapes real Common-Crawl PDFs carry."""
+    n_pages = 1 if rng.random() < 0.6 else rng.randint(2, 3)
+    compress = rng.random() < 0.6
+    pages: list[list[tuple[float, float, str]]] = []
+    for _ in range(n_pages):
+        n_rows = rng.randint(3, 8)
+        blocks: list[tuple[float, float, str]] = []
+        for r in range(n_rows):
+            y = 60.0 + r * 30.0 + rng.uniform(-3.0, 3.0)
+            for c in range(rng.randint(1, 3)):
+                x = 40.0 + c * 180.0 + rng.uniform(-5.0, 5.0)
+                blocks.append((x, y, _words(rng, lang, rng.randint(2, 5))))
+        rng.shuffle(blocks)
+        pages.append(blocks)
     angle = rng.uniform(-0.15, 0.15) if rng.random() < 0.3 else 0.0
-    return pdf_extract.build_pdf(blocks, angle=angle)
+    return pdf_extract.build_pdf_pages(pages, angle=angle, compress=compress)
 
 
 def gen_rows(n: int, seed: int = 42) -> Iterator[dict[str, Any]]:

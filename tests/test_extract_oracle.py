@@ -109,6 +109,62 @@ def test_pdf_rotated_recovers_order():
     assert res.text == "alpha one\nbeta two\ngamma three"
 
 
+def test_pdf_flate_roundtrip_matches_uncompressed():
+    """FlateDecode streams must extract byte-identically to the
+    uncompressed serialization of the same layout."""
+    pages = [
+        [(40.0, 40.0, "alpha one"), (300.0, 40.0, "beta two")],
+        [(40.0, 40.0, "page two start"), (40.0, 80.0, "page two end")],
+    ]
+    for angle in (0.0, 0.08):
+        plain = pdf_extract.build_pdf_pages(pages, angle=angle, compress=False)
+        flate = pdf_extract.build_pdf_pages(pages, angle=angle, compress=True)
+        assert len(flate) != len(plain)
+        a = extract_one.extract_document(plain, "en")
+        b = extract_one.extract_document(flate, "en")
+        assert a.error is None and b.error is None
+        assert a == b
+        assert a.text == "alpha one\nbeta two\npage two start\npage two end"
+
+
+def test_pdf_multipage_reading_order_is_per_page():
+    """Reading order must be recovered WITHIN each page, pages
+    concatenated in Kids order — a global sort would interleave rows
+    of different pages that share y coordinates."""
+    pages = [
+        [(300.0, 40.0, "p1 right"), (40.0, 40.0, "p1 left")],
+        [(300.0, 40.0, "p2 right"), (40.0, 40.0, "p2 left")],
+        [(40.0, 40.0, "p3 only")],
+    ]
+    payload = pdf_extract.build_pdf_pages(pages, compress=True)
+    res = extract_one.extract_document(payload, "en")
+    assert res.text == "p1 left\np1 right\np2 left\np2 right\np3 only"
+    assert res.n_blocks == 5
+
+
+def test_pdf_corrupt_flate_stream_is_error_row():
+    payload = pdf_extract.build_pdf_pages(
+        [[(40.0, 40.0, "will be corrupted")]], compress=True
+    )
+    broken = payload.replace(b"stream\n", b"stream\n\x00\x01\x02", 1)
+    res = extract_one.extract_document(broken, "en")
+    assert res.text is None
+    assert res.error and "error" in res.error.lower()
+
+
+def test_pdf_legacy_uncompressed_profile_still_parses():
+    """Round-1 serialization (build_pdf, compress=False) must keep
+    parsing identically through the new structured page-tree path."""
+    blocks = [(40.0, 40.0, "first block"), (300.0, 40.0, "second block")]
+    payload = pdf_extract.build_pdf(blocks)
+    assert b"FlateDecode" not in payload
+    got = pdf_extract.pdf_blocks(payload)
+    assert [t for _, t in got] == ["first block", "second block"]
+    assert extract_one.extract_document(payload, "en").text == (
+        "first block\nsecond block"
+    )
+
+
 def test_pdf_escapes_roundtrip():
     blocks = [(40.0, 40.0, r"paren (x) back\slash close)")]
     payload = pdf_extract.build_pdf(blocks)
@@ -204,13 +260,21 @@ def test_split_cuts_still_happen_on_plain_documents():
 
 def test_corpus_golden_hash_frozen(corpus_rows):
     """Freeze the whole-corpus extraction output — any semantic drift in
-    parser/normalizer/layout breaks this hash (byte-identity contract)."""
+    parser/normalizer/layout breaks this hash (byte-identity contract).
+
+    Regeneration history (ONLY on deliberate semantic change; recompute
+    as md5 of the \\x01-joined extracted texts over corpus_rows):
+    - r1  d66b8ef0f99228a88bb74bf754de06ff  initial freeze
+    - r2  92b03af0a63420dbeb6e1b9718dbf135  generator emits FlateDecode
+          + multi-page PDF variants (gen_pages._build_pdf); HTML rows
+          and uncompressed single-page parses are byte-unchanged
+    """
     joined = "\x01".join(
         extract_one.extract_document(r["html"], r["lang"]).text or ""
         for r in corpus_rows
     )
     digest = hashlib.md5(joined.encode("utf-8")).hexdigest()
-    assert digest == "d66b8ef0f99228a88bb74bf754de06ff"
+    assert digest == "92b03af0a63420dbeb6e1b9718dbf135"
 
 
 @settings(max_examples=60, deadline=None)
