@@ -76,12 +76,62 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
     return 64 + h[0] % 192, 64 + h[1] % 192
 
 
-def decode_image_meta(df: DataFrame, col: str = "payload") -> DataFrame:
-    """Arrow-batched image metadata 'decode'.
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+# SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC), per ITU T.81 B.2.2
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
-    Uses Pillow when importable; otherwise emits the deterministic fake
-    with ``decoder='stub'``.  Pixel extraction is intentionally NOT
-    implemented in the sandbox — see ``decode_image_pixels``.
+
+def parse_image_header(b: bytes) -> tuple[int, int, str] | None:
+    """(width, height, mode) from header bytes alone — pure stdlib, no
+    image library.  PNG IHDR / GIF logical screen descriptor / JPEG SOF
+    frame header; None for other formats or malformed headers."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        mode = _PNG_MODES.get(b[25])
+        if w and h and mode:
+            return w, h, mode
+        return None
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return (w, h, "P") if w and h else None
+    if b[:3] == b"\xff\xd8\xff":
+        i = 2
+        n = len(b)
+        while i + 9 < n:
+            if b[i] != 0xFF:  # desynced — not a valid marker stream
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:  # standalone RST/SOI/EOI
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+            if marker in _JPEG_SOF:
+                h = int.from_bytes(b[i + 5:i + 7], "big")
+                w = int.from_bytes(b[i + 7:i + 9], "big")
+                mode = _JPEG_MODES.get(b[i + 9], "RGB")
+                return (w, h, mode) if w and h else None
+            if seg_len < 2:
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def decode_image_meta(df: DataFrame, col: str = "payload") -> DataFrame:
+    """Arrow-batched image metadata decode.
+
+    PNG/GIF/JPEG dimensions come from REAL header parsing (stdlib, see
+    ``parse_image_header``, ``decoder='header'``); Pillow handles other
+    formats when importable; the deterministic fake (``decoder='stub'``)
+    remains only for formats neither path can read.  Pixel extraction
+    is intentionally NOT implemented in the sandbox — see
+    ``decode_image_pixels``.
     """
 
     from pyspark.sql.pandas.functions import pandas_udf
@@ -96,6 +146,10 @@ def decode_image_meta(df: DataFrame, col: str = "payload") -> DataFrame:
                     rows.append((None, None, None, None))
                     continue
                 b = bytes(p)
+                hdr = parse_image_header(b)
+                if hdr is not None:
+                    rows.append((*hdr, "header"))
+                    continue
                 if pil is not None:
                     import io
 
@@ -110,6 +164,46 @@ def decode_image_meta(df: DataFrame, col: str = "payload") -> DataFrame:
             yield pd.DataFrame(rows, columns=["width", "height", "mode", "decoder"])
 
     return df.withColumn("image_meta", decode(F.col(col)))
+
+
+def synthetic_image_payload(i: int) -> bytes:
+    """Deterministic tiny PNG/GIF/JPEG blobs — VALID headers (parsed by
+    ``parse_image_header``), junk bodies — so the real header-decode
+    path is exercisable without any image library in the sandbox."""
+    w, h = 16 + (i * 7) % 240, 16 + (i * 13) % 240
+    kind = i % 3
+    if kind == 0:  # PNG: signature + IHDR chunk (crc not validated)
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([8, 6, 0, 0, 0])  # bit depth 8, RGBA
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big")
+            + b"IHDR"
+            + ihdr
+            + b"\x00" * 4
+        )
+    if kind == 1:  # GIF89a logical screen descriptor
+        return (
+            b"GIF89a"
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + b"\xf7\x00\x00;"
+        )
+    # JPEG: SOI + APP0(JFIF) + SOF0 + EOI
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03"
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
 def decode_image_pixels(*_args, **_kwargs):

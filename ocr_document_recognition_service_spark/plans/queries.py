@@ -1336,7 +1336,8 @@ def x_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
     "x_media_meta",
     None,
     "multimodal binary plumbing: magic-byte format sniff + Arrow-batched "
-    "metadata decode (stubbed pixel backend) over page payloads",
+    "metadata decode over page payloads AND real PNG/GIF/JPEG headers "
+    "(stdlib header parse; pixel backend stays the marked stub)",
 )
 def x_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import multimodal
@@ -1344,7 +1345,16 @@ def x_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     pages = _synthetic_pages_df(spark, 120).select(
         "url", F.col("html").alias("payload")
     )
-    meta = multimodal.decode_image_meta(multimodal.media_meta(pages))
+    imgs = spark.createDataFrame(
+        [
+            (f"img://{i:04d}", multimodal.synthetic_image_payload(i))
+            for i in range(30)
+        ],
+        "url: string, payload: binary",
+    )
+    meta = multimodal.decode_image_meta(
+        multimodal.media_meta(pages.unionByName(imgs))
+    )
     return meta.select(
         "url",
         "n_bytes",

@@ -236,3 +236,51 @@ def test_lsh_probe_candidates_bounded_under_skew(spark):
         .agg(F.max("n")).collect()[0][0]
     )
     assert worst == n - 1
+
+
+def test_parse_image_header_known_fixtures():
+    """Pinned header bytes → exact dimensions, no image library."""
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0]) + b"\x00" * 4
+    )
+    assert multimodal.parse_image_header(png) == (640, 480, "RGB")
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\xf7\x00\x00;"
+    assert multimodal.parse_image_header(gif) == (320, 200, "P")
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+        + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big")
+        + b"\x03" + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xd9"
+    )
+    assert multimodal.parse_image_header(jpeg) == (1920, 1080, "RGB")
+    # grayscale JPEG (1 component)
+    jpeg_l = jpeg.replace(b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01", b"\x01\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    assert multimodal.parse_image_header(jpeg_l) == (1920, 1080, "L")
+    # malformed: truncated PNG, desynced JPEG, HTML bytes
+    assert multimodal.parse_image_header(png[:20]) is None
+    assert multimodal.parse_image_header(b"\xff\xd8\xff\xe0\x00\x02junk") is None
+    assert multimodal.parse_image_header(b"<html><body></body></html>") is None
+
+
+def test_decode_image_meta_uses_header_path(spark):
+    rows = [(i, multimodal.synthetic_image_payload(i)) for i in range(12)]
+    rows.append((99, b"<html><p>not an image</p></html>"))
+    df = spark.createDataFrame(rows, "id: long, payload: binary")
+    got = {
+        r["id"]: r
+        for r in multimodal.decode_image_meta(df)
+        .select("id", "image_meta.*")
+        .collect()
+    }
+    for i in range(12):
+        expect = multimodal.parse_image_header(
+            multimodal.synthetic_image_payload(i)
+        )
+        r = got[i]
+        assert r["decoder"] == "header"
+        assert (r["width"], r["height"], r["mode"]) == expect
+    assert got[99]["decoder"] in ("stub", "pillow")
