@@ -72,6 +72,52 @@ def eval_report(pairs: DataFrame) -> DataFrame:
     )
 
 
+def match_report(
+    iou_df: DataFrame,
+    thresholds: list[float],
+    key: str = "l_orderkey",
+    score: str = "iou",
+    tiebreak: str = "l_linenumber",
+) -> DataFrame:
+    """A9-lite detection precision/recall at IoU thresholds.
+
+    Re-expresses the reference's greedy per-GT match loop
+    (core/utils/metrics.py:128-145; threshold 0.6 from
+    core/config/evaluate.yaml:5-6) as the A2 best-match window: one GT
+    object per *key*, its best-scoring candidate row wins, a match
+    requires score strictly ABOVE the threshold (reference
+    ``max_iou > self.iou_threshold``).  recall = matched / n_gt,
+    precision = matched / n_pred (all candidate rows).
+    """
+    best = best_match_per_key(iou_df, key, score, tiebreak).select(key, score)
+    spark = iou_df.sparkSession
+    thr = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "iou_threshold double"
+    )
+    tot = iou_df.agg(F.count("*").cast("long").alias("n_pred"))
+    matched = F.sum(
+        F.when(F.col(score) > F.col("iou_threshold"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        best.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("iou_threshold")
+        .agg(
+            F.count("*").cast("long").alias("n_gt"),
+            F.max("n_pred").alias("n_pred"),
+            matched.alias("matched"),
+        )
+        .select(
+            "iou_threshold",
+            "n_gt",
+            "n_pred",
+            "matched",
+            F.round(F.col("matched") / F.col("n_pred"), 6).alias("prec"),
+            F.round(F.col("matched") / F.col("n_gt"), 6).alias("recall"),
+        )
+    )
+
+
 def best_match_per_key(
     df: DataFrame, key: str, score: str, tiebreak: str
 ) -> DataFrame:

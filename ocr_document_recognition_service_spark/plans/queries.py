@@ -478,6 +478,51 @@ def a1_iou(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_IOU_SQL = """
+      SELECT l_orderkey, l_linenumber,
+             round(
+               greatest(least(l_quantity + 10, l_discount*100 + 15)
+                        - greatest(l_quantity, l_discount*100), 0)
+               / (10 + 15
+                  - greatest(least(l_quantity + 10, l_discount*100 + 15)
+                             - greatest(l_quantity, l_discount*100), 0)
+                  + 1e-6),
+               6) AS iou
+      FROM lineitem
+"""
+
+
+@_reg(
+    "a9_match_report",
+    f"""
+    WITH iou AS ({_IOU_SQL}),
+    best AS (
+      SELECT l_orderkey, iou FROM (
+        SELECT l_orderkey, iou,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY iou DESC, l_linenumber ASC) AS rn
+        FROM iou
+      ) WHERE rn = 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_pred FROM iou),
+    thr AS (SELECT unnest([0.3::double, 0.6::double, 0.7::double]) AS iou_threshold)
+    SELECT t.iou_threshold,
+           CAST(count(*) AS BIGINT) AS n_gt,
+           CAST(max(tot.n_pred) AS BIGINT) AS n_pred,
+           CAST(sum(CASE WHEN b.iou > t.iou_threshold THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+           round(CAST(sum(CASE WHEN b.iou > t.iou_threshold THEN 1 ELSE 0 END) AS double) / max(tot.n_pred), 6) AS prec,
+           round(CAST(sum(CASE WHEN b.iou > t.iou_threshold THEN 1 ELSE 0 END) AS double) / count(*), 6) AS recall
+    FROM best b CROSS JOIN thr t CROSS JOIN tot
+    GROUP BY t.iou_threshold
+    """,
+    "A9-lite detection precision/recall at IoU thresholds over the "
+    "greedy best-match join (metrics.py:128-145, evaluate.yaml:5-6; "
+    "match requires iou strictly above threshold, as the reference)",
+)
+def a9_match_report(spark: SparkSession, sf: str) -> DataFrame:
+    return metrics.match_report(a1_iou(spark, sf), thresholds=[0.3, 0.6, 0.7])
+
+
 @_reg(
     "a2_best_match",
     """
