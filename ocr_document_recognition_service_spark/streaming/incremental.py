@@ -22,6 +22,18 @@ from pyspark.sql import SparkSession, functions as F
 from ..pipeline import PAGES_SCHEMA, extract_pages
 
 
+def write_batch_idempotent(out, output_path: str) -> None:
+    """Per-batch idempotent sink: dynamic overwrite of the batch's own
+    ``batch_id`` partition — replaying the same batch id replaces its
+    prior output (at-least-once foreachBatch → exactly-once table)."""
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_path)
+    )
+
+
 def incremental_extract(
     spark: SparkSession,
     input_dir: str,
@@ -34,8 +46,12 @@ def incremental_extract(
     """Drain all currently-available page files into the output table.
 
     Each micro-batch runs the identical batch plan (lang routing,
-    salting, reassembly); Structured Streaming's checkpoint makes file
-    ingestion exactly-once across restarts.
+    salting, reassembly).  End-to-end exactly-once = checkpointed file
+    offsets (each file ingested once across restarts) + an IDEMPOTENT
+    sink: foreachBatch is at-least-once on micro-batch retry, so the
+    write dynamically overwrites the batch's own ``batch_id`` partition
+    (same pattern as lineage.run_extraction's pid partitions) — a
+    replayed batch replaces its previous output instead of duplicating.
     """
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -49,7 +65,7 @@ def incremental_extract(
             salt_threshold=salt_threshold,
             num_partitions=num_partitions,
         ).withColumn("batch_id", F.lit(batch_id))
-        out.write.mode("append").parquet(output_path)
+        write_batch_idempotent(out, output_path)
 
     (
         stream.writeStream.foreachBatch(process_batch)

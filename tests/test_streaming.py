@@ -57,3 +57,26 @@ def test_stateful_user_counts(spark, events_dir):
     g = {(r["user_id"], r["n_events"], r["total_value"]) for r in got.collect()}
     e = {tuple(r) for r in expect.collect()}
     assert g == e and len(g) > 0
+
+
+def test_foreachbatch_sink_idempotent_on_replay(spark, tmp_path):
+    """foreachBatch is at-least-once on retry: replaying the same
+    batch_id must REPLACE its prior output, not duplicate it."""
+    from pyspark.sql import functions as F
+
+    from ocr_document_recognition_service_spark.streaming.incremental import (
+        write_batch_idempotent,
+    )
+
+    out = str(tmp_path / "idem_out")
+    df = spark.range(0, 10).withColumn("batch_id", F.lit(0))
+    write_batch_idempotent(df, out)
+    write_batch_idempotent(df, out)  # simulated micro-batch retry
+    assert spark.read.parquet(out).count() == 10
+    # a different batch id appends alongside
+    write_batch_idempotent(
+        spark.range(0, 5).withColumn("batch_id", F.lit(1)), out
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 15
+    assert got.filter(F.col("batch_id") == 0).count() == 10
