@@ -73,6 +73,51 @@ def chunk_ids(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    group_size: int = 65536,
+    out: str = "rank",
+) -> DataFrame:
+    """Distributed global row_number over a UNIQUE numeric order
+    column — the ``chunk_ids`` two-pass decomposition applied to row
+    counts (rank = rows before + 1): within-group row_number over
+    grp = floor(order_col / group_size), plus broadcast per-group
+    exclusive count prefixes.  No single-task global window."""
+    grp = F.floor(F.col(order_col) / group_size)
+    staged = df.withColumn("_g", grp)
+    wg = Window.partitionBy("_g").orderBy(order_col)
+    local = staged.withColumn("_rn", F.row_number().over(wg))
+    wo = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        staged.groupBy("_g")
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_c").over(wo), F.lit(0)).cast("long")
+        )
+        .select("_g", "_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_g")
+        .withColumn(out, (F.col("_rn") + F.col("_off")).cast("long"))
+        .drop("_g", "_rn", "_off")
+    )
+
+
+def sorted_zip(
+    a: DataFrame, b: DataFrame, order_a: str, order_b: str
+) -> DataFrame:
+    """W6 sorted zip: pair the i-th row of *a* (by *order_a*) with the
+    i-th row of *b* (by *order_b*) — the reference's
+    ``zip(sorted(images), sorted(labels))`` pairing
+    (eval_loader.py:30-41) as a rank equi-join; inner join truncates to
+    the shorter side exactly like ``zip``.  Ranks come from
+    ``global_rank`` (two-pass), so no single-task window."""
+    ra = global_rank(a, order_a)
+    rb = global_rank(b, order_b)
+    return ra.join(rb, "rank", "inner")
+
+
 def balanced_sample(
     df: DataFrame, group_col: str, order_col: str, n_per_group: int
 ) -> DataFrame:

@@ -610,6 +610,30 @@ def w2_chunk_ids(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "w7_sorted_zip",
+    """
+    WITH ra AS (
+      SELECT c_name, CAST(row_number() OVER (ORDER BY c_custkey ASC) AS BIGINT) AS rank
+      FROM customer
+    ),
+    rb AS (
+      SELECT s_name, CAST(row_number() OVER (ORDER BY s_suppkey ASC) AS BIGINT) AS rank
+      FROM supplier
+    )
+    SELECT ra.rank, c_name, s_name FROM ra JOIN rb USING (rank)
+    """,
+    "W6 sorted zip: rank equi-join pairing (eval_loader.py:30-41 "
+    "zip(sorted(images), sorted(labels))), two-pass distributed ranks",
+)
+def w7_sorted_zip(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer").select("c_custkey", "c_name")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return windows.sorted_zip(c, s, "c_custkey", "s_suppkey").select(
+        "rank", "c_name", "s_name"
+    )
+
+
+@_reg(
     "w4_balanced_sample",
     """
     SELECT doc_id, source FROM (

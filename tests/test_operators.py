@@ -284,3 +284,23 @@ def test_decode_image_meta_uses_header_path(spark):
         assert r["decoder"] == "header"
         assert (r["width"], r["height"], r["mode"]) == expect
     assert got[99]["decoder"] in ("stub", "pillow")
+
+
+def test_sorted_zip_matches_python_zip(spark):
+    """W6: rank equi-join == zip(sorted(a), sorted(b)) incl. truncation
+    to the shorter side; ranks via the two-pass global_rank."""
+    from ocr_document_recognition_service_spark.operators import windows
+
+    a_ids = [3, 90001, 17, 65536, 5, 200000, 42]
+    b_ids = [1000, 7, 123456, 9, 70000]
+    a = spark.createDataFrame([(i, f"a{i}") for i in a_ids], "ka: long, va: string")
+    b = spark.createDataFrame([(i, f"b{i}") for i in b_ids], "kb: long, vb: string")
+    got = {
+        r["rank"]: (r["va"], r["vb"])
+        for r in windows.sorted_zip(a, b, "ka", "kb").collect()
+    }
+    expect = {
+        i + 1: (f"a{x}", f"b{y}")
+        for i, (x, y) in enumerate(zip(sorted(a_ids), sorted(b_ids)))
+    }
+    assert got == expect
