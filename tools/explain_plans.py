@@ -84,6 +84,31 @@ def main() -> int:
         )
     )
 
+    # 5. two-pass prefix sum: keyed window for the big table, the only
+    #    SinglePartition exchange sits above the tiny per-group agg
+    sections.append(
+        (
+            "w2_chunk_ids",
+            "full table moves through Exchange hashpartitioning(_g); the "
+            "SinglePartition exchange below the offsets window feeds from "
+            "the per-group HashAggregate (n/group_size rows), broadcast "
+            "back — no global un-partitioned window.",
+            plan_of(REGISTRY["w2_chunk_ids"].spark(spark, SF)),
+        )
+    )
+
+    # 6. generate-then-verify near-dup: LSH candidates, then exact
+    #    verification via array_intersect (no explode, no value shuffle)
+    sections.append(
+        (
+            "dd2_word_jaccard",
+            "candidate pairs from the banded MinHash join; the verify side "
+            "joins word ARRAYS by doc id and intersects inside codegen — "
+            "no all-pairs join, no shuffle keyed on feature values.",
+            plan_of(REGISTRY["dd2_word_jaccard"].spark(spark, SF)),
+        )
+    )
+
     out = ["# PLANS — physical plans for the load-bearing queries\n"]
     out.append(
         "Regenerate with `python3 tools/explain_plans.py`.  What to look "
