@@ -152,6 +152,10 @@ def normalize_text(text: str, lang: str) -> str:
     deterministic, order-preserving.
     """
     table, drop_re = _LANG_NORM.get(lang, _LANG_NORM["en"])
+    if drop_re.search(text) is None:
+        # no disallowed char ⇒ translate is a no-op too (every translate
+        # source is itself disallowed) — the common clean-text fast path
+        return text
     return drop_re.sub("", text.translate(table))
 
 

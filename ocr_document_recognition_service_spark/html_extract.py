@@ -62,6 +62,9 @@ _CHARSET_RE = re.compile(
     re.IGNORECASE,
 )
 _WS_RE = re.compile(r"\s+")
+# text needing NO cleanup: no non-space whitespace, no double space, no
+# leading/trailing space — then clean_text is the identity (fast path)
+_WS_DIRTY_RE = re.compile(r"[^\S ]| {2}|^ | $")
 
 
 def sniff_decode(raw: bytes) -> str:
@@ -81,6 +84,8 @@ def sniff_decode(raw: bytes) -> str:
 def clean_text(text: str) -> str:
     """F4 whitespace normalization — reference ``clean_text`` semantics
     (wiki_parser_to_pdf.py:22-26): CR/LF → space, collapse, strip."""
+    if _WS_DIRTY_RE.search(text) is None:
+        return text
     return _WS_RE.sub(" ", text.replace("\n", " ").replace("\r", " ")).strip()
 
 
@@ -123,7 +128,8 @@ class Block:
             return False
         if self.tag in HEADING_TAGS:
             return True
-        return len(t.split(" ")) >= MIN_CONTENT_WORDS
+        # t is clean (single spaces, stripped): words == spaces + 1
+        return t.count(" ") >= MIN_CONTENT_WORDS - 1
 
 
 class _BlockParser(HTMLParser):
@@ -145,11 +151,18 @@ class _BlockParser(HTMLParser):
 
     # -- buffer management -------------------------------------------------
     def _flush(self, next_tag: str | None = None) -> None:
-        if self._cur.parts:
-            self.blocks.append(self._cur)
-        self._cur = Block(
-            tag=next_tag or self._cur.tag, boiler=self._boiler > 0
-        )
+        cur = self._cur
+        if cur.parts:
+            self.blocks.append(cur)
+            self._cur = Block(
+                tag=next_tag or cur.tag, boiler=self._boiler > 0
+            )
+        else:
+            # empty buffer: mutate in place instead of reallocating (the
+            # overwhelmingly common case — every block tag event flushes)
+            if next_tag is not None:
+                cur.tag = next_tag
+            cur.boiler = self._boiler > 0
 
     # -- tag events ---------------------------------------------------------
     @staticmethod
@@ -241,6 +254,9 @@ _RAWTEXT_CLOSE = {
     t: re.compile(r"</\s*%s(?=[\s>/])" % t, re.IGNORECASE) for t in _RAWTEXT
 }
 _ATTR_HINT = re.compile(r"class|id|role", re.IGNORECASE)
+# tags whose start/end events can change parser state; all others with
+# no parsed attrs are provably no-ops in the _BlockParser state machine
+_INTERESTING = SKIP_TAGS | BOILER_TAGS | BLOCK_TAGS | {"a"}
 
 
 def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
@@ -288,19 +304,27 @@ def _fast_feed(sink: "_BlockParser", text: str) -> None:
             pos = lt + 1
             continue
         pos = m.end()
-        name = m.group(2)
+        close, name, raw_attrs, sc = m.group(1, 2, 3, 4)
         if not name:  # comment / decl / PI
             continue
         name = name.lower()
-        if m.group(1):  # close tag
-            sink.handle_endtag(name)
+        if close:  # close tag
+            if name in _INTERESTING:
+                sink.handle_endtag(name)
+            else:
+                # boring close tags only matter when they pop an
+                # attr-raised boiler scope (stack top == name); the
+                # handle_endtag body is a no-op otherwise
+                bs = sink._boiler_stack
+                if bs and bs[-1] == name:
+                    sink.handle_endtag(name)
             continue
-        raw_attrs = m.group(3) or ""
+        raw_attrs = raw_attrs or ""
         # self-closing detection mirrors html.parser: the attrs pattern
         # can eat a trailing '/', but only counts as '/>' when that '/'
         # is not part of an unquoted attribute value (i.e. it follows
         # the tag name, whitespace, or a closing quote)
-        selfclose = bool(m.group(4))
+        selfclose = bool(sc)
         if not selfclose and raw_attrs.endswith("/"):
             prev = raw_attrs[-2:-1]
             if prev in ("", " ", "\t", "\n", "\r", '"', "'"):
@@ -310,8 +334,11 @@ def _fast_feed(sink: "_BlockParser", text: str) -> None:
             _parse_attrs(raw_attrs) if _ATTR_HINT.search(raw_attrs) else []
         )
         if selfclose:
-            sink.handle_startendtag(name, attrs)
+            if name in ("br", "hr"):  # the only startend tags that act
+                sink.handle_startendtag(name, attrs)
             continue
+        if name not in _INTERESTING and not attrs:
+            continue  # boring start tag: provably no state change
         sink.handle_starttag(name, attrs)
         if name in _RAWTEXT:  # skip rawtext content to the closing tag
             cm = _RAWTEXT_CLOSE[name].search(text, pos)

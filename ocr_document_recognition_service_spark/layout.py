@@ -120,16 +120,20 @@ def reading_order(quads: Sequence[Quad], y_thresh: float = 0.6) -> list[int]:
     heights = [_height(q) for q in straight]
     threshold = y_thresh * _median(heights)
 
-    order = sorted(range(len(straight)), key=lambda i: _center(straight[i])[0])
+    # centers are pure functions of the deskewed quads: compute once,
+    # compare cached values inside the (kept-literal) bubble sort —
+    # identical comparator, identical swaps (_boxes_out_of_order inlined)
+    centers = [_center(q) for q in straight]
+    order = sorted(range(len(straight)), key=lambda i: centers[i][0])
 
     last = len(order) - 1
     swapped = True
     while swapped:
         swapped = False
         for i in range(last):
-            if _boxes_out_of_order(
-                straight[order[i]], straight[order[i + 1]], threshold
-            ):
+            ax, ay = centers[order[i]]
+            bx, by = centers[order[i + 1]]
+            if (ay > by) if abs(ay - by) > threshold else (ax > bx):
                 order[i], order[i + 1] = order[i + 1], order[i]
                 swapped = True
     return order
