@@ -321,3 +321,51 @@ def test_pdf_layout_roundtrip_property(n_rows, n_cols, angle, shuf_seed):
     res = extract_one.extract_document(payload, "en")
     assert res.error is None
     assert res.text == "\n".join(expect)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_split_invariance_property_adversarial(data):
+    """Random documents stacked from adversarial pieces (boiler scopes
+    holding block closes, anchors wrapping paragraphs, comments/scripts
+    containing fake closes, malformed tails), random split targets:
+    split ∘ extract ∘ join must ALWAYS equal unsplit extraction."""
+    rng_words = ["alpha", "beta", "gamma", "delta", "words", "here"]
+
+    def para(d, n=None):
+        k = n or d.draw(st.integers(2, 12))
+        ws = [d.draw(st.sampled_from(rng_words)) for _ in range(k)]
+        return f"<p>{' '.join(ws)}</p>".encode()
+
+    def piece(d):
+        kind = d.draw(st.integers(0, 7))
+        if kind == 0:
+            return para(d)
+        if kind == 1:  # boiler container full of block closes
+            return (
+                b"<nav>" + b"".join(para(d) for _ in range(d.draw(st.integers(1, 6)))) + b"</nav>"
+            )
+        if kind == 2:  # attr-raised boiler
+            return (
+                b"<div class='sidebar'>" + para(d) + para(d) + b"</div>"
+            )
+        if kind == 3:  # anchor wrapping paragraphs (open <a> across closes)
+            return b"<a href='/x'>" + para(d) + b"trailing link text</a>"
+        if kind == 4:  # comment with fake closes
+            return b"<!-- " + b"</p></h1> " * d.draw(st.integers(1, 10)) + b"-->"
+        if kind == 5:  # script rawtext with fake closes
+            return b"<script>var s='" + b"</p>" * d.draw(st.integers(1, 10)) + b"';</script>"
+        if kind == 6:  # heading
+            return ("<h2>%s title words</h2>" % d.draw(st.sampled_from(rng_words))).encode()
+        # malformed fragment (unclosed tags)
+        return b"<div><p>dangling " + d.draw(st.sampled_from(rng_words)).encode()
+
+    n_pieces = data.draw(st.integers(3, 25))
+    html = b"<body>" + b"".join(piece(data) for _ in range(n_pieces)) + b"</body>"
+    tgt = data.draw(st.sampled_from([64, 256, 1024]))
+    lang = data.draw(st.sampled_from(["en", None]))
+    base = extract_one.extract_document(html, lang)
+    sp = extract_one.extract_document_split(html, lang, tgt)
+    assert sp.text == base.text
+    assert sp.n_blocks == base.n_blocks
+    assert sp.lang == base.lang
