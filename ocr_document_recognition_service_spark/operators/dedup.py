@@ -210,15 +210,17 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash16(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash per document over word md5s, ONE aggregation pass.
+def simhash_bits(
+    docs: DataFrame, n_bits: int = 16, out: str = "simhash16"
+) -> DataFrame:
+    """n-bit SimHash per document over word md5s, ONE aggregation pass.
 
     bit k of word-hash = bit (k mod 4) of hex digit (k div 4) of
     md5(word) — extracted arithmetically, so any engine computes the
-    identical signature.  All 16 sign-sums are wide agg columns over the
-    word rows (the same trick as the MinHash wide agg): map-side
-    combine, 1/16th of the shuffle rows of the explode(16) form, and no
-    second shuffle for the bit re-assembly.
+    identical signature (n_bits ≤ 128, the md5 width).  All sign-sums
+    are wide agg columns over the word rows (the same trick as the
+    MinHash wide agg): map-side combine, 1/n of the shuffle rows of the
+    explode(n) form, and no second shuffle for the bit re-assembly.
     """
     words = docs.select("doc_id", F.explode(_words()).alias("w")).withColumn(
         "h", F.md5("w")
@@ -231,17 +233,81 @@ def simhash16(docs: DataFrame) -> DataFrame:
         bit = F.shiftright(hexval, k % 4) % 2
         return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{k}")
 
-    sums = words.groupBy("doc_id").agg(*[sign_sum(k) for k in range(16)])
+    sums = words.groupBy("doc_id").agg(*[sign_sum(k) for k in range(n_bits)])
     total = sum(
         [
             F.when(F.col(f"s{k}") > 0, F.lit(2**k).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
-            for k in range(16)
+            for k in range(n_bits)
         ],
         F.lit(0).cast("long"),
     )
-    return sums.select("doc_id", total.cast("long").alias("simhash16"))
+    return sums.select("doc_id", total.cast("long").alias(out))
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash (the reference-parity width) — see simhash_bits."""
+    return simhash_bits(docs, 16, out="simhash16")
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming-LSH + exact verify.
+
+    Signature split into *n_bands* equal bit-bands; candidates = pairs
+    sharing ANY band value (one keyed join per the banded-bucket shape —
+    never all-pairs); verify = exact popcount(xor) ≤ max_hamming.  By
+    pigeonhole the banding has EXACT recall whenever
+    max_hamming < n_bands (≤3 differing bits cannot touch all 4 bands),
+    so this equals the brute-force result, at bucket-bounded cost.
+    Widen n_bits / n_bands at scale for finer buckets (md5 supplies up
+    to 128 bits).
+    """
+    assert n_bits % n_bands == 0 and max_hamming < n_bands
+    width = n_bits // n_bands
+    sig = simhash_bits(docs, n_bits, out="sh")
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sh"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bv"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def char_ngram_jaccard_pairs(

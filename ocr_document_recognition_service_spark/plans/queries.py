@@ -869,6 +869,53 @@ def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "dd7_simhash_near",
+    f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    h AS (SELECT doc_id, md5(w) AS h FROM words),
+    bits AS (
+      SELECT doc_id, k,
+             (('0x' || substr(h, CAST(k // 4 AS int) + 1, 1))::bigint
+              >> CAST(k % 4 AS int)) & 1 AS bit
+      FROM h CROSS JOIN (SELECT unnest(range(32)) AS k)
+    ),
+    sums AS (
+      SELECT doc_id, k, sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS s
+      FROM bits GROUP BY doc_id, k
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::bigint << CAST(k AS int)) ELSE 0 END) AS bigint) AS sh
+      FROM sums GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, b, (sh >> CAST(8*b AS int)) & 255 AS bv
+      FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+    FROM cand JOIN sig sa ON doc_a = sa.doc_id
+              JOIN sig sb ON doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+    """,
+    "SimHash(32) near-dup pairs: 4×8-bit banded Hamming-LSH candidates "
+    "+ exact popcount verify (EXACT recall for hamming ≤ 3 by pigeonhole)",
+)
+def dd7_simhash_near(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_near_pairs(
+        load(spark, sf, "documents").repartition(32),
+        n_bits=32,
+        n_bands=4,
+        max_hamming=3,
+    )
+
+
+@_reg(
     "dd5_embedding_dup",
     f"""
     WITH flat AS (

@@ -304,3 +304,28 @@ def test_sorted_zip_matches_python_zip(spark):
         for i, (x, y) in enumerate(zip(sorted(a_ids), sorted(b_ids)))
     }
     assert got == expect
+
+
+def test_simhash_near_pairs_equals_brute_force(spark, docs):
+    """The banded Hamming-LSH candidates have EXACT recall for
+    max_hamming < n_bands (pigeonhole): result must equal the
+    brute-force all-pairs popcount filter."""
+    sample = docs.limit(80)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(
+            sample, n_bits=32, n_bands=4, max_hamming=3
+        ).collect()
+    }
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in dedup.simhash_bits(sample, 32, out="sh").collect()
+    }
+    ids = sorted(sigs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    assert got == expect
