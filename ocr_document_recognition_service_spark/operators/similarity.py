@@ -287,12 +287,9 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
     )
 
 
-def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 1) -> DataFrame:
-    """IVF-probed ANN: top-k by cosine among vectors sharing the
-    query's cell (probe=1).  The inverted-file twin of lsh_topk — at
-    scale the cell id is the partition key and a probe reads one cell."""
-    cells = ivf_assign(emb, n_cells).select("vec_id", "cell")
-    flat = _flat(emb)
+def _cell_probe_topk(cells: DataFrame, flat: DataFrame, k: int) -> DataFrame:
+    """Shared IVF probe tail: same-cell candidate pairs → exact cosine
+    → rank-filtered top-k (probe=1: a query reads only its cell)."""
     cand = (
         cells.alias("qa")
         .join(
@@ -316,6 +313,73 @@ def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 1) -> DataFrame:
         .agg(F.sum(F.col("fa.x") * F.col("fb.x")).alias("dot"))
     )
     return _rank_by_cosine(dots, _norms(flat), k)
+
+
+def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 1) -> DataFrame:
+    """IVF-probed ANN: top-k by cosine among vectors sharing the
+    query's cell (probe=1).  The inverted-file twin of lsh_topk — at
+    scale the cell id is the partition key and a probe reads one cell."""
+    cells = ivf_assign(emb, n_cells).select("vec_id", "cell")
+    return _cell_probe_topk(cells, _flat(emb), k)
+
+
+def _assign_to(flat: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by L2, dist2 rounded 6dp, ties
+    by cell asc — deterministic and engine-agnostic."""
+    d2 = (
+        flat.join(cents, F.col("pos") == F.col("cpos"))
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))),
+                6,
+            ).alias("dist2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("cell").asc()
+    )
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def kmeans_cells(
+    emb: DataFrame, n_cells: int = 8, iters: int = 2
+) -> DataFrame:
+    """Lloyd-trained IVF assignment: *iters* rounds of assign → mean
+    recentering (centroid coordinates rounded 6dp each round so any
+    engine reproduces the trajectory), deterministic first-k init.
+    Centroids are tiny (n_cells × dim rows); each round is one keyed
+    join + two aggregations over the flat table — the standard
+    distributed k-means shape.  Returns the final (vec_id, cell)."""
+    flat = _flat(emb)
+    cents = flat.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.col("pos").alias("cpos"),
+        F.col("x").alias("cx"),
+    )
+    assign = None
+    for _ in range(iters):
+        assign = _assign_to(flat, cents)
+        cents = (
+            flat.join(assign, "vec_id")
+            .groupBy("cell", F.col("pos").alias("cpos"))
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+            .select("cell", "cpos", "cx")
+        )
+    return _assign_to(flat, cents)
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame, n_cells: int = 8, iters: int = 2, k: int = 1
+) -> DataFrame:
+    """IVF probe over Lloyd-trained cells — sim4's probe with trained
+    centroids instead of the first-k quantizer."""
+    cells = kmeans_cells(emb, n_cells, iters)
+    return _cell_probe_topk(cells, _flat(emb), k)
 
 
 def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:

@@ -1183,6 +1183,84 @@ def sim4_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(load(spark, sf, "embeddings"), n_cells=8, k=1)
 
 
+@_reg(
+    "sim5_ivf_kmeans_topk",
+    """
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::double AS x
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
+    c0 AS (SELECT vec_id AS cell, pos AS cpos, x AS cx FROM flat WHERE vec_id < 8),
+    d1 AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM flat f JOIN c0 c ON f.pos = c.cpos GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cell ASC) AS rn FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cell, f.pos AS cpos, round(avg(f.x), 6) AS cx
+      FROM flat f JOIN a1 a USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM flat f JOIN c1 c ON f.pos = c.cpos GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cell ASC) AS rn FROM d2) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT a.cell, f.pos AS cpos, round(avg(f.x), 6) AS cx
+      FROM flat f JOIN a2 a USING (vec_id) GROUP BY 1, 2
+    ),
+    d3 AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM flat f JOIN c2 c ON f.pos = c.cpos GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cell ASC) AS rn FROM d3) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
+      FROM cells qa JOIN cells qb
+        ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, sum(fa.x * fb.x) AS dot
+      FROM cand c JOIN flat fa ON fa.vec_id = c.query_id
+                  JOIN flat fb ON fb.vec_id = c.neighbor_id
+                              AND fb.pos = fa.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nn.nrm), 4) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nn ON neighbor_id = nn.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 1
+    """,
+    "IVF over Lloyd-TRAINED cells (2 k-means rounds, first-8 init, "
+    "6dp-rounded trajectory): probe=1 top-1 within the trained cell",
+)
+def sim5_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ivf_kmeans_topk(
+        load(spark, sf, "embeddings"), n_cells=8, iters=2, k=1
+    )
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================
