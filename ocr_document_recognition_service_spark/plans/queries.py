@@ -708,6 +708,228 @@ def s1_customers_no_urgent(spark: SparkSession, sf: str) -> DataFrame:
     return c.subtract(o)
 
 
+@_reg(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(volume) AS double), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(l.l_extendedprice AS decimal(18,4))
+               * (CAST(1 AS decimal(18,4)) - CAST(l.l_discount AS decimal(18,4))) AS volume
+      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+                      JOIN orders o ON o.o_orderkey = l.l_orderkey
+                      JOIN customer c ON c.c_custkey = o.o_custkey
+                      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+                      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+             OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7-style bilateral shipping volume per nation pair and year",
+)
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    s = load(spark, sf, "supplier")
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    n = load(spark, sf, "nation")
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_12")
+        & (F.col("cust_nation") == "NATION_10")
+    ) | (
+        (F.col("supp_nation") == "NATION_10")
+        & (F.col("cust_nation") == "NATION_12")
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(vol).cast("double"), 2).alias("revenue"))
+    )
+
+
+@_reg(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(CAST(sum(CAST(l.l_extendedprice AS decimal(18,4))
+                 * (CAST(1 AS decimal(18,4)) - CAST(l.l_discount AS decimal(18,4)))) AS double), 2) AS revenue,
+           n.n_name
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    "TPC-H Q10-style returned-item revenue ranking (tie-broken top-k)",
+)
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@_reg(
+    "q14_promo_share",
+    """
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+                 CAST(l.l_extendedprice AS decimal(18,4))
+                   * (CAST(1 AS decimal(18,4)) - CAST(l.l_discount AS decimal(18,4)))
+               ELSE CAST(0 AS decimal(18,4)) END) AS double)
+             / CAST(sum(CAST(l.l_extendedprice AS decimal(18,4))
+                   * (CAST(1 AS decimal(18,4)) - CAST(l.l_discount AS decimal(18,4)))) AS double), 4)
+             AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "TPC-H Q14-style promo revenue share (conditional decimal agg)",
+)
+def q14_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@_reg(
+    "q16_parts_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    "TPC-H Q16-style distinct-supplier counts per part attribute "
+    "(NOT-predicates + count distinct; partsupp analog via lineitem)",
+)
+def q16_parts_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    l = load(spark, sf, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_reg(
+    "q17_small_quantity",
+    """
+    WITH thr AS (
+      SELECT l_partkey,
+             0.2 * (CAST(sum(CAST(l_quantity AS decimal(18,4))) AS double)
+                    / count(*)) AS qty_thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS decimal(18,4))) AS double) / 7.0, 2)
+             AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                    JOIN thr t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND l.l_quantity < t.qty_thr
+    """,
+    "TPC-H Q17-style small-quantity revenue (correlated avg re-expressed "
+    "as a grouped-threshold join)",
+)
+def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    l = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#3")
+    thr = l.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast(_DEC)).cast("double")
+                / F.count("*")
+            )
+        ).alias("qty_thr")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(thr, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 # =====================================================================
 # Dedup suite (training-data ops)
 # =====================================================================
