@@ -166,6 +166,152 @@ def decode_image_meta(df: DataFrame, col: str = "payload") -> DataFrame:
     return df.withColumn("image_meta", decode(F.col(col)))
 
 
+AUDIO_META_TYPE = StructType(
+    [
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("decoder", StringType(), True),
+    ]
+)
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits, n_samples) from RIFF/WAVE chunk
+    headers — pure stdlib byte walking, no audio library.  None for
+    non-WAV or malformed payloads."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(b)
+    fmt = None
+    data_size = None
+    while pos + 8 <= n:
+        cid = b[pos:pos + 4]
+        size = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            fmt = (rate, channels, bits, block_align)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    rate, channels, bits, block_align = fmt
+    if not (rate and channels and bits and block_align):
+        return None
+    return rate, channels, bits, data_size // block_align
+
+
+def synthetic_wav_payload(i: int) -> bytes:
+    """Deterministic minimal WAV: valid RIFF/fmt/data chunks, junk
+    samples — exercises the real header-decode path."""
+    rate = (8000, 16000, 44100)[i % 3]
+    channels = 1 + i % 2
+    bits = 16
+    block = channels * bits // 8
+    n_samples = 100 + (i * 37) % 900
+    data = (hashlib.md5(str(i).encode()).digest() * (n_samples * block // 16 + 1))[
+        : n_samples * block
+    ]
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_audio_meta(df: DataFrame, col: str = "payload") -> DataFrame:
+    """Arrow-batched audio metadata decode: real WAV header parse
+    (``decoder='header'``); other formats get the deterministic fake
+    (``decoder='stub'``) — sample/waveform decode needs an audio
+    backend absent from this container (see ``decode_image_pixels``
+    for the stub policy)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(AUDIO_META_TYPE)
+    def decode(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for payloads in batches:
+            rows = []
+            for p in payloads:
+                if p is None:
+                    rows.append((None, None, None, None, None))
+                    continue
+                hdr = parse_wav_header(bytes(p))
+                if hdr is not None:
+                    rows.append((*hdr, "header"))
+                    continue
+                h = hashlib.md5(bytes(p)).digest()
+                rows.append(
+                    (8000 * (1 + h[0] % 6), 1 + h[1] % 2, 16, 100 + h[2], "stub")
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["sample_rate", "channels", "bits", "n_samples", "decoder"],
+            )
+
+    return df.withColumn("audio_meta", decode(F.col(col)))
+
+
+FRAME_SCHEMA = (
+    "url string, frame_idx int, frame binary, n_bytes long, decoder string"
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    url_col: str = "url",
+    col: str = "payload",
+) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled frame
+    via ``mapInPandas`` (Arrow batches, partition passthrough — the
+    fan-out shape a real decoder needs at 100 TB: frames explode
+    WITHIN a partition, no shuffle).  No video backend exists in this
+    container, so frame bytes are a deterministic content-hash fake
+    with ``decoder='stub'``; a real backend (PyAV/ffmpeg) replaces the
+    body of ``_frames_of`` without touching the Spark plan."""
+    import hashlib as _hl
+
+    def _frames_of(payload: bytes) -> list[bytes]:
+        return [
+            _hl.md5(payload + bytes([k])).digest() * 4 for k in range(n_frames)
+        ]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "frame_idx": [], "frame": [], "n_bytes": [], "decoder": []}
+            for url, payload in zip(pdf[url_col], pdf[col]):
+                if payload is None:
+                    continue
+                for k, fr in enumerate(_frames_of(bytes(payload))):
+                    out["url"].append(url)
+                    out["frame_idx"].append(k)
+                    out["frame"].append(fr)
+                    out["n_bytes"].append(len(fr))
+                    out["decoder"].append("stub")
+            yield pd.DataFrame(out)
+
+    return df.select(url_col, col).mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
 def synthetic_image_payload(i: int) -> bytes:
     """Deterministic tiny PNG/GIF/JPEG blobs — VALID headers (parsed by
     ``parse_image_header``), junk bodies — so the real header-decode

@@ -1781,6 +1781,50 @@ def x_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_reg(
+    "x_audio_meta",
+    None,
+    "audio binary plumbing: real RIFF/WAVE header decode (stdlib) over "
+    "synthetic WAV payloads + stub fallback for other formats",
+)
+def x_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import multimodal
+
+    wavs = spark.createDataFrame(
+        [
+            (f"wav://{i:04d}", multimodal.synthetic_wav_payload(i))
+            for i in range(40)
+        ]
+        + [("not-audio://0", b"<html><p>page bytes</p></html>")],
+        "url: string, payload: binary",
+    )
+    meta = multimodal.decode_audio_meta(multimodal.media_meta(wavs))
+    return meta.select(
+        "url",
+        "n_bytes",
+        "format",
+        F.col("audio_meta.sample_rate").alias("sample_rate"),
+        F.col("audio_meta.channels").alias("channels"),
+        F.col("audio_meta.n_samples").alias("n_samples"),
+        F.col("audio_meta.decoder").alias("decoder"),
+    )
+
+
+@_reg(
+    "x_video_frames",
+    None,
+    "video frame-sample plumbing: mapInPandas fan-out to one row per "
+    "sampled frame (deterministic stub decode, real Spark shape)",
+)
+def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import multimodal
+
+    pages = _synthetic_pages_df(spark, 50).select(
+        "url", F.col("html").alias("payload")
+    )
+    return multimodal.sample_video_frames(pages, n_frames=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.spark for name, q in REGISTRY.items()}
 

@@ -329,3 +329,41 @@ def test_simhash_near_pairs_equals_brute_force(spark, docs):
             if h <= 3:
                 expect[(a, b)] = h
     assert got == expect
+
+
+def test_parse_wav_header_and_audio_meta(spark):
+    """Pinned WAV bytes → exact header fields; synthetic payloads take
+    the real header path, non-audio falls back to the stub."""
+    for i in (0, 1, 2, 7):
+        b = multimodal.synthetic_wav_payload(i)
+        rate, ch, bits, n = multimodal.parse_wav_header(b)
+        assert rate in (8000, 16000, 44100) and ch in (1, 2) and bits == 16
+        assert n == 100 + (i * 37) % 900
+    assert multimodal.parse_wav_header(b"RIFFxxxxJUNK") is None
+    assert multimodal.parse_wav_header(b"<html>") is None
+    # truncated fmt chunk
+    assert multimodal.parse_wav_header(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+    df = spark.createDataFrame(
+        [(0, multimodal.synthetic_wav_payload(0)), (1, b"not audio")],
+        "id: long, payload: binary",
+    )
+    got = {
+        r["id"]: r
+        for r in multimodal.decode_audio_meta(df).select("id", "audio_meta.*").collect()
+    }
+    assert got[0]["decoder"] == "header" and got[0]["sample_rate"] == 8000
+    assert got[1]["decoder"] == "stub"
+
+
+def test_sample_video_frames_shape_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(f"u{i}", b"payload-%d" % i) for i in range(6)] + [("null", None)],
+        "url: string, payload: binary",
+    )
+    out1 = multimodal.sample_video_frames(df, n_frames=3).collect()
+    out2 = multimodal.sample_video_frames(df, n_frames=3).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    rows = {(r["url"], r["frame_idx"]): r for r in out1}
+    assert len(rows) == 18  # 6 payloads x 3 frames, null dropped
+    assert all(r["decoder"] == "stub" and r["n_bytes"] == 64 for r in rows.values())
