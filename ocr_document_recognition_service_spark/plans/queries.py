@@ -1483,6 +1483,76 @@ def sim5_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_reg(
+    "emb1_norm_quantize",
+    """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM base
+    ),
+    q AS (
+      SELECT vec_id, nrm, maxabs,
+             list_transform(v, x -> CAST(round(127 * x / maxabs) AS int)) AS qv
+      FROM m
+    )
+    SELECT vec_id, round(nrm, 6) AS norm,
+           round(maxabs / 127, 6) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           md5(array_to_string(qv, ',')) AS q_md5
+    FROM q
+    """,
+    "embedding unit-norm + per-vector int8 max-abs quantization (array "
+    "math fully inside codegen; quantized vector pinned via exact md5)",
+)
+def emb1_norm_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    # stage every array as a real column before the next lambda uses it
+    # (lambda-CSE pitfall: inline subtrees re-evaluate per element)
+    staged = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    m = staged.select(
+        "vec_id",
+        "v",
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ).alias("nrm"),
+        F.array_max(F.transform("v", lambda x: F.abs(x))).alias("maxabs"),
+    )
+    q = m.select(
+        "vec_id",
+        "nrm",
+        "maxabs",
+        F.transform(
+            "v", lambda x: F.round(F.lit(127) * x / F.col("maxabs")).cast("int")
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("nrm"), 6).alias("norm"),
+        F.round(F.col("maxabs") / 127, 6).alias("scale"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda a, b: a + b.cast("long")
+        ).alias("q_sum"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("qv", lambda x: x.cast("string"))
+            )
+        ).alias("q_md5"),
+    )
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================
