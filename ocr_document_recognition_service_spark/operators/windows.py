@@ -131,6 +131,75 @@ def balanced_sample(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join (an operator Spark's join zoo lacks): for every left
+    row, attach the right row with the GREATEST right.ts ≤ left.ts for
+    the same key (inclusive, left-outer: unmatched rows keep NULLs) —
+    DuckDB's ``ASOF LEFT JOIN`` semantics, used as the oracle.
+
+    Plan: tag-union both sides, one window per key ordered by
+    (ts, tag) with right rows (tag 0) sorting before left rows at equal
+    ts, carry the latest right values forward with
+    ``last(..., ignorenulls=True)``, keep the left rows.  ONE keyed
+    shuffle of the union — no per-key loop, no range explosion; at
+    100 TB this is a single sort-within-partition pass.
+
+    *right* must be unique per (key, ts) — pre-aggregate it otherwise
+    (an ambiguous as-of match has no deterministic answer).
+    """
+    lcols = left.columns
+    r = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_tag"),
+        *[F.col(c) for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lcols if c not in (key, ts)],
+    ).withColumn("_rts", F.col(ts))
+    l = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+          for c in right_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols if c not in (key, ts)],
+    ).withColumn("_rts", F.lit(None).cast(left.schema[ts].dataType))
+    # the matched right row must carry ATOMICALLY (all its columns from
+    # one row): carry a struct that is NULL on left rows, so
+    # last(ignorenulls) always lands on a whole right row
+    u = l.unionByName(r).withColumn(
+        "_rrow",
+        F.when(
+            F.col("_tag") == 0,
+            F.struct(
+                F.col("_rts").alias("asof_ts"),
+                *[F.col(c).alias(c) for c in right_cols],
+            ),
+        ),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "_carry", F.last("_rrow", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        key,
+        ts,
+        *[F.col(f"_l_{c}").alias(c) for c in lcols if c not in (key, ts)],
+        F.col("_carry.asof_ts").alias("asof_ts"),
+        *[F.col(f"_carry.{c}").alias(c) for c in right_cols],
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1741,6 +1741,41 @@ def ev3_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_reg(
+    "ev4_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts, round(max(value), 4) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.ts, c.event_id,
+           v.ts AS asof_ts, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    "as-of join (operator Spark's join zoo lacks): each click matched "
+    "to the latest view at-or-before it per user; DuckDB native ASOF "
+    "LEFT JOIN is the oracle; Spark plan = tag-union + one keyed "
+    "window carry (single shuffle, no range explosion)",
+)
+def ev4_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("view_value"))
+    )
+    return windows.asof_join(
+        clicks, views, key="user_id", ts="ts", right_cols=["view_value"]
+    ).select("user_id", "ts", "event_id", "asof_ts", "view_value")
+
+
 # =====================================================================
 # Extraction pipeline showcases (non-SQL — rows-only driver check;
 # byte-identity is asserted by pytest against the pure-Python oracle)

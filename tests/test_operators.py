@@ -367,3 +367,29 @@ def test_sample_video_frames_shape_and_determinism(spark):
     rows = {(r["url"], r["frame_idx"]): r for r in out1}
     assert len(rows) == 18  # 6 payloads x 3 frames, null dropped
     assert all(r["decoder"] == "stub" and r["n_bytes"] == 64 for r in rows.values())
+
+
+def test_asof_join_matches_python_reference(spark):
+    """As-of semantics vs a brute-force reference: greatest right.ts <=
+    left.ts per key, inclusive ties, left-outer NULLs."""
+    from ocr_document_recognition_service_spark.operators import windows
+
+    lrows = [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 5, "c"), ("u3", 9, "d")]
+    rrows = [("u1", 10, 1.0), ("u1", 15, 2.0), ("u2", 6, 3.0), ("u1", 3, 4.0)]
+    left = spark.createDataFrame(lrows, "user_id: string, ts: long, tag: string")
+    right = spark.createDataFrame(rrows, "user_id: string, ts: long, val: double")
+    got = {
+        (r["user_id"], r["ts"]): (r["asof_ts"], r["val"], r["tag"])
+        for r in windows.asof_join(
+            left, right, key="user_id", ts="ts", right_cols=["val"]
+        ).collect()
+    }
+    def ref(k, t):
+        cand = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
+        return max(cand) if cand else (None, None)
+    expect = {
+        (k, t): (*ref(k, t), tag) for k, t, tag in lrows
+    }
+    assert got == expect
+    assert got[("u1", 10)] == (10, 1.0, "a")   # inclusive tie
+    assert got[("u3", 9)] == (None, None, "d") # left-outer NULLs
