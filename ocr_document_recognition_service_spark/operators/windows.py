@@ -200,6 +200,42 @@ def asof_join(
     )
 
 
+def range_join_bucketed(
+    probes: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str,
+    t_start: str,
+    t_end: str,
+    bucket_secs: int = 3600,
+) -> DataFrame:
+    """Range (interval-containment) join — natively Spark plans
+    ``ts BETWEEN t_start AND t_end`` as a broadcast nested loop.  The
+    scale-correct shape: explode each interval to the time buckets it
+    covers, bucket each probe, EQUI-join on (key, bucket), then apply
+    the exact range predicate.  Work = probes + interval-spans/bucket,
+    one keyed shuffle; pick *bucket_secs* ≈ typical interval length so
+    span fan-out stays O(1) per interval.
+    """
+    spans = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(t_start)) / bucket_secs),
+                F.floor(F.unix_timestamp(F.col(t_end)) / bucket_secs),
+            )
+        ),
+    )
+    pr = probes.withColumn(
+        "_bkt", F.floor(F.unix_timestamp(F.col(ts)) / bucket_secs)
+    )
+    return (
+        pr.join(spans, on=[key, "_bkt"])
+        .filter(F.col(ts).between(F.col(t_start), F.col(t_end)))
+        .drop("_bkt")
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

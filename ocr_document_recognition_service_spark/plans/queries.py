@@ -1742,6 +1742,54 @@ def ev3_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "ev5_range_join",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             min(ts) AS t_start, max(ts) AS t_end
+      FROM sess GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+    )
+    SELECT p.event_id, p.user_id, p.ts, i.session_id, i.t_start
+    FROM probes p JOIN intervals i
+      ON p.user_id = i.user_id AND p.ts BETWEEN i.t_start AND i.t_end
+    """,
+    "range/interval join (Spark would BNLJ it): error events matched to "
+    "the session interval containing them via bucketed equi-join + "
+    "exact range filter (one keyed shuffle, no nested loop)",
+)
+def ev5_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    sess = windows.sessionize(e, gap_seconds=1800)
+    intervals = sess.groupBy(
+        "user_id", F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(F.min("ts").alias("t_start"), F.max("ts").alias("t_end"))
+    probes = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    return windows.range_join_bucketed(
+        probes, intervals, key="user_id", ts="ts",
+        t_start="t_start", t_end="t_end", bucket_secs=3600,
+    ).select("event_id", "user_id", "ts", "session_id", "t_start")
+
+
+@_reg(
     "ev4_asof_join",
     """
     WITH clicks AS (

@@ -393,3 +393,44 @@ def test_asof_join_matches_python_reference(spark):
     assert got == expect
     assert got[("u1", 10)] == (10, 1.0, "a")   # inclusive tie
     assert got[("u3", 9)] == (None, None, "d") # left-outer NULLs
+
+
+def test_range_join_bucketed_matches_brute_force(spark):
+    """Bucketed equi-join + exact filter == naive interval containment,
+    including intervals spanning many buckets and edge-inclusive ends."""
+    import datetime as dt
+
+    from ocr_document_recognition_service_spark.operators import windows
+
+    base = dt.datetime(2024, 1, 1)
+    iv_rows = [
+        ("u1", 1, base, base + dt.timedelta(hours=5)),     # spans 6 buckets
+        ("u1", 2, base + dt.timedelta(hours=8), base + dt.timedelta(hours=8, minutes=10)),
+        ("u2", 1, base, base + dt.timedelta(minutes=30)),
+    ]
+    pr_rows = [
+        ("u1", base + dt.timedelta(hours=2), "a"),
+        ("u1", base + dt.timedelta(hours=5), "b"),          # inclusive end
+        ("u1", base + dt.timedelta(hours=7), "c"),          # no match
+        ("u2", base + dt.timedelta(minutes=30), "d"),       # inclusive end
+        ("u2", base + dt.timedelta(hours=2), "e"),          # no match
+    ]
+    intervals = spark.createDataFrame(
+        iv_rows, "user_id: string, session_id: long, t_start: timestamp, t_end: timestamp"
+    )
+    probes = spark.createDataFrame(
+        pr_rows, "user_id: string, ts: timestamp, event_id: string"
+    )
+    got = {
+        (r["event_id"], r["session_id"])
+        for r in windows.range_join_bucketed(
+            probes, intervals, "user_id", "ts", "t_start", "t_end", 3600
+        ).collect()
+    }
+    expect = {
+        (eid, sid)
+        for (pu, ts, eid) in pr_rows
+        for (iu, sid, s, e) in iv_rows
+        if pu == iu and s <= ts <= e
+    }
+    assert got == expect and ("a", 1) in got and ("b", 1) in got
