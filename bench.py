@@ -76,7 +76,11 @@ def main() -> int:
     for name in HEADLINE:
         df = registry[name](spark, sf_dir)
         cold[name] = round(_time_noop_write(df), 3)
-        times[name] = round(_time_noop_write(df), 3)
+        # min of two warm runs: the sandbox shares physical cores with
+        # other tenants, so single samples can inflate 1.5-2x (measured)
+        times[name] = round(
+            min(_time_noop_write(df), _time_noop_write(df)), 3
+        )
 
     # extraction throughput: corpus materialized once as a parquet table
     # (the real input shape — the pipeline reads a table, it doesn't
@@ -102,8 +106,8 @@ def main() -> int:
         "url", "lang", "n_blocks", "text", "error"
     )
     t_cold = _time_noop_write(out)  # includes Python-worker pool spin-up
-    # steady state — min of two warm runs (single-box timings are noisy)
-    t_ex = min(_time_noop_write(out), _time_noop_write(out))
+    # steady state — min of three warm runs (single-box timings are noisy)
+    t_ex = min(_time_noop_write(out) for _ in range(3))
     times["extract_pages"] = round(t_ex, 3)
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
