@@ -119,3 +119,30 @@ def test_carry_cols_pass_through(spark, pages_parquet):
         .count()
     )
     assert check == 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join story: two tables bucketed by the join key join
+    WITHOUT any exchange — the layout a 100 TB fact-fact join needs.
+    (bucketBy requires saveAsTable; in-memory catalog, parquet source.)"""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    # warehouse.dir is a static conf — managed tables land in the
+    # default ./spark-warehouse; unique names + DROP TABLE clean up
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    a = spark.range(0, 10000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 10000).withColumn("vb", F.col("id") * 3)
+    ta, tb = f"ta_{uuid.uuid4().hex[:8]}", f"tb_{uuid.uuid4().hex[:8]}"
+    a.write.bucketBy(8, "id").sortBy("id").saveAsTable(ta)
+    b.write.bucketBy(8, "id").sortBy("id").saveAsTable(tb)
+    try:
+        j = spark.table(ta).join(spark.table(tb), "id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 10000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")

@@ -109,6 +109,28 @@ def main() -> int:
         )
     )
 
+    # 7. as-of join: one keyed window over the tag-union, no range blow-up
+    sections.append(
+        (
+            "ev4_asof_join",
+            "tag-union of both sides moves through ONE Exchange "
+            "hashpartitioning(user_id); the as-of match is a window "
+            "carry — no BroadcastNestedLoopJoin anywhere.",
+            plan_of(REGISTRY["ev4_asof_join"].spark(spark, SF)),
+        )
+    )
+
+    # 8. range join: bucketed equi-join instead of a nested loop
+    sections.append(
+        (
+            "ev5_range_join",
+            "interval containment runs as SortMergeJoin/ShuffledHashJoin "
+            "keyed on (user_id, _bkt) with the exact BETWEEN as a "
+            "post-join filter — no BroadcastNestedLoopJoin.",
+            plan_of(REGISTRY["ev5_range_join"].spark(spark, SF)),
+        )
+    )
+
     out = ["# PLANS — physical plans for the load-bearing queries\n"]
     out.append(
         "Regenerate with `python3 tools/explain_plans.py`.  What to look "
