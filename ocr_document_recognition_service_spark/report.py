@@ -85,6 +85,58 @@ def run_report_html(
     return _PAGE.format(title=_html.escape(title), body="".join(sections))
 
 
+def layout_overlay_svg(
+    payload: bytes, page_idx: int = 0, scale: float = 0.5
+) -> str:
+    """Box-overlay visualization of a parsed PDF page — the
+    dependency-free analog of the reference's plotly BBoxVisualizer
+    (``core/utils/BBoxVisualizer.py:62-141``): one SVG rect per parsed
+    block quad (image coordinates), reading-order index and text as
+    labels.  Driver-side debug artifact, never in the hot path."""
+    from . import pdf_extract
+    from .layout import reading_order
+
+    pages = pdf_extract.pdf_pages(payload)
+    if page_idx >= len(pages):
+        return "<svg xmlns='http://www.w3.org/2000/svg'/>"
+    blocks = pages[page_idx]
+    order = reading_order([q for q, _ in blocks]) if blocks else []
+    rank_of = {orig: rank for rank, orig in enumerate(order)}
+    w = pdf_extract.PAGE_W * scale
+    h = pdf_extract.PAGE_H * scale
+    parts = [
+        f"<svg xmlns='http://www.w3.org/2000/svg' width='{w:.0f}' "
+        f"height='{h:.0f}' viewBox='0 0 {pdf_extract.PAGE_W:.0f} "
+        f"{pdf_extract.PAGE_H:.0f}' style='background:#fff'>"
+    ]
+    for i, (quad, text) in enumerate(blocks):
+        pts = " ".join(f"{x:.1f},{y:.1f}" for x, y in quad)
+        tl_x, tl_y = quad[0]
+        parts.append(
+            f"<polygon points='{pts}' fill='rgba(30,120,220,0.12)' "
+            f"stroke='#1e78dc' stroke-width='1'/>"
+            f"<text x='{tl_x + 2:.1f}' y='{tl_y - 2:.1f}' font-size='8' "
+            f"fill='#c02'>#{rank_of.get(i, -1)}</text>"
+            f"<text x='{tl_x + 2:.1f}' y='{tl_y + 10:.1f}' font-size='9' "
+            f"fill='#222'>{_html.escape(text[:60])}</text>"
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def layout_report_html(payload: bytes, title: str = "layout overlay") -> str:
+    """Standalone HTML page with one overlay SVG per PDF page —
+    html_generator.py:5-18 semantics (figure → standalone HTML)."""
+    from . import pdf_extract
+
+    n = len(pdf_extract.pdf_pages(payload))
+    body = "".join(
+        f"<h2>page {i}</h2>" + layout_overlay_svg(payload, i)
+        for i in range(n)
+    )
+    return _PAGE.format(title=_html.escape(title), body=body)
+
+
 def write_run_report(
     spark: SparkSession,
     checkpoint_path: str,

@@ -55,3 +55,24 @@ def test_html_report_sink(spark, pages_parquet, tmp_path):
     text = html_path.read_text()
     assert "<table>" in text and "run-r" in text and "q1" in text
     assert "Totals" in text
+
+
+def test_layout_overlay_svg_and_report():
+    """BBoxVisualizer analog: every parsed block becomes a polygon with
+    its reading-order rank; multi-page report renders one SVG per page."""
+    from ocr_document_recognition_service_spark import pdf_extract, report
+
+    pages = [
+        [(40.0, 40.0, "first block"), (300.0, 40.0, "second block")],
+        [(40.0, 40.0, "page two")],
+    ]
+    payload = pdf_extract.build_pdf_pages(pages, compress=True)
+    svg = report.layout_overlay_svg(payload, page_idx=0)
+    assert svg.count("<polygon") == 2
+    assert "#0" in svg and "#1" in svg
+    assert "first block" in svg and "second block" in svg
+    html_page = report.layout_report_html(payload)
+    assert html_page.count("<svg") == 2 and "page two" in html_page
+    # out-of-range page and non-PDF degrade gracefully
+    assert "<polygon" not in report.layout_overlay_svg(payload, page_idx=9)
+    assert "<svg" in report.layout_overlay_svg(b"<html></html>")
