@@ -1742,6 +1742,29 @@ def ev3_pivot(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "ev6_value_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "exact interpolated quantiles per group (Spark percentile vs "
+    "DuckDB quantile_cont — both linear interpolation)",
+)
+def ev6_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@_reg(
     "ev5_range_join",
     """
     WITH flagged AS (
