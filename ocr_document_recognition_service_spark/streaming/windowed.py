@@ -60,6 +60,26 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    pages: DataFrame,
+    key: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per *key*,
+    dropping re-crawls that land within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` bounds the key-state the way an
+    unbounded ``dropDuplicates`` cannot (the 100 TB requirement: state
+    proportional to the watermark window, not the corpus).  Works on a
+    batch frame too (plain dropDuplicates) for the equality tests."""
+    src = pages.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if src.isStreaming:
+        return src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [key]
+        )
+    return src.dropDuplicates([key])
+
+
 _STATE_SCHEMA = StructType(
     [StructField("n", LongType()), StructField("total", DoubleType())]
 )

@@ -80,3 +80,54 @@ def test_foreachbatch_sink_idempotent_on_replay(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 15
     assert got.filter(F.col("batch_id") == 0).count() == 10
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate urls across files within the watermark are dropped;
+    the surviving set equals batch dropDuplicates on the same input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    from ocr_document_recognition_service_spark.streaming.windowed import (
+        streaming_dedup,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "n": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            path,
+        )
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    write(str(src / "a.parquet"), [
+        ("u/1", base, 1), ("u/2", base + dt.timedelta(minutes=5), 2),
+        ("u/1", base + dt.timedelta(minutes=10), 3),  # in-file dup
+    ])
+    write(str(src / "b.parquet"), [
+        ("u/2", base + dt.timedelta(minutes=20), 4),  # cross-file dup
+        ("u/3", base + dt.timedelta(minutes=30), 5),
+    ])
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, n long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    dd = streaming_dedup(stream, key="url", ts_col="warc_ts")
+    (
+        dd.writeStream.format("memory").queryName("sdedup")
+        .outputMode("append").trigger(availableNow=True)
+        .start().awaitTermination()
+    )
+    got = {r["url"] for r in spark.sql("SELECT * FROM sdedup").collect()}
+    batch = streaming_dedup(spark.read.parquet(str(src)), key="url", ts_col="warc_ts")
+    assert got == {r["url"] for r in batch.collect()} == {"u/1", "u/2", "u/3"}
+    assert spark.sql("SELECT count(*) FROM sdedup").collect()[0][0] == 3
