@@ -110,3 +110,51 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("fingerprint8"),
     )
+
+
+def kmv_distinct_words(docs: DataFrame, k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over corpus words.
+
+    Unlike HLL, the md5-based KMV is fully DETERMINISTIC and
+    engine-agnostic, so an external SQL oracle reproduces the estimate
+    bit-for-bit: u = first 48 bits of md5(word) / 2^48 ∈ [0,1),
+    estimate = (k−1) / max(k smallest u).  At scale the k-smallest pass
+    is a per-partition top-k then a k·partitions merge (Spark's sort
+    +limit does exactly this — no global sort materialization), and
+    sketches of partitions/streams union by merging their k-min sets.
+    Returns one row: (n_exact, kmv_estimate, rel_err).
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .distinct()
+    )
+    u = words.select(
+        (
+            F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("double")
+            / F.lit(float(2**48))
+        ).alias("u")
+    )
+    kmin = u.orderBy(F.col("u").asc()).limit(k)
+    est = kmin.agg(
+        F.round(F.lit(float(k - 1)) / F.max("u"), 2).alias("kmv_estimate")
+    )
+    exact = words.agg(F.count("*").alias("n_exact"))
+    return (
+        exact.crossJoin(est)
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("kmv_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                4,
+            ),
+        )
+        .select("n_exact", "kmv_estimate", "rel_err")
+    )

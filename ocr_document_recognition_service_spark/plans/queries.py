@@ -1642,6 +1642,37 @@ def ta4_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.token_stats(load(spark, sf, "documents"))
 
 
+@_reg(
+    "ta5_kmv_distinct",
+    """
+    WITH words AS (
+      SELECT DISTINCT unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    u AS (
+      SELECT ('0x' || substr(md5(w), 1, 12))::bigint
+             / 281474976710656.0 AS u
+      FROM words
+    ),
+    kmin AS (SELECT u FROM u ORDER BY u ASC LIMIT 256)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_exact,
+           round(255.0 / max(u), 2) AS kmv_estimate,
+           round(abs(round(255.0 / max(u), 2)
+                     - (SELECT count(*) FROM words))
+                 / (SELECT count(*) FROM words), 4) AS rel_err
+    FROM kmin
+    """,
+    "KMV distinct-count sketch over corpus words (md5-based — "
+    "deterministic and engine-agnostic, unlike HLL), with exact count "
+    "and relative error alongside",
+)
+def ta5_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.kmv_distinct_words(
+        load(spark, sf, "documents"), k=256
+    )
+
+
 # =====================================================================
 # Events aggregation
 # =====================================================================
