@@ -112,30 +112,25 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def kmv_distinct_words(docs: DataFrame, k: int = 256) -> DataFrame:
-    """KMV (k-minimum-values) distinct-count sketch over corpus words.
+def kmv_distinct_shingles(docs: DataFrame, k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over the corpus's
+    3-word shingles (the MinHash feature space — ~16k distinct here).
 
     Unlike HLL, the md5-based KMV is fully DETERMINISTIC and
     engine-agnostic, so an external SQL oracle reproduces the estimate
-    bit-for-bit: u = first 48 bits of md5(word) / 2^48 ∈ [0,1),
-    estimate = (k−1) / max(k smallest u).  At scale the k-smallest pass
-    is a per-partition top-k then a k·partitions merge (Spark's sort
-    +limit does exactly this — no global sort materialization), and
-    sketches of partitions/streams union by merging their k-min sets.
+    bit-for-bit: u = first 48 bits of md5(shingle) / 2^48 ∈ [0,1);
+    estimate = (k−1) / max(k smallest u), or the exact count when fewer
+    than k values exist (the k-min set then IS the value set).  At
+    scale the k-smallest pass is a per-partition top-k then a
+    k·partitions merge (Spark's sort+limit does exactly this — no
+    global sort materialization), and sketches of partitions/streams
+    union by merging their k-min sets.
     Returns one row: (n_exact, kmv_estimate, rel_err).
     """
-    words = (
-        docs.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col("text")), r"\s+"),
-                    lambda w: w != F.lit(""),
-                )
-            ).alias("w")
-        )
-        .distinct()
-    )
-    u = words.select(
+    from .dedup import _shingle_rows
+
+    shingles = _shingle_rows(docs, "w3").select("w").distinct()
+    u = shingles.select(
         (
             F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("double")
             / F.lit(float(2**48))
@@ -143,9 +138,13 @@ def kmv_distinct_words(docs: DataFrame, k: int = 256) -> DataFrame:
     )
     kmin = u.orderBy(F.col("u").asc()).limit(k)
     est = kmin.agg(
-        F.round(F.lit(float(k - 1)) / F.max("u"), 2).alias("kmv_estimate")
+        F.when(
+            F.count("*") < k, F.count("*").cast("double")
+        )
+        .otherwise(F.round(F.lit(float(k - 1)) / F.max("u"), 2))
+        .alias("kmv_estimate")
     )
-    exact = words.agg(F.count("*").alias("n_exact"))
+    exact = shingles.agg(F.count("*").alias("n_exact"))
     return (
         exact.crossJoin(est)
         .withColumn(

@@ -1645,30 +1645,41 @@ def ta4_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 @_reg(
     "ta5_kmv_distinct",
     """
-    WITH words AS (
-      SELECT DISTINCT unnest(list_filter(
-               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
       FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+               k -> tk[k] || ' ' || tk[k+1] || ' ' || tk[k+2])) AS w
+        FROM toks WHERE len(tk) >= 3
+      )
     ),
     u AS (
       SELECT ('0x' || substr(md5(w), 1, 12))::bigint
              / 281474976710656.0 AS u
-      FROM words
+      FROM shingles
     ),
-    kmin AS (SELECT u FROM u ORDER BY u ASC LIMIT 256)
-    SELECT (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_exact,
-           round(255.0 / max(u), 2) AS kmv_estimate,
-           round(abs(round(255.0 / max(u), 2)
-                     - (SELECT count(*) FROM words))
-                 / (SELECT count(*) FROM words), 4) AS rel_err
-    FROM kmin
+    kmin AS (SELECT u FROM u ORDER BY u ASC LIMIT 256),
+    est AS (
+      SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS double)
+                  ELSE round(255.0 / max(u), 2) END AS kmv_estimate
+      FROM kmin
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM shingles) AS n_exact,
+           kmv_estimate,
+           round(abs(kmv_estimate - (SELECT count(*) FROM shingles))
+                 / (SELECT count(*) FROM shingles), 4) AS rel_err
+    FROM est
     """,
-    "KMV distinct-count sketch over corpus words (md5-based — "
-    "deterministic and engine-agnostic, unlike HLL), with exact count "
-    "and relative error alongside",
+    "KMV distinct-count sketch over 3-word shingles (md5-based — "
+    "deterministic and engine-agnostic, unlike HLL; exact below k), "
+    "with exact count and relative error alongside",
 )
 def ta5_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    return text_analysis.kmv_distinct_words(
+    return text_analysis.kmv_distinct_shingles(
         load(spark, sf, "documents"), k=256
     )
 
