@@ -67,12 +67,26 @@ DEFAULT_CHUNK_TARGET = 32 * 1024
 _PDF_MAGIC_HEX = "25504446"  # b"%PDF"
 
 
-def _extract_udf(lang: str | None, max_payload_bytes: int | None = None):
+def _extract_udf(
+    lang: str | None,
+    max_payload_bytes: int | None = None,
+    salt_threshold: int | None = None,
+    chunk_target: int = DEFAULT_CHUNK_TARGET,
+):
     """Vectorized extraction for one language branch.
 
     Iterator form: the (cheap) kernel import happens once per Python
     worker, not per batch — the Spark analog of the reference's
     singleton pipeline instance (``core/app.py:25-33``).
+
+    With *salt_threshold* set, oversized HTML rows take the salted
+    kernel (``extract_document_split``: split at scope-safe block
+    boundaries, extract per chunk, rejoin — proven byte-identical to
+    unsplit extraction) INSIDE the same UDF pass.  Measured: the former
+    explode→extract→groupBy salted branch ran its chunks in the same
+    task anyway (no exchange between explode and extract), so it bought
+    zero cross-task parallelism while costing a second scan+decode of
+    every lang partition plus a reassembly aggregation.
     """
 
     @pandas_udf(EXTRACT_RESULT_TYPE)
@@ -85,12 +99,20 @@ def _extract_udf(lang: str | None, max_payload_bytes: int | None = None):
             else extract_one.MAX_PAYLOAD_BYTES
         )
         for payloads in batches:
-            results = [
-                extract_one.extract_document(
-                    bytes(p) if p is not None else None, lang, max_bytes=cap
-                )
-                for p in payloads
-            ]
+            results = []
+            for p in payloads:
+                b = bytes(p) if p is not None else None
+                if (
+                    salt_threshold is not None
+                    and b is not None
+                    and salt_threshold < len(b) <= cap
+                ):
+                    r = extract_one.extract_document_split(
+                        b, lang, chunk_target, max_bytes=cap
+                    )
+                else:
+                    r = extract_one.extract_document(b, lang, max_bytes=cap)
+                results.append(r)
             yield pd.DataFrame(
                 {
                     "text": [r.text for r in results],
@@ -132,6 +154,7 @@ def extract_pages(
     carry_cols: tuple[str, ...] = ("warc_ts",),
     pre_repartition: bool = False,
     max_payload_bytes: int | None = None,
+    distribute_salted: bool = False,
 ) -> DataFrame:
     """Full extraction plan: returns (url, *carry_cols, lang, text,
     n_blocks, error) with ``lang`` = the language actually used.
@@ -184,11 +207,13 @@ def extract_pages(
         & F.coalesce(F.col("lang").isin(*LANGS), F.lit(False))
     )
 
-    def _narrow(df: DataFrame, ex_lang: str | None) -> DataFrame:
+    def _narrow(
+        df: DataFrame, ex_lang: str | None, salt: int | None = None
+    ) -> DataFrame:
         """Apply the branch's extraction UDF, drop html immediately
         (column pruning past extraction, SURVEY §4)."""
         return df.withColumn(
-            "ex", _extract_udf(ex_lang, cap)(F.col("html"))
+            "ex", _extract_udf(ex_lang, cap, salt_threshold=salt)(F.col("html"))
         ).select(
             "url",
             *carry_cols,
@@ -202,63 +227,82 @@ def extract_pages(
     out_cols = ["url", *carry_cols, "lang", "text", "n_blocks", "error"]
 
     # Plan shape: routing happens BEFORE extraction, so every row passes
-    # the split UDF at most once and the extract UDF exactly once —
-    # branch subtrees are disjoint; nothing downstream re-triggers a UDF.
-    # (The first cut reassembled AFTER a shared `extracted` node; Spark
-    # then evaluated the whole UDF subtree once per consumer — a 2×
-    # extraction cost that profiling caught immediately.)
+    # the extract UDF exactly once — branch subtrees are disjoint;
+    # nothing downstream re-triggers a UDF.  (The first cut reassembled
+    # AFTER a shared `extracted` node; Spark then evaluated the whole
+    # UDF subtree once per consumer — a 2× extraction cost that
+    # profiling caught immediately.)
     branches: list[DataFrame] = []
-    for lang in LANGS:
-        by_lang = base.filter(F.col("lang") == lang)
-        # unsplit path: straight through, no grouping
-        branches.append(
-            _narrow(by_lang.filter(~splittable), lang).select(*out_cols)
-        )
-        # salted path: split → explode → extract → ordered reassembly.
-        # Only this (tiny) subset ever reaches the groupBy shuffle.
-        big = (
-            by_lang.filter(splittable)
-            .withColumn("chunks", _split_udf("html"))
-            .select(
-                "url",
-                *carry_cols,
-                "lang",
-                F.posexplode("chunks").alias("chunk_id", "html"),
+    if not distribute_salted:
+        # Default: salt-splitting happens INSIDE the extract UDF
+        # (extract_document_split — the oracle itself).  One scan + one
+        # Arrow pass per lang partition, no reassembly shuffle.  The
+        # former explode→extract→groupBy shape ran a doc's chunks in
+        # the same task anyway (no exchange between explode and the
+        # UDF), so this is plan-for-plan faster with identical bytes.
+        for lang in LANGS:
+            by_lang = base.filter(F.col("lang") == lang)
+            branches.append(
+                _narrow(by_lang, lang, salt=salt_threshold).select(*out_cols)
             )
-        )
-        reassembled = (
-            _narrow(big, lang)
-            .groupBy("url")
-            .agg(
-                *[F.first(c).alias(c) for c in carry_cols],
-                F.first("lang").alias("lang"),
-                F.max("error").alias("error"),
-                F.sum("n_blocks").cast("int").alias("n_blocks"),
-                F.array_join(
-                    F.filter(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(F.struct("chunk_id", "text"))
+    else:
+        # distribute_salted=True: spread one monster document's chunks
+        # ACROSS tasks — split → explode → repartition the (tiny) salted
+        # subset's chunk rows → extract → ordered reassembly.  Pays a
+        # shuffle of chunk bytes; worth it only when single documents
+        # are large enough to straggle a task (payload cap bounds that
+        # at ~seconds, so the default keeps them task-local).
+        for lang in LANGS:
+            by_lang = base.filter(F.col("lang") == lang)
+            branches.append(
+                _narrow(by_lang.filter(~splittable), lang).select(*out_cols)
+            )
+            big = (
+                by_lang.filter(splittable)
+                .withColumn("chunks", _split_udf("html"))
+                .select(
+                    "url",
+                    *carry_cols,
+                    "lang",
+                    F.posexplode("chunks").alias("chunk_id", "html"),
+                )
+                .repartition(P, "url", "chunk_id")
+            )
+            reassembled = (
+                _narrow(big, lang)
+                .groupBy("url")
+                .agg(
+                    *[F.first(c).alias(c) for c in carry_cols],
+                    F.first("lang").alias("lang"),
+                    F.max("error").alias("error"),
+                    F.sum("n_blocks").cast("int").alias("n_blocks"),
+                    F.array_join(
+                        F.filter(
+                            F.transform(
+                                F.array_sort(
+                                    F.collect_list(
+                                        F.struct("chunk_id", "text")
+                                    )
+                                ),
+                                lambda x: x["text"],
                             ),
-                            lambda x: x["text"],
+                            lambda t: t != F.lit(""),
                         ),
-                        lambda t: t != F.lit(""),
-                    ),
-                    "\n",
-                ).alias("text"),
+                        "\n",
+                    ).alias("text"),
+                )
+                .select(
+                    "url",
+                    *carry_cols,
+                    "lang",
+                    F.when(F.col("error").isNotNull(), F.lit(None))
+                    .otherwise(F.col("text"))
+                    .alias("text"),
+                    "n_blocks",
+                    "error",
+                )
             )
-            .select(
-                "url",
-                *carry_cols,
-                "lang",
-                F.when(F.col("error").isNotNull(), F.lit(None))
-                .otherwise(F.col("text"))
-                .alias("text"),
-                "n_blocks",
-                "error",
-            )
-        )
-        branches.append(reassembled)
+            branches.append(reassembled)
 
     # null / unknown lang → kernel votes (R6); never split
     null_branch = base.filter(

@@ -146,3 +146,31 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_distribute_salted_path_byte_identical(spark, pages_parquet, corpus_rows):
+    """distribute_salted=True (explode + chunk repartition + reassembly)
+    must produce exactly the same rows as the default in-UDF salting."""
+    df = spark.read.parquet(pages_parquet)
+    dist = {
+        r["url"]: r
+        for r in pipeline.extract_pages(
+            df, salt_threshold=16 * 1024, num_partitions=8,
+            distribute_salted=True,
+        ).collect()
+    }
+    exp = _expected(corpus_rows)
+    assert len(dist) == len(exp)
+    for u, e in exp.items():
+        assert dist[u]["text"] == e.text, u
+        assert dist[u]["n_blocks"] == e.n_blocks, u
+        assert dist[u]["lang"] == e.lang, u
+    # and the plan genuinely redistributes chunk rows
+    plan = (
+        pipeline.extract_pages(
+            df, salt_threshold=16 * 1024, num_partitions=8,
+            distribute_salted=True,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "chunk_id" in plan and "Exchange" in plan
