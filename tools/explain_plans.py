@@ -48,9 +48,10 @@ def main() -> int:
     sections.append(
         (
             "extract_pages over lang-partitioned table",
-            "branch filters land as PartitionFilters (pruned scans); html "
-            "is dropped right after ArrowEvalPython; the only exchange "
-            "below the union belongs to the salted-subset groupBy.",
+            "branch filters land as PartitionFilters (pruned scans, ONE scan "
+            "per lang — salting happens inside the extract UDF); html is "
+            "dropped right after ArrowEvalPython; no exchange below the "
+            "union at all.",
             plan_of(extract_pages(src, salt_threshold=16 * 1024, num_partitions=8)),
         )
     )
