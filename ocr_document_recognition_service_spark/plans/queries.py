@@ -930,6 +930,171 @@ def q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_reg(
+    "q13_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    "TPC-H Q13-style order-count distribution (LEFT OUTER join with an "
+    "ON-clause filter, zero-order customers kept, double aggregation)",
+)
+def q13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_reg(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(CAST(sum(CAST(l_extendedprice AS decimal(18,4))
+                   * (CAST(1 AS decimal(18,4)) - CAST(l_discount AS decimal(18,4)))) AS double), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    "TPC-H Q15-style top supplier (scalar-subquery max over a derived "
+    "revenue view; exact-decimal sums make the equality safe)",
+)
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    s = load(spark, sf, "supplier")
+    l = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev).cast("double"), 2).alias("total_rev")
+    )
+    mx = per_supp.agg(F.max("total_rev").alias("mx"))
+    return (
+        s.join(per_supp, s.s_suppkey == per_supp.l_suppkey)
+        .join(F.broadcast(mx), F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@_reg(
+    "q19_disjunctive",
+    """
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS decimal(18,4))
+             * (CAST(1 AS decimal(18,4)) - CAST(l.l_discount AS decimal(18,4)))) AS double), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 30
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "TPC-H Q19-style disjunction of conjunctive band predicates "
+    "(OR-of-ANDs across both join sides)",
+)
+def q19_disjunctive(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    l = load(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC)
+    )
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 30)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_reg(
+    "q22_idle_customers",
+    """
+    WITH avg_bal AS (
+      SELECT round(CAST(sum(CAST(c_acctbal AS decimal(18,4))) AS double)
+                   / count(*), 4) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(c.c_acctbal AS decimal(18,4))) AS double), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c.c_mktsegment
+    """,
+    "TPC-H Q22-style idle high-balance customers: no order since "
+    "2000-01-01 (scalar avg subquery + NOT EXISTS anti-join)",
+)
+def q22_idle_customers(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    ab = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("ab")
+        )
+    )
+    rich = c.join(F.broadcast(ab), F.col("c_acctbal") > F.col("ab")).drop("ab")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    idle = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast(_DEC)).cast("double"), 2
+        ).alias("totacctbal"),
+    )
+
+
 # =====================================================================
 # Dedup suite (training-data ops)
 # =====================================================================
