@@ -221,8 +221,17 @@ def split_html(raw: bytes, target_bytes: int) -> list[bytes]:
     if len(raw) <= target_bytes or pdf_extract.is_pdf(raw):
         return [raw]
     m = html_extract._CHARSET_RE.search(raw[:2048])
-    if m and m.group(1).lower() not in (b"utf-8", b"utf8"):
-        return [raw]
+    if m:
+        if m.group(1).lower() not in (b"utf-8", b"utf8"):
+            return [raw]
+    else:
+        # no declaration: chunks 1+ would re-run the legacy-encoding
+        # heuristic on a meta-less prefix-free slice and could diverge —
+        # only split payloads that provably ARE UTF-8
+        try:
+            raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return [raw]
     pts = _safe_cut_points(raw)
     chunks: list[bytes] = []
     start = 0

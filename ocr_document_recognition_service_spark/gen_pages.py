@@ -105,8 +105,10 @@ def _build_html(
     charset: str = "utf-8",
     malformed: bool = False,
     empty_body: bool = False,
+    declare_charset: bool = True,
 ) -> bytes:
-    head = f'<head><meta charset="{charset}"><title>{_words(rng, lang, 3)}</title></head>'
+    meta = f'<meta charset="{charset}">' if declare_charset else ""
+    head = f"<head>{meta}<title>{_words(rng, lang, 3)}</title></head>"
     if empty_body:
         doc = f"<!DOCTYPE html><html>{head}<body></body></html>"
         return doc.encode(charset, errors="replace")
@@ -213,6 +215,10 @@ def _gen_row(i: int, seed: int) -> dict[str, Any]:
             charset="windows-1251" if cp1251 else "utf-8",
             malformed=malformed,
             empty_body=empty_body,
+            # some legacy pages never declare their encoding: the
+            # detect_legacy_encoding heuristic must recover them
+            # (index-based condition — rng draw sequence untouched)
+            declare_charset=not (cp1251 and i % 7 == 3),
         )
     stale = _words(rng, lang, 10) if rng.random() < 0.3 else None
     return {

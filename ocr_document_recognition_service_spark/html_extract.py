@@ -68,17 +68,46 @@ _WS_DIRTY_RE = re.compile(r"[^\S ]| {2}|^ | $")
 
 
 def sniff_decode(raw: bytes) -> str:
-    """Deterministic charset sniff + decode (§1.4, pinned)."""
-    enc = "utf-8"
+    """Deterministic charset sniff + decode (§1.4, pinned).
+
+    Order: declared ``meta charset`` → strict UTF-8 → byte-statistic
+    fallback (``detect_legacy_encoding``) → UTF-8 with replacement.
+    The fallback is the deterministic analog of the reference's chardet
+    call (eval_loader.py:12-16) for the dominant legacy case: cp1251
+    Cyrillic pages that never declared an encoding.
+    """
     m = _CHARSET_RE.search(raw[:2048])
     if m:
         cand = m.group(1).decode("ascii", "replace")
         try:
             codecs.lookup(cand)
-            enc = cand
+            return raw.decode(cand, errors="replace")
         except LookupError:
             pass
-    return raw.decode(enc, errors="replace")
+        return raw.decode("utf-8", errors="replace")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        enc = detect_legacy_encoding(raw)
+        return raw.decode(enc, errors="replace")
+
+
+def detect_legacy_encoding(raw: bytes, sample_bytes: int = 65536) -> str:
+    """Deterministic legacy-encoding heuristic for NON-UTF-8 payloads:
+    windows-1251 when ≥60% of the sampled high bytes sit in its
+    Cyrillic letter range 0xC0–0xFF (the statistically dominant band of
+    Russian cp1251 text), else UTF-8-with-replacement.  Pure byte
+    counting — no library, same answer on every engine and run."""
+    sample = raw[:sample_bytes]
+    high = cyr = 0
+    for b in sample:
+        if b >= 0x80:
+            high += 1
+            if b >= 0xC0:
+                cyr += 1
+    if high and cyr / high >= 0.6:
+        return "windows-1251"
+    return "utf-8"
 
 
 def clean_text(text: str) -> str:

@@ -369,3 +369,40 @@ def test_split_invariance_property_adversarial(data):
     assert sp.text == base.text
     assert sp.n_blocks == base.n_blocks
     assert sp.lang == base.lang
+
+
+def test_metaless_cp1251_detected_by_heuristic():
+    """A cp1251 page with NO meta charset must decode via the
+    deterministic legacy-encoding heuristic (chardet analog)."""
+    body = "<html><head><title>т</title></head><body><p>привет мир слово дерево</p></body></html>"
+    raw = body.encode("windows-1251")
+    assert html_extract._CHARSET_RE.search(raw) is None
+    assert html_extract.detect_legacy_encoding(raw) == "windows-1251"
+    res = extract_one.extract_document(raw, "ru")
+    assert res.text == "привет мир слово дерево"
+    # valid UTF-8 without meta is untouched (strict decode wins)
+    utf = "<body><p>привет мир слово дерево</p></body>".encode()
+    assert extract_one.extract_document(utf, "ru").text == "привет мир слово дерево"
+    # ascii-only no-meta: nothing to detect
+    assert html_extract.detect_legacy_encoding(b"<p>plain</p>") == "utf-8"
+
+
+def test_metaless_non_utf8_is_never_split():
+    body = "<body>" + "<p>привет мир слово дерево</p>" * 500 + "</body>"
+    raw = body.encode("windows-1251")
+    assert len(raw) > 4096
+    assert extract_one.split_html(raw, 4096) == [raw]
+    base = extract_one.extract_document(raw, "ru")
+    sp = extract_one.extract_document_split(raw, "ru", 4096)
+    assert sp.text == base.text
+
+
+def test_corpus_contains_metaless_cp1251_rows(corpus_rows):
+    n = sum(
+        1
+        for r in corpus_rows
+        if not pdf_extract.is_pdf(r["html"])
+        and html_extract._CHARSET_RE.search(r["html"][:2048]) is None
+        and html_extract.detect_legacy_encoding(r["html"]) == "windows-1251"
+    )
+    assert n >= 1  # the engineered variant exists and round-trips
