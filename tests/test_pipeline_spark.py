@@ -174,3 +174,43 @@ def test_distribute_salted_path_byte_identical(spark, pages_parquet, corpus_rows
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "chunk_id" in plan and "Exchange" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Relational-side skew story: with AQE skew-join enabled (session
+    default), a pathologically skewed join key is split at runtime —
+    the executed SortMergeJoin reports skew=true."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # 95% of left rows share one key; right side is uniform
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum("v").alias("s"), F.count("*"))
+        rows = j.collect()  # execute THIS dataset so ITS AQE plan finalizes
+        assert rows[0][1] > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
