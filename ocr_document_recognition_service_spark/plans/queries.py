@@ -1919,6 +1919,39 @@ def ev2_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "ev7_grouping_sets",
+    """
+    SELECT event_type, source,
+           CAST(grouping(event_type) * 2 + grouping(source) AS BIGINT) AS gid,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (SELECT e.event_type, d.source, e.value
+          FROM events e JOIN documents d ON e.user_id % 500 = d.doc_id)
+    GROUP BY GROUPING SETS ((event_type, source), (event_type), (source))
+    """,
+    "explicit GROUPING SETS + grouping_id over an events×documents "
+    "join (beyond ev2's ROLLUP: an arbitrary set list, no grand total)",
+)
+def ev7_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    d = load(spark, sf, "documents").select("doc_id", "source")
+    joined = e.join(
+        F.broadcast(d), (F.col("user_id") % 500) == F.col("doc_id")
+    ).select("event_type", "source", "value")
+    return joined.groupingSets(
+        [["event_type", "source"], ["event_type"], ["source"]],
+        "event_type",
+        "source",
+    ).agg(
+        (F.grouping("event_type") * 2 + F.grouping("source"))
+        .cast("long")
+        .alias("gid"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@_reg(
     "ev3_pivot",
     """
     SELECT user_id,
