@@ -157,3 +157,33 @@ def kmv_distinct_shingles(docs: DataFrame, k: int = 256) -> DataFrame:
         )
         .select("n_exact", "kmv_estimate", "rel_err")
     )
+
+
+# Engine-portable redaction patterns: RE2-safe subset (no lookaround,
+# no backreferences) so Spark (Java regex) and any RE2 engine (DuckDB)
+# rewrite byte-identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+NUM_RE = r"[0-9]+"
+
+
+def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/noise scrubbing (training-data curation staple): emails →
+    <EMAIL>, urls → <URL>, digit runs → <NUM>, with per-doc counts of
+    what was redacted and an md5 fingerprint of the redacted text (the
+    value the oracle pins).  Pure JVM regexp — codegen, no UDF."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        NUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(URL_RE))).cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(NUM_RE))).cast("long").alias("n_nums"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -1849,6 +1849,27 @@ def ta5_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_reg(
+    "ta6_redact",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\s]+', '<URL>', 'g'),
+                 '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+    "PII/noise redaction (curation staple): emails/urls/digit-runs → "
+    "placeholders, per-doc counts + md5 of the redacted text (RE2-safe "
+    "regex subset so both engines rewrite identically)",
+)
+def ta6_redact(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.redact(load(spark, sf, "documents"))
+
+
 # =====================================================================
 # Events aggregation
 # =====================================================================
