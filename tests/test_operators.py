@@ -434,3 +434,38 @@ def test_range_join_bucketed_matches_brute_force(spark):
         if pu == iu and s <= ts <= e
     }
     assert got == expect and ("a", 1) in got and ("b", 1) in got
+
+
+def test_asof_join_property_random(spark):
+    """Randomized as-of semantics check: for arbitrary key/ts multisets
+    (unique (key, ts) per side), the operator equals the brute-force
+    greatest-right-ts-at-or-before reference."""
+    import random as _r
+
+    rng = _r.Random(1234)
+    for trial in range(4):
+        keys = ["a", "b", "c"]
+        lrows = sorted(
+            {(rng.choice(keys), rng.randint(0, 40)) for _ in range(25)}
+        )
+        rrows_set = {(rng.choice(keys), rng.randint(0, 40)) for _ in range(20)}
+        rrows = [(k, t, float(t * 10 + hash(k) % 7)) for k, t in sorted(rrows_set)]
+        left = spark.createDataFrame(
+            [(k, t, f"{k}{t}") for k, t in lrows],
+            "user_id: string, ts: long, tag: string",
+        )
+        right = spark.createDataFrame(
+            rrows, "user_id: string, ts: long, val: double"
+        )
+        from ocr_document_recognition_service_spark.operators import windows
+
+        got = {
+            (r["user_id"], r["ts"]): (r["asof_ts"], r["val"])
+            for r in windows.asof_join(
+                left, right, key="user_id", ts="ts", right_cols=["val"]
+            ).collect()
+        }
+        for k, t in lrows:
+            cand = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
+            expect = max(cand) if cand else (None, None)
+            assert got[(k, t)] == expect, (trial, k, t)
