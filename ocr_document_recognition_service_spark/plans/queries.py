@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
 from ..operators import dedup, metrics, similarity, text_analysis, windows
@@ -630,6 +630,43 @@ def w7_sorted_zip(spark: SparkSession, sf: str) -> DataFrame:
     s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
     return windows.sorted_zip(c, s, "c_custkey", "s_suppkey").select(
         "rank", "c_name", "s_name"
+    )
+
+
+@_reg(
+    "w8_sliding_stats",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg,
+           CAST(coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+                         - CAST(floor(epoch(lag(ts) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC))) AS BIGINT), -1)
+                AS BIGINT) AS secs_since_prev
+    FROM events
+    """,
+    "sliding window frame (4-row moving average) + lag delta per user — "
+    "the bounded-frame window shapes W1/W2 do not cover",
+)
+def w8_sliding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wf = w.rowsBetween(-3, Window.currentRow)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(wf), 4).alias("moving_avg"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("secs_since_prev"),
     )
 
 
