@@ -17,7 +17,10 @@ def build_session(
     app_name: str = "ocr-document-recognition-service-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 4096,
+    # 1024 measured best for the extraction UDFs (8KB-ish payloads →
+    # ~8MB Arrow batches pipeline JVM→Python better than 4096/10000;
+    # min-of-3 A/B on the 50k bench corpus: 2.28s vs 2.63s vs 2.48s)
+    arrow_batch: int = 1024,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
