@@ -746,6 +746,33 @@ def s1_customers_no_urgent(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "s2_building_and_urgent",
+    """
+    SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    "set intersection: BUILDING-segment customers that also placed an "
+    "urgent order (completes the §2.8 set-op trio with s1's EXCEPT)",
+)
+def s2_building_and_urgent(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return c.intersect(o)
+
+
+@_reg(
     "q7_volume_shipping",
     """
     SELECT supp_nation, cust_nation, l_year,
