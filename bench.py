@@ -76,11 +76,9 @@ def main() -> int:
     for name in HEADLINE:
         df = registry[name](spark, sf_dir)
         cold[name] = round(_time_noop_write(df), 3)
-        # min of two warm runs: the sandbox shares physical cores with
+        # min of three warm runs: the sandbox shares physical cores with
         # other tenants, so single samples can inflate 1.5-2x (measured)
-        times[name] = round(
-            min(_time_noop_write(df), _time_noop_write(df)), 3
-        )
+        times[name] = round(min(_time_noop_write(df) for _ in range(3)), 3)
 
     # extraction throughput: corpus materialized once as a parquet table
     # (the real input shape — the pipeline reads a table, it doesn't
