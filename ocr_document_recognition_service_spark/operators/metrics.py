@@ -118,6 +118,90 @@ def match_report(
     )
 
 
+def ap_report(
+    preds: DataFrame,
+    thresholds: list[float],
+    key: str,
+    conf: str,
+    score: str = "iou",
+    tiebreak: str = "l_linenumber",
+    conf_band: float = 64.0,
+) -> DataFrame:
+    """A9 completion: full PR-curve average precision (AP) per IoU
+    threshold — the rank-sweep the reference delegates to ultralytics
+    DetMetrics (core/utils/metrics.py:26-66), as pure windows.
+
+    Semantics (exact, continuous AP — no 101-point interpolation):
+    rank all predictions by confidence desc; a prediction is TP iff it
+    is the highest-confidence candidate for its GT *key* (greedy match,
+    metrics.py:128-145) AND its *score* is strictly above the
+    threshold; AP = Σ_{TP ranks i} precision@i / n_gt.
+
+    Scale shape: a plain ``Window.orderBy(conf)`` funnels every
+    prediction through ONE task.  Here rank and running-TP decompose
+    over confidence bands ``_g = floor(conf / conf_band)`` (monotone in
+    the global desc order): per-(threshold, band) local windows run in
+    parallel, then tiny per-band (count, tp) exclusive prefixes are
+    broadcast back — the ``chunk_ids`` two-pass prefix-sum pattern.
+    Band ties cannot split across groups (equal conf ⇒ equal band).
+    """
+    spark = preds.sparkSession
+    thr = spark.createDataFrame(
+        [(float(t),) for t in thresholds], "iou_threshold double"
+    )
+    best_w = Window.partitionBy(key).orderBy(
+        F.col(conf).desc(), F.col(tiebreak).asc()
+    )
+    base = preds.withColumn(
+        "_best", (F.row_number().over(best_w) == 1).cast("int")
+    )
+    x = (
+        base.crossJoin(F.broadcast(thr))
+        .withColumn(
+            "_tp",
+            (
+                (F.col("_best") == 1)
+                & (F.col(score) > F.col("iou_threshold"))
+            ).cast("int"),
+        )
+        .withColumn("_g", F.floor(F.col(conf) / conf_band))
+    )
+    order = [F.col(conf).desc(), F.col(key).asc(), F.col(tiebreak).asc()]
+    wr = Window.partitionBy("iou_threshold", "_g").orderBy(*order)
+    wsum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = x.withColumn("_rn", F.row_number().over(wr)).withColumn(
+        "_ctp", F.sum("_tp").over(wsum)
+    )
+    wo = (
+        Window.partitionBy("iou_threshold")
+        .orderBy(F.col("_g").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        x.groupBy("iou_threshold", "_g")
+        .agg(F.count("*").alias("_c"), F.sum("_tp").alias("_t"))
+        .withColumn("_offn", F.coalesce(F.sum("_c").over(wo), F.lit(0)))
+        .withColumn("_offtp", F.coalesce(F.sum("_t").over(wo), F.lit(0)))
+        .select("iou_threshold", "_g", "_offn", "_offtp")
+    )
+    i = (F.col("_rn") + F.col("_offn")).cast("double")
+    cum_tp = (F.col("_ctp") + F.col("_offtp")).cast("double")
+    term = F.when(F.col("_tp") == 1, cum_tp / i)
+    return (
+        local.join(F.broadcast(offs), ["iou_threshold", "_g"])
+        .groupBy("iou_threshold")
+        .agg(
+            F.countDistinct(key).cast("long").alias("n_gt"),
+            F.count("*").cast("long").alias("n_pred"),
+            F.sum("_tp").cast("long").alias("n_tp"),
+            F.round(
+                F.coalesce(F.sum(term), F.lit(0.0)) / F.countDistinct(key),
+                6,
+            ).alias("ap"),
+        )
+    )
+
+
 def best_match_per_key(
     df: DataFrame, key: str, score: str, tiebreak: str
 ) -> DataFrame:

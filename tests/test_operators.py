@@ -469,3 +469,41 @@ def test_asof_join_property_random(spark):
             cand = [(rt, v) for rk, rt, v in rrows if rk == k and rt <= t]
             expect = max(cand) if cand else (None, None)
             assert got[(k, t)] == expect, (trial, k, t)
+
+
+def test_ap_report_matches_hand_computed(spark):
+    """AP semantics on a tiny hand-checkable case.
+
+    4 GTs (keys 1-4), 6 preds ranked by conf desc:
+      conf 90 key=1 iou .9  best -> TP
+      conf 80 key=2 iou .2  best -> FP (below thr .5)
+      conf 70 key=3 iou .8  best -> TP
+      conf 60 key=1 iou .95 not best (key 1 taken by conf 90) -> FP
+      conf 50 key=4 iou .7  best -> TP
+      conf 40 key=3 iou .9  not best -> FP
+    Precision at TP ranks 1,3,5 = 1/1, 2/3, 3/5; n_gt = 4
+    AP = (1 + 2/3 + 3/5) / 4 = 0.566667
+    """
+    from ocr_document_recognition_service_spark.operators import metrics
+
+    rows = [
+        (1, 1, 90.0, 0.9),
+        (2, 1, 80.0, 0.2),
+        (3, 1, 70.0, 0.8),
+        (1, 2, 60.0, 0.95),
+        (4, 1, 50.0, 0.7),
+        (3, 2, 40.0, 0.9),
+    ]
+    preds = spark.createDataFrame(
+        rows, "l_orderkey int, l_linenumber int, conf double, iou double"
+    )
+    # conf_band=25 forces multiple bands -> exercises the two-pass
+    # offset join, not just the trivial single-group case
+    out = metrics.ap_report(
+        preds, thresholds=[0.5], key="l_orderkey", conf="conf",
+        score="iou", tiebreak="l_linenumber", conf_band=25.0,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_gt"], r["n_pred"], r["n_tp"]) == (4, 6, 3)
+    assert r["ap"] == round((1 + 2 / 3 + 3 / 5) / 4, 6)
