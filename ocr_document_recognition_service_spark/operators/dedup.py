@@ -160,11 +160,15 @@ def minhash_signatures(
     )
 
 
+LSH_BUCKET_CAP = 64
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     n_hashes: int = N_MINHASH,
     band_rows: int = LSH_BAND_ROWS,
     shingle: str = "w3",
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Banded-LSH candidate pairs: docs sharing ANY band signature.
 
@@ -173,6 +177,18 @@ def lsh_candidate_pairs(
     exploding shingles × seeds — same signatures, 1/n of the shuffle
     rows.  band signature = ordered concat of the band's min-hashes;
     the pair join happens per bucket (bounded fan-out).
+
+    *bucket_cap* bounds the worst-case bucket population (real corpora
+    have millions of near-identical boilerplate pages sharing a band
+    signature, and an uncapped ``bands ⋈ bands`` goes quadratic inside
+    one mega-bucket).  Same shape as ``similarity.lsh_probe_candidates``:
+    every doc still probes, but only the *bucket_cap* smallest doc_ids
+    per (band, band_sig) serve as the index side — a bucket of size M
+    emits ≤ M × bucket_cap pairs instead of M².  The bucket MINIMUM is
+    always in the index, so every member stays connected to the bucket
+    representative and duplicate CLUSTERS survive intact; only
+    pair-level recall among non-representatives is truncated (the
+    documented cost of boundedness — raise the cap to buy it back).
     """
     sh = _shingle_rows(docs, shingle)
     wide = sh.groupBy("doc_id").agg(
@@ -195,16 +211,29 @@ def lsh_candidate_pairs(
     bands = wide.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    idx = bands
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "band_sig").orderBy(
+            F.col("doc_id").asc()
+        )
+        idx = (
+            bands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     return (
         bands.alias("a")
         .join(
-            bands.alias("b"),
+            idx.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
         )
         .distinct()
     )

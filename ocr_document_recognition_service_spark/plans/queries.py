@@ -1278,10 +1278,20 @@ _LSH_CAND_CTES = """
              string_agg(sig, '|' ORDER BY seed) AS band_sig
       FROM sig GROUP BY doc_id, band
     ),
+    capped AS (
+      SELECT doc_id, band, band_sig FROM (
+        SELECT doc_id, band, band_sig,
+               row_number() OVER (PARTITION BY band, band_sig
+                                  ORDER BY doc_id ASC) AS rn
+        FROM bands
+      ) WHERE rn <= 64
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM bands a JOIN capped b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id <> b.doc_id
     )
 """
 

@@ -507,3 +507,24 @@ def test_ap_report_matches_hand_computed(spark):
     r = out[0]
     assert (r["n_gt"], r["n_pred"], r["n_tp"]) == (4, 6, 3)
     assert r["ap"] == round((1 + 2 / 3 + 3 / 5) / 4, 6)
+
+
+def test_lsh_candidate_pairs_bounded_under_skew(spark):
+    """A mega-bucket (N identical docs => every band signature shared)
+    must emit <= N * cap pairs, not N^2/2, and every doc must stay
+    connected to the bucket's representative (min doc_id)."""
+    n, cap = 400, 16
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        docs, shingle="w3", bucket_cap=cap
+    ).collect()
+    assert len(pairs) <= n * cap
+    assert len(pairs) < n * (n - 1) // 2  # the uncapped quadratic count
+    # cluster connectivity: every doc appears in some pair with doc 0
+    partners_of_0 = {r["doc_b"] for r in pairs if r["doc_a"] == 0}
+    touched = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert touched == set(range(n))
+    assert partners_of_0 == set(range(1, n))  # min doc is always indexed
