@@ -119,15 +119,85 @@ def sorted_zip(
 
 
 def balanced_sample(
-    df: DataFrame, group_col: str, order_col: str, n_per_group: int
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n_per_group: int,
+    group_size: int = 65536,
 ) -> DataFrame:
     """W4 balanced per-source sample (the reference's 50k-per-source
-    train set, datasets/README.md 'v2_50k')."""
-    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    train set, datasets/README.md 'v2_50k'): the *n_per_group* smallest
+    *order_col* rows per *group_col*.
+
+    A plain ``Window.partitionBy(group_col)`` funnels every group's FULL
+    row set through one task to be ranked — with a 3-value group key
+    that is a straggler by construction at 100 TB.  Here the per-group
+    rank is the ``global_rank`` two-pass decomposition applied within
+    each group (*order_col* must be numeric and unique per group):
+
+    - pass 1: row_number within (group, band) where band =
+      floor(order_col / group_size) — every band in parallel, band
+      population bounded by *group_size*;
+    - pass 2: per-(group, band) counts → exclusive prefix over bands
+      (a window over the tiny counts table) → broadcast back.
+
+    Both sides are pruned before the join: a row with local rank >
+    n_per_group, or a band whose offset is already ≥ n_per_group, can
+    never survive the final ``rank ≤ n`` filter — so the join touches
+    at most n_per_group rows per live band, not the table.
+
+    Non-numeric order keys (e.g. urls) cannot band monotonically, so
+    they take the salted two-stage top-n instead: stage 1 keeps the
+    n smallest within each of *n_salts* hash-salted sub-groups (the
+    group's rows split B ways — the per-group top-n is provably a
+    subset of the union of per-salt top-ns), stage 2 exact-ranks the
+    ≤ n×B survivors per group.  Exact for any orderable type; the
+    funnel is bounded by n×n_salts survivor rows, never the group.
+    """
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[order_col].dataType, NumericType):
+        n_salts = 64
+        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
+        w1 = Window.partitionBy(group_col, "_salt").orderBy(
+            F.col(order_col).asc()
+        )
+        survivors = (
+            df.withColumn("_salt", salt)
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= n_per_group)
+        )
+        w2 = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+        return (
+            survivors.withColumn("_rn2", F.row_number().over(w2))
+            .filter(F.col("_rn2") <= n_per_group)
+            .drop("_salt", "_rn", "_rn2")
+        )
+
+    grp = F.floor(F.col(order_col) / group_size)
+    staged = df.withColumn("_g", grp)
+    wg = Window.partitionBy(group_col, "_g").orderBy(F.col(order_col).asc())
+    local = staged.withColumn("_rn", F.row_number().over(wg)).filter(
+        F.col("_rn") <= n_per_group
+    )
+    wo = (
+        Window.partitionBy(group_col)
+        .orderBy("_g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        staged.groupBy(group_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_c").over(wo), F.lit(0)).cast("long")
+        )
+        .filter(F.col("_off") < n_per_group)
+        .select(group_col, "_g", "_off")
+    )
     return (
-        df.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_per_group)
-        .drop("rn")
+        local.join(F.broadcast(offs), [group_col, "_g"])
+        .filter(F.col("_rn") + F.col("_off") <= n_per_group)
+        .drop("_g", "_rn", "_off")
     )
 
 

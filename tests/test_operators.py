@@ -528,3 +528,33 @@ def test_lsh_candidate_pairs_bounded_under_skew(spark):
     touched = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
     assert touched == set(range(n))
     assert partners_of_0 == set(range(1, n))  # min doc is always indexed
+
+
+def test_balanced_sample_matches_plain_window(spark):
+    """Both balanced_sample paths (numeric banded two-pass, string
+    salted two-stage) must equal the naive full-group window result."""
+    from ocr_document_recognition_service_spark.operators import windows as W
+
+    rows = [(i, f"g{i % 3}", f"url{i:05d}") for i in range(997)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, url string")
+
+    def naive(order_col):
+        w = F.row_number().over(
+            __import__("pyspark.sql", fromlist=["Window"]).Window
+            .partitionBy("grp").orderBy(F.col(order_col).asc())
+        )
+        return {
+            (r["grp"], r[order_col])
+            for r in df.withColumn("rn", w).filter("rn <= 10").collect()
+        }
+
+    got_num = {
+        (r["grp"], r["doc_id"])
+        for r in W.balanced_sample(df, "grp", "doc_id", 10, group_size=100).collect()
+    }
+    assert got_num == naive("doc_id")
+    got_str = {
+        (r["grp"], r["url"])
+        for r in W.balanced_sample(df, "grp", "url", 10).collect()
+    }
+    assert got_str == naive("url")
