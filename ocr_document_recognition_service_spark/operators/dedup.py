@@ -374,9 +374,9 @@ def embedding_dup_pairs(
     Candidates = same-bucket (vec_a < vec_b) pairs from
     ``similarity.lsh_buckets`` — at 100 TB the bucket id is the
     partition key and the quadratic term is bounded per bucket.  Exact
-    cosine on candidates only: vectors unnested to (vec_id, pos, x) and
-    dot/norms computed as grouped sums in double — the exact arithmetic
-    the SQL oracle runs, so values match to rounding.
+    cosine on candidates only, ARRAY-NATIVE (zip_with/aggregate in
+    codegen — no posexplode, no norms shuffle); per-element products in
+    double + 4dp rounding keep parity with the flat SQL oracle.
     """
     planes = planes or similarity.hyperplanes(n_planes)
     b = similarity.lsh_buckets(emb, planes)
@@ -391,33 +391,25 @@ def embedding_dup_pairs(
             F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
         )
     )
-    flat = emb.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-    norms = flat.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
     )
-    dots = (
-        cand.join(flat.alias("fa"), F.col("fa.vec_id") == F.col("vec_a"))
-        .join(
-            flat.alias("fb"),
-            (F.col("fb.vec_id") == F.col("vec_b"))
-            & (F.col("fb.pos") == F.col("fa.pos")),
-        )
-        .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("fa.x") * F.col("fb.x")).alias("dot"))
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
     )
     return (
-        dots.join(norms.withColumnRenamed("vec_id", "vec_a"), "vec_a")
-        .withColumnRenamed("nrm", "na")
-        .join(
-            norms.withColumnRenamed("vec_id", "vec_b").withColumnRenamed(
-                "nrm", "nb"
-            ),
-            "vec_b",
-        )
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
         .withColumn(
-            "cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+            "cosine",
+            F.round(
+                similarity.dot_arrays("_ea", "_eb")
+                / (
+                    similarity.norm_arrays("_ea")
+                    * similarity.norm_arrays("_eb")
+                ),
+                4,
+            ),
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")

@@ -10,9 +10,14 @@
   query's bucket.  At 100 TB the bucket id is the partition/cluster
   key, so a top-k probe reads one bucket, not the corpus.
 
-For in-Spark-only use, `cosine_topk_arrays` keeps vectors as arrays and
-uses `F.zip_with` + `aggregate` (no unnest blow-up); the unnested
-variants exist so the DuckDB oracle can reproduce values exactly.
+Every registered plan is ARRAY-NATIVE: dot products / norms / L2 are
+``zip_with`` + ``aggregate`` over the embedding arrays — whole-stage
+codegen, zero shuffle for per-vector math, no ×dim posexplode
+amplification in the hot path.  The DuckDB oracles keep the unnested
+(flat) arithmetic; parity holds because every per-element product is
+computed in double in BOTH engines and every compared value (cosine,
+dist2) is rounded (4/6 dp) before ranking — array-order vs
+unnest-order summation ulps cannot survive the rounding.
 """
 
 from __future__ import annotations
@@ -35,35 +40,31 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM, seed: int = 7):
     ]
 
 
-def _flat(emb: DataFrame) -> DataFrame:
-    return emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).withColumn("x", F.col("x").cast("double"))
-
-
-def _norms(flat: DataFrame) -> DataFrame:
-    return flat.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+def dot_arrays(a: F.Column | str, b: F.Column | str) -> F.Column:
+    """Array dot product in codegen: per-element products in DOUBLE
+    (the same arithmetic the flat SQL oracles run), summed in array
+    order via aggregate — zero shuffle, no posexplode."""
+    av = F.col(a) if isinstance(a, str) else a
+    bv = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            av, bv, lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
 
 
-def _rank_by_cosine(dots: DataFrame, norms: DataFrame, k: int) -> DataFrame:
-    """Shared scoring tail: cosine = dot/(|q||n|) rounded 4dp, rank by
-    (cosine desc, neighbor_id asc), keep top-k.  This rounding and
-    tie-break IS the oracle contract — one copy only."""
-    scored = (
-        dots.join(norms.withColumnRenamed("vec_id", "query_id"), "query_id")
-        .withColumnRenamed("nrm", "nq")
-        .join(
-            norms.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
-                "nrm", "nn"
-            ),
-            "neighbor_id",
-        )
-        .withColumn(
-            "cosine", F.round(F.col("dot") / (F.col("nq") * F.col("nn")), 4)
-        )
-    )
+def norm_arrays(a: F.Column | str) -> F.Column:
+    """L2 norm of an embedding array, per-row (no norms shuffle)."""
+    return F.sqrt(dot_arrays(a, a))
+
+
+def _rank_scored(scored: DataFrame, k: int) -> DataFrame:
+    """Shared ranking tail over (query_id, neighbor_id, cosine) rows:
+    rank by (cosine desc, neighbor_id asc), keep top-k.  The 4dp
+    rounding already applied to *cosine* plus this tie-break IS the
+    oracle contract — one copy only."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -74,30 +75,58 @@ def _rank_by_cosine(dots: DataFrame, norms: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _score_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
+    """Attach both embedding arrays to candidate (query_id, neighbor_id)
+    pairs and compute rounded cosine per-row in codegen."""
+    qa = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    qb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_nv"),
+    )
+    return (
+        cand.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_arrays("_qv", "_nv")
+                / (norm_arrays("_qv") * norm_arrays("_nv")),
+                4,
+            ),
+        )
+        .drop("_qv", "_nv")
+    )
+
+
 def cosine_topk(
     emb: DataFrame, n_queries: int = 5, k: int = 3
 ) -> DataFrame:
     """Brute-force top-k neighbors for vec_id < n_queries (self excluded).
 
     Returns (query_id, neighbor_id, rank, cosine[rounded 4dp]); rank
-    breaks cosine ties by neighbor id — fully deterministic.
+    breaks cosine ties by neighbor id — fully deterministic.  The tiny
+    query set is broadcast; dot/norms are array-native per-row math, so
+    the only shuffle is the per-query top-k window.
     """
-    flat = _flat(emb)
-    q = flat.filter(F.col("vec_id") < n_queries)
-    dots = (
-        q.alias("a")
-        .join(
-            flat.alias("b"),
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .groupBy(
-            F.col("a.vec_id").alias("query_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-        )
-        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
     )
-    return _rank_by_cosine(dots, _norms(flat), k)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_arrays("_qv", "embedding")
+                / (norm_arrays("_qv") * norm_arrays("embedding")),
+                4,
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+    return _rank_scored(scored, k)
 
 
 def cosine_topk_arrays(
@@ -109,24 +138,13 @@ def cosine_topk_arrays(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     e = emb.select("vec_id", "embedding")
-
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            dot(F.col("embedding"), F.col("qv"))
-            / (
-                F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-                * F.sqrt(dot(F.col("qv"), F.col("qv")))
-            ),
+            dot_arrays("embedding", "qv")
+            / (norm_arrays("embedding") * norm_arrays("qv")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -221,7 +239,6 @@ def lsh_topk(
     multi-table OR-probing with a per-bucket population cap (see
     ``lsh_probe_candidates``) — bounded worst-case fan-out.
     Returns (query_id, neighbor_id, rank, cosine)."""
-    flat = _flat(emb)
     if n_tables is not None:
         cand = lsh_probe_candidates(
             emb, n_planes, n_tables, bucket_cap, base_seed
@@ -240,42 +257,42 @@ def lsh_topk(
                 F.col("qb.vec_id").alias("neighbor_id"),
             )
         )
-    dots = (
-        cand.join(
-            flat.alias("fa"), F.col("fa.vec_id") == F.col("query_id")
-        )
-        .join(
-            flat.alias("fb"),
-            (F.col("fb.vec_id") == F.col("neighbor_id"))
-            & (F.col("fb.pos") == F.col("fa.pos")),
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("fa.x") * F.col("fb.x")).alias("dot"))
+    return _rank_scored(_score_pairs(cand, emb), k)
+
+
+def _first_k_centroid_arrays(emb: DataFrame, n_cells: int) -> DataFrame:
+    """(cell, carr): deterministic first-k init centroids as double
+    arrays — tiny, always broadcast."""
+    return emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("carr"),
     )
-    return _rank_by_cosine(dots, _norms(flat), k)
+
+
+def _l2_dist2(a: F.Column | str, c: F.Column | str) -> F.Column:
+    av = F.col(a) if isinstance(a, str) else a
+    cv = F.col(c) if isinstance(c, str) else c
+    return F.aggregate(
+        F.zip_with(
+            av, cv, lambda x, cx: (x.cast("double") - cx) * (x.cast("double") - cx)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest
     centroid cell.  Deterministic centroids = the first *n_cells*
     vectors (a seeded k-means would drop in on a cluster; the
-    assignment/probe plan is identical).  Returns (vec_id, cell,
-    dist2[rounded 6dp])."""
-    flat = _flat(emb)
-    cents = flat.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"),
-        F.col("pos").alias("cpos"),
-        F.col("x").alias("cx"),
-    )
-    d2 = (
-        flat.join(cents, F.col("pos") == F.col("cpos"))
-        .groupBy("vec_id", "cell")
-        .agg(
-            F.round(
-                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))),
-                6,
-            ).alias("dist2")
-        )
+    assignment/probe plan is identical).  Centroids broadcast as
+    arrays; dist2 = rounded 6dp array-native L2, min per vector over
+    an n_cells-row window.  Returns (vec_id, cell, dist2)."""
+    cents = _first_k_centroid_arrays(emb, n_cells)
+    d2 = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.round(_l2_dist2("embedding", "carr"), 6).alias("dist2"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("dist2").asc(), F.col("cell").asc()
@@ -287,7 +304,7 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
     )
 
 
-def _cell_probe_topk(cells: DataFrame, flat: DataFrame, k: int) -> DataFrame:
+def _cell_probe_topk(cells: DataFrame, emb: DataFrame, k: int) -> DataFrame:
     """Shared IVF probe tail: same-cell candidate pairs → exact cosine
     → rank-filtered top-k (probe=1: a query reads only its cell)."""
     cand = (
@@ -302,17 +319,7 @@ def _cell_probe_topk(cells: DataFrame, flat: DataFrame, k: int) -> DataFrame:
             F.col("qb.vec_id").alias("neighbor_id"),
         )
     )
-    dots = (
-        cand.join(flat.alias("fa"), F.col("fa.vec_id") == F.col("query_id"))
-        .join(
-            flat.alias("fb"),
-            (F.col("fb.vec_id") == F.col("neighbor_id"))
-            & (F.col("fb.pos") == F.col("fa.pos")),
-        )
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("fa.x") * F.col("fb.x")).alias("dot"))
-    )
-    return _rank_by_cosine(dots, _norms(flat), k)
+    return _rank_scored(_score_pairs(cand, emb), k)
 
 
 def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 1) -> DataFrame:
@@ -320,21 +327,16 @@ def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 1) -> DataFrame:
     query's cell (probe=1).  The inverted-file twin of lsh_topk — at
     scale the cell id is the partition key and a probe reads one cell."""
     cells = ivf_assign(emb, n_cells).select("vec_id", "cell")
-    return _cell_probe_topk(cells, _flat(emb), k)
+    return _cell_probe_topk(cells, emb, k)
 
 
-def _assign_to(flat: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell): nearest centroid by L2, dist2 rounded 6dp, ties
-    by cell asc — deterministic and engine-agnostic."""
-    d2 = (
-        flat.join(cents, F.col("pos") == F.col("cpos"))
-        .groupBy("vec_id", "cell")
-        .agg(
-            F.round(
-                F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))),
-                6,
-            ).alias("dist2")
-        )
+def _assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest broadcast centroid array by L2, dist2
+    rounded 6dp, ties by cell asc — deterministic, engine-agnostic."""
+    d2 = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.round(_l2_dist2("embedding", "carr"), 6).alias("dist2"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("dist2").asc(), F.col("cell").asc()
@@ -347,30 +349,38 @@ def _assign_to(flat: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def kmeans_cells(
-    emb: DataFrame, n_cells: int = 8, iters: int = 2
+    emb: DataFrame, n_cells: int = 8, iters: int = 2, dim: int = EMB_DIM
 ) -> DataFrame:
     """Lloyd-trained IVF assignment: *iters* rounds of assign → mean
     recentering (centroid coordinates rounded 6dp each round so any
     engine reproduces the trajectory), deterministic first-k init.
-    Centroids are tiny (n_cells × dim rows); each round is one keyed
-    join + two aggregations over the flat table — the standard
-    distributed k-means shape.  Returns the final (vec_id, cell)."""
-    flat = _flat(emb)
-    cents = flat.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"),
-        F.col("pos").alias("cpos"),
-        F.col("x").alias("cx"),
-    )
-    assign = None
+    Each round is one broadcast-assign projection + ONE wide
+    aggregation (dim per-position avg columns, map-side combine — the
+    MinHash wide-agg trick; no ×dim posexplode of the corpus).
+    Returns the final (vec_id, cell)."""
+    cents = _first_k_centroid_arrays(emb, n_cells)
     for _ in range(iters):
-        assign = _assign_to(flat, cents)
+        assign = _assign_to(emb, cents)
         cents = (
-            flat.join(assign, "vec_id")
-            .groupBy("cell", F.col("pos").alias("cpos"))
-            .agg(F.round(F.avg("x"), 6).alias("cx"))
-            .select("cell", "cpos", "cx")
+            emb.join(assign, "vec_id")
+            .groupBy("cell")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(
+                            F.element_at("embedding", i + 1).cast("double")
+                        ),
+                        6,
+                    ).alias(f"_c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .select(
+                "cell",
+                F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("carr"),
+            )
         )
-    return _assign_to(flat, cents)
+    return _assign_to(emb, cents)
 
 
 def ivf_kmeans_topk(
@@ -379,30 +389,24 @@ def ivf_kmeans_topk(
     """IVF probe over Lloyd-trained cells — sim4's probe with trained
     centroids instead of the first-k quantizer."""
     cells = kmeans_cells(emb, n_cells, iters)
-    return _cell_probe_topk(cells, _flat(emb), k)
+    return _cell_probe_topk(cells, emb, k)
 
 
 def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
-    """(vec_id, bucket): bucket = Σ 2^p · [v·h_p > 0] over literal planes."""
+    """(vec_id, bucket): bucket = Σ 2^p · [v·h_p > 0] over literal
+    planes — a pure per-row projection (array dot against literal
+    plane arrays in codegen): ZERO shuffle, where the flat form paid a
+    full groupBy exchange of corpus × dim rows."""
     planes = planes or hyperplanes()
-    flat = _flat(emb)
-    parts = []
-    for p, plane in enumerate(planes):
-        # weight for dim i of plane p as a literal lookup array
-        arr = F.array(*[F.lit(w) for w in plane])
-        parts.append(
+    bucket = sum(
+        [
             F.when(
-                F.sum(F.col("x") * F.element_at(arr, F.col("pos") + 1)) > 0,
+                dot_arrays("embedding", F.array(*[F.lit(w) for w in plane]))
+                > 0,
                 F.lit(2**p).cast("long"),
-            )
-            .otherwise(F.lit(0).cast("long"))
-            .alias(f"b{p}")
-        )
-    sums = flat.groupBy("vec_id").agg(*parts)
-    bucket = sums.select(
-        "vec_id",
-        sum([F.col(f"b{p}") for p in range(len(planes))], F.lit(0).cast("long")).alias(
-            "bucket"
-        ),
+            ).otherwise(F.lit(0).cast("long"))
+            for p, plane in enumerate(planes)
+        ],
+        F.lit(0).cast("long"),
     )
-    return bucket
+    return emb.select("vec_id", bucket.alias("bucket"))
