@@ -2,12 +2,15 @@
 
 Images/audio/video ride as ``binary`` columns exactly like ``html``
 does in the pages table.  The Spark-side plumbing — schema, format
-sniffing, Arrow batch shape, partition behavior — is real and tested;
-the actual pixel/sample decode is STUBBED (no image/audio libs in this
-container): ``decode_image_meta`` emits a deterministic fake when no
-backend is importable, and raises ``NotImplementedError`` if asked to
-produce real pixels.  On a cluster, installing Pillow flips the same
-UDF to real decoding (import-try gate).
+sniffing, Arrow batch shape, partition behavior — is real and tested.
+Header metadata (PNG/GIF/JPEG/BMP dims, WAV chunks) is REAL stdlib
+parsing; ``decode_image_pixels`` REALLY decodes uncompressed 24-bit
+BMP and 8-bit greyscale PNG (zlib IDAT + filter reversal) with the
+stdlib alone, and flips to Pillow for everything else when importable
+(import-try gate).  Only formats beyond both paths (JPEG entropy
+decode, compressed colour PNG, video/audio sample decode) remain the
+loudly-marked ``NotImplementedError``/deterministic-fake stub — the
+one concession to this container having no image/audio libs.
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ _MAGICS = [
     ("25504446", "pdf"),
     ("52494646", "riff"),  # wav/avi container
     ("494433", "mp3"),
+    ("424d", "bmp"),
 ]
 
 
@@ -93,6 +97,12 @@ def parse_image_header(b: bytes) -> tuple[int, int, str] | None:
         if w and h and mode:
             return w, h, mode
         return None
+    if b[:2] == b"BM" and len(b) >= 34:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        bpp = int.from_bytes(b[28:30], "little")
+        mode = {24: "RGB", 32: "RGBA", 8: "P", 1: "1"}.get(bpp)
+        return (w, h, mode) if w > 0 and h and mode else None
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w = int.from_bytes(b[6:8], "little")
         h = int.from_bytes(b[8:10], "little")
@@ -352,11 +362,223 @@ def synthetic_image_payload(i: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
-def decode_image_pixels(*_args, **_kwargs):
-    """Real pixel decode — requires an image backend not present in this
-    container.  The Spark plumbing above (schema, batching, partition
-    passthrough) is the tested surface; this call is the marked stub."""
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes:
+    """Reverse PNG row filters (0=None 1=Sub 2=Up 3=Average 4=Paeth,
+    RFC 2083 §6) over decompressed IDAT scanlines."""
+    stride = w * bpp
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(h):
+        f = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos:pos + stride])
+        pos += stride
+        if f == 1:
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _decode_png_gray(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """8-bit greyscale non-interlaced PNG → (w, h, 'L', pixels), pure
+    stdlib (zlib IDAT inflate + filter reversal).  None if the payload
+    is not a PNG this path can read."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        return None
+    pos, n = 8, len(b)
+    w = h = None
+    ok = False
+    idat = bytearray()
+    while pos + 8 <= n:
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        cid = b[pos + 4:pos + 8]
+        body = b[pos + 8:pos + 8 + ln]
+        if cid == b"IHDR" and len(body) >= 13:
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            # bit depth 8, colour type 0 (grey), no interlace
+            ok = body[8] == 8 and body[9] == 0 and body[12] == 0
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + ln  # len + type + body + crc
+    if not (ok and w and h and idat):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (w + 1):
+        return None
+    return w, h, "L", _png_unfilter(raw, w, h, 1)
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """Uncompressed 24-bit BI_RGB BMP → (w, h, 'RGB', pixels top-down),
+    pure stdlib.  None for anything else."""
+    if b[:2] != b"BM" or len(b) < 54:
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if comp != 0 or bpp != 24 or w <= 0 or h == 0:
+        return None
+    top_down, hh = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = range(hh) if top_down else range(hh - 1, -1, -1)
+    px = bytearray()
+    for r in rows:
+        start = off + r * stride
+        row = b[start:start + w * 3]
+        if len(row) < w * 3:
+            return None
+        for i in range(0, w * 3, 3):  # BGR on disk → RGB out
+            px += bytes((row[i + 2], row[i + 1], row[i]))
+    return w, hh, "RGB", bytes(px)
+
+
+def _px_stream(i: int, n: int) -> bytes:
+    """Deterministic pseudo-pixel bytes (md5 counter stream)."""
+    out = bytearray()
+    k = 0
+    while len(out) < n:
+        out += hashlib.md5(f"px:{i}:{k}".encode()).digest()
+        k += 1
+    return bytes(out[:n])
+
+
+def synthetic_bmp_payload(i: int, w: int = 13, h: int = 7) -> bytes:
+    """Valid uncompressed 24-bit BMP (bottom-up, 4-byte row padding)
+    with deterministic pixels — a REAL encode, so decode round-trips."""
+    stride = (w * 3 + 3) & ~3
+    rgb = _px_stream(i, w * h * 3)
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for c in range(w):
+            p = (r * w + c) * 3
+            row += bytes((rgb[p + 2], rgb[p + 1], rgb[p]))  # store BGR
+        row += b"\x00" * (stride - w * 3)
+        body += row
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + len(info)
+    hdr = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + off.to_bytes(4, "little")
+    )
+    return bytes(hdr + info + body)
+
+
+def synthetic_gray_png_payload(i: int, w: int = 11, h: int = 10) -> bytes:
+    """Valid 8-bit greyscale PNG with deterministic pixels, row filter
+    type = row % 5 (forward-filtered), real zlib IDAT — exercises every
+    filter-reversal branch in ``_png_unfilter`` on round-trip."""
+    import struct
+    import zlib
+
+    px = _px_stream(i, w * h)
+    raw = bytearray()
+    prev = bytes(w)
+    for r in range(h):
+        row = px[r * w:(r + 1) * w]
+        f = r % 5
+        raw.append(f)
+        for c in range(w):
+            a = row[c - 1] if c >= 1 else 0
+            b_ = prev[c]
+            cc = prev[c - 1] if c >= 1 else 0
+            if f == 0:
+                v = row[c]
+            elif f == 1:
+                v = (row[c] - a) & 0xFF
+            elif f == 2:
+                v = (row[c] - b_) & 0xFF
+            elif f == 3:
+                v = (row[c] - ((a + b_) >> 1)) & 0xFF
+            else:
+                p = a + b_ - cc
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b_ if pb <= pc else cc)
+                v = (row[c] - pr) & 0xFF
+            raw.append(v)
+        prev = row
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body))
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
+    """Real pixel decode for the formats the sandbox can read with the
+    stdlib alone — uncompressed 24-bit BMP and 8-bit greyscale PNG
+    (zlib IDAT + filter reversal) — then Pillow when importable.
+    Returns (width, height, mode, pixel_bytes row-major top-down);
+    raises NotImplementedError only for formats none of those paths
+    cover (compressed colour PNG, JPEG entropy decode, …), which is
+    the remaining loudly-marked stub surface."""
+    b = bytes(payload)
+    out = _decode_bmp(b) or _decode_png_gray(b)
+    if out is not None:
+        return out
+    pil = _try_pillow()
+    if pil is not None:
+        import io
+
+        with pil.open(io.BytesIO(b)) as im:
+            return im.width, im.height, im.mode, im.tobytes()
     raise NotImplementedError(
-        "pixel decode requires Pillow/cv2; install on the cluster and "
-        "extend decode_image_meta's UDF body"
+        "pixel decode beyond BMP/grey-PNG requires Pillow/cv2; install "
+        "on the cluster and this same call decodes every format"
     )

@@ -107,7 +107,7 @@ def test_media_meta_and_image_stub(spark):
         assert r["decoder"] in ("stub", "pillow")
         assert 64 <= r["width"] <= 255 and 64 <= r["height"] <= 255
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image_pixels()
+        multimodal.decode_image_pixels(multimodal.synthetic_image_payload(2))
 
 
 def test_streaming_incremental_matches_batch(spark, tmp_path):
@@ -558,3 +558,31 @@ def test_balanced_sample_matches_plain_window(spark):
         for r in W.balanced_sample(df, "grp", "url", 10).collect()
     }
     assert got_str == naive("url")
+
+
+def test_decode_image_pixels_bmp_and_gray_png():
+    """Real stdlib pixel decode: uncompressed 24-bit BMP and 8-bit
+    greyscale PNG (all five row filters exercised by the generator)
+    round-trip to the exact generator pixels; checksums pinned; other
+    formats still raise the marked NotImplementedError."""
+    w, h, mode, px = multimodal.decode_image_pixels(
+        multimodal.synthetic_bmp_payload(3)
+    )
+    assert (w, h, mode) == (13, 7, "RGB")
+    assert px == multimodal._px_stream(3, 13 * 7 * 3)
+    assert hashlib.md5(px).hexdigest() == "810178d19183ecd1f6499c189c6c9e60"
+
+    w, h, mode, px = multimodal.decode_image_pixels(
+        multimodal.synthetic_gray_png_payload(5)
+    )
+    assert (w, h, mode) == (11, 10, "L")
+    assert px == multimodal._px_stream(5, 11 * 10)
+    assert hashlib.md5(px).hexdigest() == "0010e575476341cd3f47790a98f1f780"
+
+    # header-only metadata path also recognises BMP now
+    assert multimodal.parse_image_header(
+        multimodal.synthetic_bmp_payload(3)
+    ) == (13, 7, "RGB")
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels(multimodal.synthetic_image_payload(2))
