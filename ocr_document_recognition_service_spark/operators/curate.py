@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from . import dedup, text_analysis, windows
+from . import stages
 
 
 def curate(
@@ -42,47 +42,17 @@ def curate(
     Returns {"curated", "train", "val", "stats"} DataFrames; all
     deterministic given the input and seed.
     """
-    # 0. drop error rows and empties (they are lineage-counted, not food)
-    docs = (
-        extracted.filter(F.col("error").isNull() & (F.length("text") > 0))
-        .select("url", "lang", "text")
-        .withColumn("doc_id", F.xxhash64("url"))
-    )
-
-    # 1. quality gate (JVM-side expressions only)
-    q = text_analysis.quality_score(docs)
-    gated = (
-        docs.join(q, "doc_id")
-        .filter(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("quality_score") >= min_score)
-        )
-        .select("doc_id", "url", "lang", "text", "n_tokens", "quality_score")
-    )
-
-    # 2. exact dedup: keep min url per normalized fingerprint — the
-    # SAME oracled fingerprint family as ta3 (text_analysis.fingerprints)
-    fps = text_analysis.fingerprints(gated).select("doc_id", "fingerprint")
-    keep_urls = (
-        gated.join(fps, "doc_id")
-        .groupBy("fingerprint")
-        .agg(F.min("url").alias("url"))
-        .select("url")
-    )
-    exact = gated.join(keep_urls, "url")
-
-    # 3. near-dup removal: LSH candidates → drop the larger url
-    pairs = dedup.lsh_candidate_pairs(
-        exact.select(F.col("url").alias("doc_id"), "text"), shingle="w3"
-    )
-    drop = pairs.select(
-        F.greatest("doc_a", "doc_b").alias("url")
-    ).distinct()
-    neardeduped = exact.join(drop, "url", "left_anti")
-
-    # 4. balanced per-lang sample (deterministic order key = url)
-    sampled = windows.balanced_sample(
-        neardeduped, group_col="lang", order_col="url", n_per_group=n_per_lang
+    # stages 0-4 (drop_errors → quality_gate → exact_dedup →
+    # neardup_lsh → balanced_sample) run through the config-driven
+    # stage registry — the Hydra `_target_` composition analog; the
+    # default pipeline IS this config list (stages.curate_config).
+    sampled = stages.run_pipeline(
+        extracted,
+        stages.curate_config(
+            min_tokens=min_tokens,
+            min_score=min_score,
+            n_per_lang=n_per_lang,
+        ),
     )
 
     # persist: four returned frames (curated/train/val/stats) share this

@@ -1,0 +1,166 @@
+"""Config-driven stage registry (SURVEY §2.11).
+
+The reference composes its pipeline from a Hydra config of
+``_target_`` entries (core/config/core/core.yaml — each YAML node
+names a class to instantiate and its params).  The Spark analog: a
+named-stage dict where every stage is ``(DataFrame, **params) ->
+DataFrame``, and a pipeline is a plain JSON/YAML-serializable list of
+``{"stage": <name>, <param>: <value>, ...}`` dicts run left to right.
+
+Stages only *declare* plans — running a config list builds one lazy
+DataFrame DAG, so Catalyst still sees (and optimizes across) the whole
+composition; the registry adds zero execution overhead.
+
+``curate.curate()`` runs its extract→quality→dedup→sample front half
+through this registry via ``curate_config()`` — the default pipeline
+IS a config list, and tests compose custom orders from the same dict.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import dedup, text_analysis, windows
+
+STAGES: dict[str, Callable[..., DataFrame]] = {}
+
+
+def stage(name: str):
+    def deco(fn: Callable[..., DataFrame]):
+        STAGES[name] = fn
+        return fn
+
+    return deco
+
+
+def run_pipeline(df: DataFrame, config: list[dict[str, Any]]) -> DataFrame:
+    """Apply a config list of named stages to *df* in order.
+
+    Each item: ``{"stage": <registered name>, **params}``.  Unknown
+    names raise with the available registry (fail loud, like Hydra's
+    unknown ``_target_``).
+    """
+    for item in config:
+        item = dict(item)
+        name = item.pop("stage")
+        if name not in STAGES:
+            raise KeyError(
+                f"unknown stage {name!r}; registered: {sorted(STAGES)}"
+            )
+        df = STAGES[name](df, **item)
+    return df
+
+
+@stage("drop_errors")
+def drop_errors(df: DataFrame) -> DataFrame:
+    """Extraction output → clean doc frame: drop error/empty rows
+    (lineage counts them; they are not food), key by xxhash64(url)."""
+    return (
+        df.filter(F.col("error").isNull() & (F.length("text") > 0))
+        .select("url", "lang", "text")
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+
+
+@stage("quality_gate")
+def quality_gate(
+    df: DataFrame, min_tokens: int = 20, min_score: float = 0.3
+) -> DataFrame:
+    """Token-count + quality-score filter (D3-family features,
+    JVM-side expressions only)."""
+    q = text_analysis.quality_score(df)
+    return (
+        df.join(q, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_score)
+        )
+        .select("doc_id", "url", "lang", "text", "n_tokens", "quality_score")
+    )
+
+
+@stage("exact_dedup")
+def exact_dedup(df: DataFrame) -> DataFrame:
+    """Keep the smallest url per normalized-text fingerprint — the
+    same oracled fingerprint family as ta3."""
+    fps = text_analysis.fingerprints(df).select("doc_id", "fingerprint")
+    keep_urls = (
+        df.join(fps, "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("url").alias("url"))
+        .select("url")
+    )
+    return df.join(keep_urls, "url")
+
+
+@stage("neardup_lsh")
+def neardup_lsh(df: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup removal: drop the lexicographically larger
+    url of every candidate pair (deterministic keep policy)."""
+    pairs = dedup.lsh_candidate_pairs(
+        df.select(F.col("url").alias("doc_id"), "text"), shingle="w3"
+    )
+    drop = pairs.select(F.greatest("doc_a", "doc_b").alias("url")).distinct()
+    return df.join(drop, "url", "left_anti")
+
+
+@stage("balanced_sample")
+def balanced_sample_stage(
+    df: DataFrame,
+    group_col: str = "lang",
+    order_col: str = "url",
+    n_per_group: int = 10_000,
+) -> DataFrame:
+    return windows.balanced_sample(df, group_col, order_col, n_per_group)
+
+
+@stage("redact")
+def redact_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/noise redaction applied in-place to the text column — the
+    same regex chain ta6 (text_analysis.redact) pins by md5."""
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col(text_col), text_analysis.EMAIL_RE, "<EMAIL>"
+            ),
+            text_analysis.URL_RE,
+            "<URL>",
+        ),
+        text_analysis.NUM_RE,
+        "<NUM>",
+    )
+    return df.withColumn(text_col, red)
+
+
+@stage("lang_filter")
+def lang_filter(df: DataFrame, langs: list[str] | None = None) -> DataFrame:
+    """Keep only the named languages (branch routing; with a
+    lang-partitioned source this prunes at scan)."""
+    return df if not langs else df.filter(F.col("lang").isin(list(langs)))
+
+
+def curate_config(
+    min_tokens: int = 20,
+    min_score: float = 0.3,
+    n_per_lang: int = 10_000,
+) -> list[dict[str, Any]]:
+    """The default curation front half as a config list — what
+    ``curate.curate()`` executes."""
+    return [
+        {"stage": "drop_errors"},
+        {
+            "stage": "quality_gate",
+            "min_tokens": min_tokens,
+            "min_score": min_score,
+        },
+        {"stage": "exact_dedup"},
+        {"stage": "neardup_lsh"},
+        {
+            "stage": "balanced_sample",
+            "group_col": "lang",
+            "order_col": "url",
+            "n_per_group": n_per_lang,
+        },
+    ]

@@ -73,3 +73,49 @@ def test_stats_shape_and_determinism(curated, spark):
     second = {r["url"] for r in out2["curated"].collect()}
     out2["curated"].unpersist()
     assert first == second
+
+
+def test_stage_registry_composes_custom_order(spark):
+    """The config-driven stage registry (Hydra _target_ analog) must
+    (a) reproduce curate's front half from its config list and
+    (b) compose a custom order with custom params."""
+    from pyspark.sql import functions as F
+
+    from ocr_document_recognition_service_spark.operators import stages
+
+    rows = [
+        ("u%02d" % i, "ru" if i % 2 else "en",
+         " ".join("w%d_%d" % (i, j) for j in range(25))
+         + " contact bob@example.com now",
+         2, None)
+        for i in range(30)
+    ] + [("uerr", "en", "", 0, "boom")]
+    df = spark.createDataFrame(
+        rows, "url string, lang string, text string, n_blocks int, error string"
+    )
+
+    # (a) default config == curate's front half
+    out = stages.run_pipeline(df, stages.curate_config(
+        min_tokens=5, min_score=0.0, n_per_lang=100))
+    assert out.count() == 30  # error row dropped, no dups to remove
+
+    # (b) custom order: lang filter first, redact before sampling,
+    # tighter per-group cap
+    cfg = [
+        {"stage": "drop_errors"},
+        {"stage": "lang_filter", "langs": ["en"]},
+        {"stage": "quality_gate", "min_tokens": 5, "min_score": 0.0},
+        {"stage": "redact"},
+        {"stage": "balanced_sample", "group_col": "lang",
+         "order_col": "url", "n_per_group": 4},
+    ]
+    got = stages.run_pipeline(df, cfg)
+    res = got.orderBy("url").collect()
+    assert [r["url"] for r in res] == ["u00", "u02", "u04", "u06"]
+    assert all("<EMAIL>" in r["text"] for r in res)
+    assert all(r["lang"] == "en" for r in res)
+
+    # unknown stage fails loud
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        stages.run_pipeline(df, [{"stage": "nope"}])
