@@ -94,18 +94,28 @@ def sniff_decode(raw: bytes) -> str:
 
 def detect_legacy_encoding(raw: bytes, sample_bytes: int = 65536) -> str:
     """Deterministic legacy-encoding heuristic for NON-UTF-8 payloads:
-    windows-1251 when ≥60% of the sampled high bytes sit in its
+    windows-1251 when (a) ≥60% of the sampled high bytes sit in its
     Cyrillic letter range 0xC0–0xFF (the statistically dominant band of
-    Russian cp1251 text), else UTF-8-with-replacement.  Pure byte
-    counting — no library, same answer on every engine and run."""
+    Russian cp1251 text) AND (b) ≥70% of high bytes are ADJACENT to
+    another high byte — Cyrillic text is runs of whole high-byte words,
+    while latin-1/cp1252 accents (é à ü, the same 0xC0–0xFF band) occur
+    isolated inside ASCII words, so undeclared Western pages fall
+    through to UTF-8-with-replacement instead of decoding as Cyrillic
+    mojibake.  Pure byte counting — no library, same answer on every
+    engine and run."""
     sample = raw[:sample_bytes]
-    high = cyr = 0
-    for b in sample:
+    n = len(sample)
+    high = cyr = run_adj = 0
+    for i, b in enumerate(sample):
         if b >= 0x80:
             high += 1
             if b >= 0xC0:
                 cyr += 1
-    if high and cyr / high >= 0.6:
+            if (i > 0 and sample[i - 1] >= 0x80) or (
+                i + 1 < n and sample[i + 1] >= 0x80
+            ):
+                run_adj += 1
+    if high and cyr / high >= 0.6 and run_adj / high >= 0.7:
         return "windows-1251"
     return "utf-8"
 

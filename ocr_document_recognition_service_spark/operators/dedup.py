@@ -128,8 +128,27 @@ def _trigrams_of(toks: F.Column) -> F.Column:
     return F.array_distinct(tri)
 
 
+def _char_trigrams(tcol: F.Column) -> F.Column:
+    """Distinct char-3-grams of a MATERIALIZED normalized-text column
+    (staged first — the lambda-CSE pitfall)."""
+    return F.array_distinct(
+        F.when(
+            F.length(tcol) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.length(tcol) - 2),
+                lambda k: tcol.substr(k, F.lit(3)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
 def _shingle_rows(docs: DataFrame, shingle: str) -> DataFrame:
-    """(doc_id, w) shingle rows; token array staged as a column first."""
+    """(doc_id, w) shingle rows; token array staged as a column first.
+
+    Modes: 'w3' = 3-word shingles, 'c3' = char-3-grams of the
+    normalized text (covers docs with <3 words — the w3 recall gap for
+    very short texts), else distinct words.
+    """
     if shingle == "w3":
         toks = F.filter(  # ordered, NOT distinct — shingles need sequence
             F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
@@ -137,6 +156,11 @@ def _shingle_rows(docs: DataFrame, shingle: str) -> DataFrame:
         staged = docs.select("doc_id", toks.alias("_tk"))
         return staged.select(
             "doc_id", F.explode(_trigrams_of(F.col("_tk"))).alias("w")
+        )
+    if shingle == "c3":
+        staged = docs.select("doc_id", norm_text_col().alias("_t"))
+        return staged.select(
+            "doc_id", F.explode(_char_trigrams(F.col("_t"))).alias("w")
         )
     return docs.select("doc_id", F.explode(_words()).alias("w"))
 
@@ -344,10 +368,14 @@ def char_ngram_jaccard_pairs(
 ) -> DataFrame:
     """Character n-gram Jaccard over MinHash-LSH candidate pairs.
 
-    Generate-then-verify like ``word_jaccard_pairs``: shingles =
-    distinct n-char substrings of the normalized text (staged column
-    first — lambda-CSE pitfall); n-grams catch edits words miss."""
-    cand = lsh_candidate_pairs(docs, shingle="w3")
+    Generate-then-verify like ``word_jaccard_pairs``, but candidates
+    come from CHAR-3-gram MinHash ('c3' shingle mode) — the same
+    feature family the verify step measures, so documents with fewer
+    than 3 words (which produce no word shingles and were unreachable
+    through the w3 candidate path) still become candidates.  Verify =
+    exact n-gram Jaccard over the staged normalized text (lambda-CSE
+    pitfall)."""
+    cand = lsh_candidate_pairs(docs, shingle="c3")
     staged = docs.select("doc_id", norm_text_col().alias("_t"))
     grams = F.array_distinct(
         F.when(

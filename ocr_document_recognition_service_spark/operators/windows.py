@@ -222,8 +222,19 @@ def asof_join(
 
     *right* must be unique per (key, ts) — pre-aggregate it otherwise
     (an ambiguous as-of match has no deterministic answer).
+    *right_cols* may not collide with left's non-key columns (the
+    output would carry two columns of the same name — ambiguous
+    downstream); rename on the right side first.
     """
     lcols = left.columns
+    clash = (set(right_cols) | {"asof_ts"}) & {
+        c for c in lcols if c not in (key, ts)
+    }
+    if clash:
+        raise ValueError(
+            f"asof_join: right_cols/output names collide with left "
+            f"columns: {sorted(clash)}; alias them on the right first"
+        )
     r = right.select(
         F.col(key),
         F.col(ts),

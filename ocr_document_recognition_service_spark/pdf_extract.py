@@ -95,14 +95,30 @@ def _page_stream(
     return b"\n".join(lines)
 
 
+def _deflate_collides(z: bytes) -> bool:
+    """True if deflate output could confuse the tolerant parser: test
+    the ACTUAL parser regexes (_OBJ_HDR_RE matches any whitespace
+    separators, e.g. b'7\\n0\\nobj'; _KIDS_RE/_CONTENTS_RE inject
+    phantom structure), not just space-separated literals."""
+    return bool(
+        _OBJ_HDR_RE.search(z)
+        or _KIDS_RE.search(z)
+        or _CONTENTS_RE.search(z)
+        or b"endstream" in z
+        or b"endobj" in z
+    )
+
+
 def _clean_deflate(data: bytes) -> bytes:
     """zlib-compress, re-trying compression levels in the
     (astronomically unlikely) case the deflate bytes collide with a PDF
-    structural keyword the tolerant parser scans for."""
-    z = b""
-    for lvl in (6, 9, 1, 2, 3, 4, 5, 7, 8):
+    structural pattern the tolerant parser scans for; as the last
+    resort, store uncompressed-deflate (level 0 emits stored blocks of
+    the literal stream — which the caller already guarantees is free of
+    structural collisions, since it generated it)."""
+    for lvl in (6, 9, 1, 2, 3, 4, 5, 7, 8, 0):
         z = zlib.compress(data, lvl)
-        if not any(t in z for t in (b"endstream", b"endobj", b" 0 obj")):
+        if not _deflate_collides(z):
             return z
     return z
 

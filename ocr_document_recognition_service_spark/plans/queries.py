@@ -1254,20 +1254,9 @@ _WORDS_SQL = (
 # MinHash-LSH candidate generation, shared by dd3 (the generator query)
 # and the generate-then-verify near-dup queries dd2/dd6 — ONE definition
 # so the oracle's candidate set is exactly dd3's.
-_LSH_CAND_CTES = """
-    toks AS (
-      SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
-      FROM documents
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id, w FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
-                      k -> tk[k] || ' ' || tk[k+1] || ' ' || tk[k+2])) AS w
-        FROM toks WHERE len(tk) >= 3
-      )
-    ),
+# shared MinHash→bands→capped→cand tail; the shingles CTE differs by
+# mode (w3 = 3-word shingles, c3 = char-3-grams of normalized text)
+_LSH_TAIL_CTES = """
     sig AS (
       SELECT doc_id, seed, min(md5(CAST(seed AS varchar) || ':' || w)) AS sig
       FROM shingles CROSS JOIN (SELECT unnest(range(8)) AS seed)
@@ -1294,6 +1283,43 @@ _LSH_CAND_CTES = """
        AND a.doc_id <> b.doc_id
     )
 """
+
+_LSH_CAND_CTES = (
+    """
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                      k -> tk[k] || ' ' || tk[k+1] || ' ' || tk[k+2])) AS w
+        FROM toks WHERE len(tk) >= 3
+      )
+    ),
+"""
+    + _LSH_TAIL_CTES
+)
+
+# char-3-gram candidates: same MinHash/band/cap machinery over char
+# shingles of the NORMALIZED text — short (<3-word) docs still get
+# signatures, closing the w3 recall gap for dd6
+_LSH_CAND_CTES_C3 = (
+    f"""
+    stagedc AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+                      k -> substr(t, CAST(k AS int), 3))) AS w
+        FROM stagedc WHERE length(t) >= 3
+      )
+    ),
+"""
+    + _LSH_TAIL_CTES
+)
 
 
 def _planes_sql(n_planes: int = 8, seed: int = 7) -> str:
@@ -1501,7 +1527,7 @@ def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
 @_reg(
     "dd6_ngram_jaccard",
     f"""
-    WITH {_LSH_CAND_CTES},
+    WITH {_LSH_CAND_CTES_C3},
     staged AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     grams AS (
       SELECT DISTINCT doc_id, g FROM (
@@ -1524,8 +1550,9 @@ def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
                JOIN gsizes nb ON doc_b = nb.doc_id
     WHERE round(inter / CAST(na.ng + nb.ng - inter AS double), 6) >= 0.8
     """,
-    "near-dup: char 3-gram Jaccard verified over MinHash-LSH candidate "
-    "pairs (generate-then-verify; no low-cardinality blocking)",
+    "near-dup: char 3-gram Jaccard verified over char-3-gram MinHash-LSH "
+    "candidates ('c3' shingle mode — <3-word docs still reachable; "
+    "generate-then-verify, no low-cardinality blocking)",
 )
 def dd6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.char_ngram_jaccard_pairs(

@@ -406,3 +406,27 @@ def test_corpus_contains_metaless_cp1251_rows(corpus_rows):
         and html_extract.detect_legacy_encoding(r["html"]) == "windows-1251"
     )
     assert n >= 1  # the engineered variant exists and round-trips
+
+
+def test_metaless_latin1_not_misdetected_as_cp1251():
+    """Undeclared latin-1/cp1252 pages share the 0xC0-0xFF band with
+    cp1251 Cyrillic, but their accents occur ISOLATED inside ASCII
+    words — the adjacency discriminator must route them to
+    UTF-8-with-replacement, never Cyrillic mojibake."""
+    body = (
+        "<html><body><p>Le café préféré de Noël, déjà vu, très tôt, "
+        "señora, über, fête, garçon, âme, così</p></body></html>"
+    )
+    raw = body.encode("latin-1")
+    assert html_extract.detect_legacy_encoding(raw) == "utf-8"
+    text = html_extract.sniff_decode(raw)
+    # ASCII skeleton preserved; no Cyrillic letters introduced
+    assert "caf" in text and "Le" in text
+    assert not any("Ѐ" <= ch <= "ӿ" for ch in text)
+
+    # and real metaless cp1251 (high-byte RUNS) still detects
+    ru = "<html><body><p>привет мир это русский текст</p></body></html>"
+    assert (
+        html_extract.detect_legacy_encoding(ru.encode("windows-1251"))
+        == "windows-1251"
+    )

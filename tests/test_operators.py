@@ -586,3 +586,36 @@ def test_decode_image_pixels_bmp_and_gray_png():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_pixels(multimodal.synthetic_image_payload(2))
+
+
+def test_char_ngram_pairs_reach_short_docs(spark):
+    """dd6's c3 candidate mode: docs with <3 words produce no word
+    shingles, but char-3-gram MinHash still finds them (the w3 recall
+    gap the old candidate path had)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "kittens"),          # 1 word each — w3 gives no shingles
+            (3, "completely different payload"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.char_ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_asof_join_raises_on_column_clash(spark):
+    from ocr_document_recognition_service_spark.operators import windows as W
+
+    left = spark.createDataFrame(
+        [(1, 1.0, "x")], "k int, ts double, v string"
+    )
+    right = spark.createDataFrame(
+        [(1, 0.5, "y")], "k int, ts double, v string"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        W.asof_join(left, right, key="k", ts="ts", right_cols=["v"])
