@@ -165,6 +165,24 @@ def _shingle_rows(docs: DataFrame, shingle: str) -> DataFrame:
     return docs.select("doc_id", F.explode(_words()).alias("w"))
 
 
+def _shingle_array(docs: DataFrame, shingle: str) -> DataFrame:
+    """(doc_id, _sh): the DISTINCT shingle set as a materialized array
+    column (no explode — feeds per-row array-native signatures).
+    Same modes as ``_shingle_rows``."""
+    if shingle == "w3":
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+        )
+        staged = docs.select("doc_id", toks.alias("_tk"))
+        return staged.select("doc_id", _trigrams_of(F.col("_tk")).alias("_sh"))
+    if shingle == "c3":
+        staged = docs.select("doc_id", norm_text_col().alias("_t"))
+        return staged.select(
+            "doc_id", _char_trigrams(F.col("_t")).alias("_sh")
+        )
+    return docs.select("doc_id", _words().alias("_sh"))
+
+
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_MINHASH, shingle: str = "word"
 ) -> DataFrame:
@@ -213,6 +231,15 @@ def lsh_candidate_pairs(
     representative and duplicate CLUSTERS survive intact; only
     pair-level recall among non-representatives is truncated (the
     documented cost of boundedness — raise the cap to buy it back).
+
+    The wide hash-agg is deliberate: a per-row array-expression form
+    (array_min over transform of the staged shingle array, zero
+    shuffle) was MEASURED 13× slower at sf0.1 — higher-order functions
+    evaluate interpreted and allocate an md5-string array per seed per
+    row, while this agg is whole-stage-codegen'd with map-side combine
+    and the shuffle it pays is tiny (n_docs × 8 short hex strings).
+    SimHash is the opposite trade (int arithmetic in ``aggregate`` won
+    — see simhash_bits).
     """
     sh = _shingle_rows(docs, shingle)
     wide = sh.groupBy("doc_id").agg(
@@ -266,27 +293,35 @@ def lsh_candidate_pairs(
 def simhash_bits(
     docs: DataFrame, n_bits: int = 16, out: str = "simhash16"
 ) -> DataFrame:
-    """n-bit SimHash per document over word md5s, ONE aggregation pass.
+    """n-bit SimHash per document over word md5s, ZERO-shuffle.
 
     bit k of word-hash = bit (k mod 4) of hex digit (k div 4) of
     md5(word) — extracted arithmetically, so any engine computes the
-    identical signature (n_bits ≤ 128, the md5 width).  All sign-sums
-    are wide agg columns over the word rows (the same trick as the
-    MinHash wide agg): map-side combine, 1/n of the shuffle rows of the
-    explode(n) form, and no second shuffle for the bit re-assembly.
+    identical signature (n_bits ≤ 128, the md5 width).  The word md5
+    array is staged as a real column (lambda-CSE pitfall) and every
+    sign-sum is a per-row ``aggregate`` over it — a pure projection:
+    the signature stage exchanges nothing (the grouped-sum form paid a
+    corpus × words shuffle).  Values are identical to the grouped form,
+    which is what the SQL oracle computes.
     """
-    words = docs.select("doc_id", F.explode(_words()).alias("w")).withColumn(
-        "h", F.md5("w")
+    staged = docs.select("doc_id", _words().alias("_w")).filter(
+        F.size("_w") > 0
+    )
+    hs = staged.select(
+        "doc_id", F.transform("_w", lambda w: F.md5(w)).alias("_h")
     )
 
     def sign_sum(k: int) -> F.Column:
-        hexval = F.conv(F.substring(F.col("h"), k // 4 + 1, 1), 16, 10).cast(
-            "int"
-        )
-        bit = F.shiftright(hexval, k % 4) % 2
-        return F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{k}")
+        def pm(h: F.Column) -> F.Column:
+            hexval = F.conv(F.substring(h, k // 4 + 1, 1), 16, 10).cast("int")
+            bit = F.shiftright(hexval, k % 4) % 2
+            return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
 
-    sums = words.groupBy("doc_id").agg(*[sign_sum(k) for k in range(n_bits)])
+        return F.aggregate(
+            F.col("_h"), F.lit(0), lambda acc, h: acc + pm(h)
+        ).alias(f"s{k}")
+
+    sums = hs.select("doc_id", *[sign_sum(k) for k in range(n_bits)])
     total = sum(
         [
             F.when(F.col(f"s{k}") > 0, F.lit(2**k).cast("long")).otherwise(
