@@ -32,7 +32,6 @@ def curate(
     *,
     min_tokens: int = 20,
     min_score: float = 0.3,
-    jaccard_block: str = "lang",
     n_per_lang: int = 10_000,
     split_weights: tuple[float, float] = (0.8, 0.2),
     seed: int = 42,

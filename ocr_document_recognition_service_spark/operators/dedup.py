@@ -165,24 +165,6 @@ def _shingle_rows(docs: DataFrame, shingle: str) -> DataFrame:
     return docs.select("doc_id", F.explode(_words()).alias("w"))
 
 
-def _shingle_array(docs: DataFrame, shingle: str) -> DataFrame:
-    """(doc_id, _sh): the DISTINCT shingle set as a materialized array
-    column (no explode — feeds per-row array-native signatures).
-    Same modes as ``_shingle_rows``."""
-    if shingle == "w3":
-        toks = F.filter(
-            F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
-        )
-        staged = docs.select("doc_id", toks.alias("_tk"))
-        return staged.select("doc_id", _trigrams_of(F.col("_tk")).alias("_sh"))
-    if shingle == "c3":
-        staged = docs.select("doc_id", norm_text_col().alias("_t"))
-        return staged.select(
-            "doc_id", _char_trigrams(F.col("_t")).alias("_sh")
-        )
-    return docs.select("doc_id", _words().alias("_sh"))
-
-
 def minhash_signatures(
     docs: DataFrame, n_hashes: int = N_MINHASH, shingle: str = "word"
 ) -> DataFrame:

@@ -125,7 +125,7 @@ def ap_report(
     conf: str,
     score: str = "iou",
     tiebreak: str = "l_linenumber",
-    conf_band: float = 64.0,
+    conf_band: float | None = None,
 ) -> DataFrame:
     """A9 completion: full PR-curve average precision (AP) per IoU
     threshold — the rank-sweep the reference delegates to ultralytics
@@ -144,8 +144,17 @@ def ap_report(
     parallel, then tiny per-band (count, tp) exclusive prefixes are
     broadcast back — the ``chunk_ids`` two-pass prefix-sum pattern.
     Band ties cannot split across groups (equal conf ⇒ equal band).
+
+    *conf_band* defaults to (max−min)/256 measured from the data (one
+    tiny pre-aggregation) — a fixed default would silently collapse to
+    ONE band (and the single-task funnel) for confidences on a scale it
+    wasn't tuned for, e.g. detector scores in [0, 1].
     """
     spark = preds.sparkSession
+    if conf_band is None:
+        lo, hi = preds.agg(F.min(conf), F.max(conf)).collect()[0]
+        span = (hi - lo) if (hi is not None and lo is not None) else 0.0
+        conf_band = max(span / 256.0, 1e-9)
     thr = spark.createDataFrame(
         [(float(t),) for t in thresholds], "iou_threshold double"
     )

@@ -461,8 +461,9 @@ def _decode_bmp(b: bytes) -> tuple[int, int, str, bytes] | None:
         row = b[start:start + w * 3]
         if len(row) < w * 3:
             return None
-        for i in range(0, w * 3, 3):  # BGR on disk → RGB out
-            px += bytes((row[i + 2], row[i + 1], row[i]))
+        out = bytearray(row)  # BGR on disk → RGB out, swapped in C
+        out[0::3], out[2::3] = row[2::3], row[0::3]
+        px += out
     return w, hh, "RGB", bytes(px)
 
 
@@ -576,8 +577,13 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     if pil is not None:
         import io
 
-        with pil.open(io.BytesIO(b)) as im:
-            return im.width, im.height, im.mode, im.tobytes()
+        try:
+            with pil.open(io.BytesIO(b)) as im:
+                return im.width, im.height, im.mode, im.tobytes()
+        except Exception:
+            # header-only/truncated payloads Pillow cannot parse fall
+            # through to the documented contract below
+            pass
     raise NotImplementedError(
         "pixel decode beyond BMP/grey-PNG requires Pillow/cv2; install "
         "on the cluster and this same call decodes every format"

@@ -119,26 +119,18 @@ def balanced_sample_stage(
 @stage("redact")
 def redact_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
     """PII/noise redaction applied in-place to the text column — the
-    same regex chain ta6 (text_analysis.redact) pins by md5."""
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.col(text_col), text_analysis.EMAIL_RE, "<EMAIL>"
-            ),
-            text_analysis.URL_RE,
-            "<URL>",
-        ),
-        text_analysis.NUM_RE,
-        "<NUM>",
-    )
-    return df.withColumn(text_col, red)
+    SAME expression ta6 pins by md5 (text_analysis.redacted_col)."""
+    return df.withColumn(text_col, text_analysis.redacted_col(text_col))
 
 
 @stage("lang_filter")
 def lang_filter(df: DataFrame, langs: list[str] | None = None) -> DataFrame:
     """Keep only the named languages (branch routing; with a
-    lang-partitioned source this prunes at scan)."""
-    return df if not langs else df.filter(F.col("lang").isin(list(langs)))
+    lang-partitioned source this prunes at scan).  ``None`` = no-op;
+    an explicit empty list means "keep nothing" and is honored."""
+    if langs is None:
+        return df
+    return df.filter(F.col("lang").isin(list(langs)))
 
 
 def curate_config(

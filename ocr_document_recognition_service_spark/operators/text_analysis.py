@@ -167,19 +167,29 @@ URL_RE = r"https?://[^\s]+"
 NUM_RE = r"[0-9]+"
 
 
+def redacted_col(text_col: str = "text") -> F.Column:
+    """THE redaction expression (emails → <EMAIL>, urls → <URL>, digit
+    runs → <NUM>) — single definition shared by ta6 (which pins it by
+    md5 against the DuckDB oracle) and the `redact` pipeline stage, so
+    the two can never silently diverge."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+            URL_RE,
+            "<URL>",
+        ),
+        NUM_RE,
+        "<NUM>",
+    )
+
+
 def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII/noise scrubbing (training-data curation staple): emails →
     <EMAIL>, urls → <URL>, digit runs → <NUM>, with per-doc counts of
     what was redacted and an md5 fingerprint of the redacted text (the
     value the oracle pins).  Pure JVM regexp — codegen, no UDF."""
     t = F.col(text_col)
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
-        ),
-        NUM_RE,
-        "<NUM>",
-    )
+    redacted = redacted_col(text_col)
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE))).cast("long").alias("n_emails"),

@@ -230,6 +230,9 @@ def asof_join(
     clash = (set(right_cols) | {"asof_ts"}) & {
         c for c in lcols if c not in (key, ts)
     }
+    # the carried struct adds its own asof_ts field, and key/ts are
+    # emitted from the left side — right_cols may not reuse any of them
+    clash |= set(right_cols) & {key, ts, "asof_ts"}
     if clash:
         raise ValueError(
             f"asof_join: right_cols/output names collide with left "

@@ -2481,7 +2481,10 @@ _DRIVER_WINDOW: list[str] = [
 
 
 def _ordered_registry() -> dict[str, Query]:
-    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    assert len(set(_DRIVER_WINDOW)) == 50, (
+        f"driver window must be 50 DISTINCT names, got "
+        f"{len(set(_DRIVER_WINDOW))} distinct of {len(_DRIVER_WINDOW)}"
+    )
     missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
     out = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
