@@ -2284,6 +2284,72 @@ def ev4_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     ).select("user_id", "ts", "event_id", "asof_ts", "view_value")
 
 
+@_reg(
+    "lab1_yolo_boxes",
+    """
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber,
+             concat_ws(' ', l_returnflag,
+               '0.' || lpad(CAST(CAST(floor(l_discount*10000) AS int) AS varchar), 4, '0'),
+               '0.' || lpad(CAST(CAST(floor(l_tax*10000) AS int) AS varchar), 4, '0'),
+               '0.' || lpad(CAST(CAST(floor(l_quantity*100) AS int) AS varchar), 4, '0'),
+               '0.' || lpad(CAST(CAST(floor(l_linenumber*100) AS int) AS varchar), 4, '0')
+             ) AS line
+      FROM lineitem
+    ),
+    t AS (
+      SELECT l_orderkey, l_linenumber,
+             string_split_regex(trim(line), '\\s+') AS tk
+      FROM lines
+    ),
+    p AS (
+      SELECT l_orderkey, l_linenumber, tk[1] AS cls,
+             CAST(tk[2] AS double) AS cx, CAST(tk[3] AS double) AS cy,
+             CAST(tk[4] AS double) AS w, CAST(tk[5] AS double) AS h
+      FROM t WHERE len(tk) = 5
+    )
+    SELECT l_orderkey, l_linenumber, cls,
+           round(cx - w/2, 4) AS rx1, round(cy - h/2, 4) AS ry1,
+           round(cx + w/2, 4) AS rx2, round(cy + h/2, 4) AS ry2,
+           round((cx - w/2) * 1000, 4) AS x1, round((cy - h/2) * 800, 4) AS y1,
+           round((cx + w/2) * 1000, 4) AS x2, round((cy + h/2) * 800, 4) AS y2
+    FROM p
+    WHERE cx IS NOT NULL AND cy IS NOT NULL AND w IS NOT NULL AND h IS NOT NULL
+    """,
+    "S5 YOLO label parse: 'cls x_c y_c w h' lines → relative + absolute "
+    "corner boxes (read_detection.py:10-100) as pure split/cast/"
+    "arithmetic expressions; label strings built deterministically from "
+    "lineitem via integer per-mille + lpad so both engines parse "
+    "byte-identical text",
+)
+def lab1_yolo_boxes(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.labels import parse_yolo_lines
+
+    l = load(spark, sf, "lineitem")
+
+    def frac(col: F.Column, scale: int) -> F.Column:
+        return F.concat(
+            F.lit("0."),
+            F.lpad(
+                F.floor(col * scale).cast("int").cast("string"), 4, "0"
+            ),
+        )
+
+    lines = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(
+            " ",
+            F.col("l_returnflag"),
+            frac(F.col("l_discount"), 10000),
+            frac(F.col("l_tax"), 10000),
+            frac(F.col("l_quantity"), 100),
+            frac(F.col("l_linenumber"), 100),
+        ).alias("line"),
+    )
+    return parse_yolo_lines(lines, img_w=1000.0, img_h=800.0)
+
+
 # =====================================================================
 # Extraction pipeline showcases (non-SQL — rows-only driver check;
 # byte-identity is asserted by pytest against the pure-Python oracle)

@@ -76,3 +76,38 @@ def test_layout_overlay_svg_and_report():
     # out-of-range page and non-PDF degrade gracefully
     assert "<polygon" not in report.layout_overlay_svg(payload, page_idx=9)
     assert "<svg" in report.layout_overlay_svg(b"<html></html>")
+
+
+def test_yolo_label_dir_parse_and_skip_policy(spark, tmp_path):
+    """S5: read a directory of YOLO .txt label files, pair by file
+    stem, parse to corner boxes; malformed lines are dropped (the
+    reference's skip-with-log policy) and the reject count is
+    observable as the row-count difference."""
+    from ocr_document_recognition_service_spark.sources.labels import (
+        parse_yolo_lines,
+        read_label_dir,
+    )
+
+    d = tmp_path / "labels"
+    d.mkdir()
+    (d / "img_001.txt").write_text(
+        "word 0.5 0.5 0.2 0.1\ntitle 0.1 0.2 0.05 0.04\n"
+    )
+    (d / "img_002.txt").write_text(
+        "word 0.25 0.75 0.5 0.5\n"
+        "broken 0.1 0.2\n"          # wrong field count -> dropped
+        "bad x y z w\n"             # non-numeric -> dropped
+        "\n"                        # blank -> dropped at read
+    )
+    lines = read_label_dir(spark, str(d))
+    assert lines.count() == 5  # blanks already gone
+    boxes = parse_yolo_lines(lines, img_w=100.0, img_h=200.0)
+    rows = {
+        (r["image_id"], r["cls"]): r for r in boxes.collect()
+    }
+    assert len(rows) == 3  # 2 malformed lines dropped
+    r = rows[("img_001", "word")]
+    assert (r["rx1"], r["ry1"], r["rx2"], r["ry2"]) == (0.4, 0.45, 0.6, 0.55)
+    assert (r["x1"], r["y1"], r["x2"], r["y2"]) == (40.0, 90.0, 60.0, 110.0)
+    r2 = rows[("img_002", "word")]
+    assert (r2["x1"], r2["y1"], r2["x2"], r2["y2"]) == (0.0, 100.0, 50.0, 200.0)
