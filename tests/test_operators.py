@@ -619,3 +619,75 @@ def test_asof_join_raises_on_column_clash(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         W.asof_join(left, right, key="k", ts="ts", right_cols=["v"])
+
+
+def test_ap_report_matches_python_brute_force(spark):
+    """Randomized (seeded) property: ap_report == a naive Python AP
+    computation for every threshold, across band boundaries."""
+    import random as _random
+
+    from ocr_document_recognition_service_spark.operators import metrics
+
+    rng = _random.Random(1234)
+    rows = []
+    ln = {}
+    for i in range(300):
+        key = rng.randrange(40)
+        ln[key] = ln.get(key, 0) + 1
+        rows.append((key, ln[key], round(rng.uniform(0, 1000), 3),
+                     round(rng.random(), 4)))
+    preds = spark.createDataFrame(
+        rows, "k int, t int, conf double, iou double"
+    )
+    thresholds = [0.25, 0.5, 0.75]
+    got = {
+        r["iou_threshold"]: r
+        for r in metrics.ap_report(
+            preds, thresholds, key="k", conf="conf", score="iou",
+            tiebreak="t", conf_band=37.0,
+        ).collect()
+    }
+
+    for thr in thresholds:
+        # python reference: greedy best per key by (conf desc, t asc)
+        best = {}
+        for k, t, c, iou in rows:
+            cur = best.get(k)
+            if cur is None or (-c, t) < (-cur[1], cur[2]):
+                best[k] = (iou, c, t)
+        tp_keys = {
+            (k, v[1], v[2]) for k, v in best.items() if v[0] > thr
+        }
+        ranked = sorted(rows, key=lambda r: (-r[2], r[0], r[1]))
+        cum = 0
+        terms = []
+        for i, (k, t, c, iou) in enumerate(ranked, start=1):
+            if (k, c, t) in tp_keys and best[k] == (iou, c, t):
+                cum += 1
+                terms.append(cum / i)
+        n_gt = len({k for k, *_ in rows})
+        exp_ap = round(sum(terms) / n_gt, 6)
+        r = got[thr]
+        assert r["n_gt"] == n_gt and r["n_pred"] == len(rows)
+        assert r["n_tp"] == len(terms)
+        assert abs(r["ap"] - exp_ap) < 2e-6, (thr, r["ap"], exp_ap)
+
+
+def test_lsh_cap_is_subset_and_exact_when_loose(spark, docs):
+    """Capped candidate pairs ⊆ uncapped pairs, and == uncapped when
+    the cap exceeds every bucket population."""
+    d = docs.limit(120)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(d, bucket_cap=2).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(d, bucket_cap=None).collect()
+    }
+    loose = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(d, bucket_cap=10**6).collect()
+    }
+    assert capped <= uncapped
+    assert loose == uncapped
