@@ -167,6 +167,73 @@ URL_RE = r"https?://[^\s]+"
 NUM_RE = r"[0-9]+"
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the pretraining-data staple the quality gate composes with):
+
+    - ``dup_word_frac``   = 1 − distinct words / total words
+    - ``top_2gram_frac``  = occurrences of the most frequent word
+      2-gram / total 2-grams (boilerplate and spam repeat phrases)
+
+    Plan shape: words staged per row (lambda-CSE pitfall), 2-grams
+    exploded → one (doc_id, gram) hash-agg with map-side combine →
+    per-doc max/sum.  Short docs (<2 words) report 0 repetition.
+    """
+    t = F.col(text_col)
+    staged = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit("")).alias(
+            "_w"
+        ),
+    )
+    base = staged.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_words"),
+        F.size(F.array_distinct("_w")).cast("long").alias("n_distinct"),
+        F.when(
+            F.size("_w") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - 2),
+                lambda k: F.concat_ws(
+                    " ", F.element_at("_w", k + 1), F.element_at("_w", k + 2)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_g2"),
+    )
+    grams = base.select("doc_id", F.explode("_g2").alias("g"))
+    gstats = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("_c").alias("_top"),
+            F.sum("_c").alias("_tot"),
+        )
+    )
+    return (
+        base.join(gstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct")
+                / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_word_frac"),
+            F.coalesce(F.col("_tot"), F.lit(0)).cast("long").alias("n_2grams"),
+            F.round(
+                F.coalesce(
+                    F.col("_top") / F.col("_tot").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
 def redacted_col(text_col: str = "text") -> F.Column:
     """THE redaction expression (emails → <EMAIL>, urls → <URL>, digit
     runs → <NUM>) — single definition shared by ta6 (which pins it by

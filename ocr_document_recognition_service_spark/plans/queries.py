@@ -2046,6 +2046,41 @@ def ta6_redact(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.redact(load(spark, sf, "documents"))
 
 
+@_reg(
+    "ta7_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS wl
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(wl) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(wl)) AS BIGINT) AS n_distinct,
+             CASE WHEN len(wl) >= 2
+                  THEN list_transform(range(1, len(wl)), k -> wl[k] || ' ' || wl[k+1])
+                  ELSE [] END AS g2
+      FROM w
+    ),
+    g AS (SELECT doc_id, unnest(g2) AS g FROM base),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+    gs AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM gc GROUP BY 1)
+    SELECT b.doc_id, b.n_words,
+           round(1.0 - b.n_distinct / CAST(greatest(b.n_words, 1) AS double), 6) AS dup_word_frac,
+           CAST(coalesce(gs.tot, 0) AS BIGINT) AS n_2grams,
+           round(coalesce(CAST(gs.top AS double) / gs.tot, 0), 6) AS top_2gram_frac
+    FROM base b LEFT JOIN gs USING (doc_id)
+    """,
+    "Gopher-style repetition quality signals (Rae et al. 2021 §A1.1): "
+    "duplicate-word fraction + most-frequent-2-gram fraction per doc — "
+    "the pretraining-data filter the quality gate composes with; one "
+    "(doc_id, gram) hash-agg with map-side combine",
+)
+def ta7_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.repetition_stats(load(spark, sf, "documents"))
+
+
 # =====================================================================
 # Events aggregation
 # =====================================================================

@@ -691,3 +691,27 @@ def test_lsh_cap_is_subset_and_exact_when_loose(spark, docs):
     }
     assert capped <= uncapped
     assert loose == uncapped
+
+
+def test_repetition_stats_hand_case(spark):
+    from ocr_document_recognition_service_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now"),       # 6 words, 2 distinct
+            (2, "all words here are unique ok"),  # no repetition
+            (3, "single"),                        # <2 words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_analysis.repetition_stats(docs).collect()}
+    r1 = rows[1]
+    # 2-grams: [buy now, now buy, buy now, now buy, buy now] -> top=3/5
+    assert r1["n_words"] == 6 and r1["n_2grams"] == 5
+    assert r1["dup_word_frac"] == round(1 - 2 / 6, 6)
+    assert r1["top_2gram_frac"] == 0.6
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["top_2gram_frac"] == round(1 / 5, 6)
+    r3 = rows[3]
+    assert (r3["n_2grams"], r3["top_2gram_frac"], r3["dup_word_frac"]) == (0, 0.0, 0.0)
