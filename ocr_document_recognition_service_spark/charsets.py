@@ -122,25 +122,34 @@ ALLOWED_BY_LANG: dict[str, frozenset[str]] = {
 import re as _re
 
 
-def _build_lang_norm(lang: str) -> tuple[dict[int, str], "_re.Pattern[str]"]:
-    """(homoglyph translate table, disallowed-char deletion regex) for lang.
+def _build_lang_norm(lang: str):
+    """(single-pass replacer, disallowed-char regex) for *lang*.
 
-    Step 1 maps homoglyphs whose Latin counterpart is allowed but whose
-    Cyrillic form is not; step 2 deletes every remaining disallowed char.
+    Semantics: map homoglyphs whose Latin counterpart is allowed but
+    whose Cyrillic form is not; delete every other disallowed char.
+    Because every homoglyph source is itself disallowed, BOTH steps
+    touch exactly the disallowed chars — so one ``drop_re.sub`` with a
+    table-lookup replacer equals the old translate-then-delete pair,
+    while doing work proportional to the number of DISALLOWED chars
+    (usually a handful) instead of a full-string translate (profiled:
+    str.translate was ~6% of the kernel).
     """
     allowed = ALLOWED_BY_LANG[lang]
     table = {
-        ord(src): dst
+        src: dst
         for src, dst in HOMOGLYPH_MAP.items()
         if src not in allowed and dst in allowed
     }
     cls = "".join(_re.escape(c) for c in sorted(allowed))
-    return table, _re.compile(f"[^{cls}]")
+    drop_re = _re.compile(f"[^{cls}]")
+
+    def repl(m: "_re.Match[str]", _get=table.get) -> str:
+        return _get(m.group(), "")
+
+    return repl, drop_re
 
 
-_LANG_NORM: dict[str, tuple[dict[int, str], "_re.Pattern[str]"]] = {
-    lang: _build_lang_norm(lang) for lang in LANGS
-}
+_LANG_NORM = {lang: _build_lang_norm(lang) for lang in LANGS}
 
 
 def normalize_text(text: str, lang: str) -> str:
@@ -151,12 +160,12 @@ def normalize_text(text: str, lang: str) -> str:
     their allowed Latin counterpart; drops everything else.  Pinned,
     deterministic, order-preserving.
     """
-    table, drop_re = _LANG_NORM.get(lang, _LANG_NORM["en"])
+    repl, drop_re = _LANG_NORM.get(lang, _LANG_NORM["en"])
     if drop_re.search(text) is None:
-        # no disallowed char ⇒ translate is a no-op too (every translate
-        # source is itself disallowed) — the common clean-text fast path
+        # no disallowed char ⇒ nothing to map or drop — the common
+        # clean-text fast path
         return text
-    return drop_re.sub("", text.translate(table))
+    return drop_re.sub(repl, text)
 
 
 def detect_language(text: str, prefix_chars: int = 256) -> str:

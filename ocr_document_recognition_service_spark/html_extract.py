@@ -313,33 +313,42 @@ def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
 def _fast_feed(sink: "_BlockParser", text: str) -> None:
     pos = 0
     n = len(text)
+    # hot loop: bind lookups once (attribute resolution per tag event
+    # measured ~6% of kernel time on the profile)
+    find = text.find
+    startswith = text.startswith
+    tag_match = _TAG_RE.match
+    handle_data = sink.handle_data
+    handle_starttag = sink.handle_starttag
+    handle_endtag = sink.handle_endtag
+    unescape = _htmllib.unescape
+    interesting = _INTERESTING
     while pos < n:
-        lt = text.find("<", pos)
+        lt = find("<", pos)
         if lt == -1:
-            sink.handle_data(
-                _htmllib.unescape(text[pos:]) if "&" in text[pos:] else text[pos:]
-            )
+            seg = text[pos:]
+            handle_data(unescape(seg) if "&" in seg else seg)
             break
         if lt > pos:
             seg = text[pos:lt]
-            sink.handle_data(_htmllib.unescape(seg) if "&" in seg else seg)
-        if text.startswith("<!--", lt) and text.find("-->", lt) == -1:
+            handle_data(unescape(seg) if "&" in seg else seg)
+        if startswith("<!--", lt) and find("-->", lt) == -1:
             # unterminated comment: html.parser's close() recovery emits
             # data up to just past the next '>' (else next '<', else one
             # char) and keeps tokenizing — mirror CPython goahead(end=1)
-            k = text.find(">", lt + 1)
+            k = find(">", lt + 1)
             if k < 0:
-                k = text.find("<", lt + 1)
+                k = find("<", lt + 1)
                 k = lt + 1 if k < 0 else k
             else:
                 k += 1
             seg = text[lt:k]
-            sink.handle_data(_htmllib.unescape(seg) if "&" in seg else seg)
+            handle_data(unescape(seg) if "&" in seg else seg)
             pos = k
             continue
-        m = _TAG_RE.match(text, lt)
+        m = tag_match(text, lt)
         if not m:
-            sink.handle_data("<")
+            handle_data("<")
             pos = lt + 1
             continue
         pos = m.end()
@@ -348,15 +357,15 @@ def _fast_feed(sink: "_BlockParser", text: str) -> None:
             continue
         name = name.lower()
         if close:  # close tag
-            if name in _INTERESTING:
-                sink.handle_endtag(name)
+            if name in interesting:
+                handle_endtag(name)
             else:
                 # boring close tags only matter when they pop an
                 # attr-raised boiler scope (stack top == name); the
                 # handle_endtag body is a no-op otherwise
                 bs = sink._boiler_stack
                 if bs and bs[-1] == name:
-                    sink.handle_endtag(name)
+                    handle_endtag(name)
             continue
         raw_attrs = raw_attrs or ""
         # self-closing detection mirrors html.parser: the attrs pattern
@@ -370,21 +379,23 @@ def _fast_feed(sink: "_BlockParser", text: str) -> None:
                 selfclose = True
                 raw_attrs = raw_attrs[:-1]
         attrs = (
-            _parse_attrs(raw_attrs) if _ATTR_HINT.search(raw_attrs) else []
+            _parse_attrs(raw_attrs)
+            if raw_attrs and _ATTR_HINT.search(raw_attrs)
+            else []
         )
         if selfclose:
             if name in ("br", "hr"):  # the only startend tags that act
                 sink.handle_startendtag(name, attrs)
             continue
-        if name not in _INTERESTING and not attrs:
+        if name not in interesting and not attrs:
             continue  # boring start tag: provably no state change
-        sink.handle_starttag(name, attrs)
+        handle_starttag(name, attrs)
         if name in _RAWTEXT:  # skip rawtext content to the closing tag
             cm = _RAWTEXT_CLOSE[name].search(text, pos)
             if cm is None:
                 break  # unterminated rawtext: content is skipped anyway
-            gt = text.find(">", cm.start())
-            sink.handle_endtag(name)
+            gt = find(">", cm.start())
+            handle_endtag(name)
             pos = (gt + 1) if gt != -1 else n
 
 
