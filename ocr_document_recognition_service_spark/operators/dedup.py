@@ -272,6 +272,74 @@ def lsh_candidate_pairs(
     )
 
 
+def dup_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iters: int = 32,
+) -> DataFrame:
+    """Connected components over near-dup pairs → duplicate clusters.
+
+    (doc_id, component_id) where component_id = the MINIMUM doc id
+    reachable through the pair graph — the transitive closure of
+    pairwise near-duplication, so an a~b, b~c chain lands in ONE
+    cluster even when a~c was never a candidate pair.
+
+    Plan: iterative min-label propagation (the standard large-scale
+    connected-components shape — each round is one self-join on the
+    symmetric edge list + one min-agg, label table is (n_docs, 2)
+    narrow): label(v) ← min(label(v), min over neighbors' labels),
+    iterated to CONVERGENCE (the per-round change count is a cheap
+    count on the narrow diff — an iterative algorithm's loop condition,
+    not a hot-path collect).  Rounds needed = graph diameter; LSH dup
+    clusters are near-cliques, so convergence is 2-3 rounds in
+    practice; *max_iters* bounds pathological chains and raises rather
+    than returning an unconverged answer.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("n"))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges.dst == labels.n)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("_nl"))
+        )
+        new_lbl = F.least(F.col("lbl"), F.coalesce(F.col("_nl"), F.col("lbl")))
+        # localCheckpoint truncates the lineage — without it the plan
+        # doubles per round and an iterative algorithm re-executes its
+        # whole history every iteration
+        updated = (
+            labels.join(neigh_min, labels.n == neigh_min.src, "left")
+            .select(
+                "n",
+                new_lbl.alias("lbl"),
+                (new_lbl < F.col("lbl")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("_chg")).count()
+        labels = updated.select("n", "lbl")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_components did not converge in {max_iters} iterations"
+        )
+    return labels.select(
+        F.col("n").alias("doc_id"), F.col("lbl").alias("component_id")
+    )
+
+
 def simhash_bits(
     docs: DataFrame, n_bits: int = 16, out: str = "simhash16"
 ) -> DataFrame:

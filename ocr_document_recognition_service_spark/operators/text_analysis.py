@@ -234,6 +234,52 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic
+    signal a curation pipeline uses for domain mixing and near-topic
+    sampling.
+
+    tf = term count within the doc; idf = ln(N / df) with N = corpus
+    row count and df = docs containing the term; score rounded 6dp and
+    RANKED ON THE ROUNDED value with a term tie-break, so a 1-ulp ln
+    difference between engines cannot reorder the top-k.  Plan: one
+    (doc, term) count agg (map-side combine), a term-keyed df agg
+    joined back (term key — high cardinality, no skew funnel), and a
+    per-doc window.
+    """
+    t = F.col(text_col)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit(""))
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n = docs.agg(F.count("*").cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("_tf") * F.log(F.col("_n") / F.col("_df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "tfidf")
+    )
+
+
 def redacted_col(text_col: str = "text") -> F.Column:
     """THE redaction expression (emails → <EMAIL>, urls → <URL>, digit
     runs → <NUM>) — single definition shared by ta6 (which pins it by

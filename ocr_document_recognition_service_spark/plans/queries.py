@@ -1560,6 +1560,39 @@ def dd6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_reg(
+    "dd8_components",
+    f"""
+    WITH {_LSH_CAND_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM cand
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    labels AS (
+      WITH RECURSIVE reach(n, lbl) AS (
+        SELECT n, n AS lbl FROM nodes
+        UNION
+        SELECT e.a AS n, r.lbl FROM edges e JOIN reach r ON r.n = e.b
+      )
+      SELECT n, min(lbl) AS lbl FROM reach GROUP BY n
+    )
+    SELECT n AS doc_id, CAST(lbl AS BIGINT) AS component_id FROM labels
+    """,
+    "duplicate-cluster assembly: connected components over the "
+    "MinHash-LSH pair graph (component_id = min reachable doc id) — "
+    "the transitive closure pairwise near-dup misses; Spark side is "
+    "iterative min-label propagation with localCheckpoint lineage "
+    "truncation, oracle is a DuckDB recursive CTE fixpoint",
+)
+def dd8_components(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dedup.lsh_candidate_pairs(
+        load(spark, sf, "documents").repartition(32), shingle="w3"
+    )
+    return dedup.dup_components(pairs)
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
@@ -2079,6 +2112,41 @@ def ta6_redact(spark: SparkSession, sf: str) -> DataFrame:
 )
 def ta7_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.repetition_stats(load(spark, sf, "documents"))
+
+
+@_reg(
+    "ta8_tfidf_topk",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS double) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round(t.tf * ln(n.n / d.df), 6) AS tfidf
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+    "per-doc top-3 TF-IDF terms (keyword/topic signal for domain "
+    "mixing): tf count agg + term-keyed df join + per-doc window; "
+    "ranked on the ROUNDED score with a term tie-break so engine ulps "
+    "cannot reorder the top-k",
+)
+def ta8_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.tfidf_topk(load(spark, sf, "documents"), k=3)
 
 
 # =====================================================================

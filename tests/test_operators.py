@@ -715,3 +715,22 @@ def test_repetition_stats_hand_case(spark):
     assert r2["top_2gram_frac"] == round(1 / 5, 6)
     r3 = rows[3]
     assert (r3["n_2grams"], r3["top_2gram_frac"], r3["dup_word_frac"]) == (0, 0.0, 0.0)
+
+
+def test_dup_components_chain_and_cliques(spark):
+    """Min-label propagation must merge transitive chains (a~b, b~c
+    => one cluster) and converge on multi-clique graphs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 8),  # chain
+         (10, 11), (11, 12), (10, 12),                            # clique
+         (20, 21)],                                               # pair
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.dup_components(pairs).collect()
+    }
+    assert {got[i] for i in range(1, 9)} == {1}
+    assert {got[i] for i in (10, 11, 12)} == {10}
+    assert got[20] == 20 and got[21] == 20
+    assert len(got) == 13
