@@ -296,12 +296,18 @@ def dup_components(
     practice; *max_iters* bounds pathological chains and raises rather
     than returning an unconverged answer.
     """
+    # checkpoint the edge list ONCE: it is re-read every round (the
+    # initial label build + one join per iteration), and its upstream
+    # is typically the whole LSH candidate pipeline — without this the
+    # shared-subtree re-evaluation rule recomputes that pipeline
+    # rounds+1 times
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
         .unionByName(
             pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("n"))

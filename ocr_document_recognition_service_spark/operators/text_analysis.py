@@ -4,12 +4,20 @@ whole-stage-codegen friendly, no Python in the hot path."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
 
 # Tiny stopword list matched to the synthetic corpora (deterministic).
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
+
+def words_arr(t: F.Column) -> F.Column:
+    """THE whitespace word tokenizer (lower → split \\s+ → drop
+    empties) — single definition; its DuckDB twin is the `_WORDS_SQL`-
+    family CTEs, and oracle parity requires the two to stay in
+    lock-step, so never inline a variant."""
+    return F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit(""))
 
 
 def script_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -66,9 +74,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     staged = docs.select(
         "doc_id",
-        F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit("")).alias(
-            "_tk"
-        ),
+        words_arr(t).alias("_tk"),
         F.length(F.regexp_replace(t, r"[^!?.,;:]", "")).alias("_np"),
         F.greatest(F.length(t), F.lit(1)).alias("_nc"),
     )
@@ -177,15 +183,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Plan shape: words staged per row (lambda-CSE pitfall), 2-grams
     exploded → one (doc_id, gram) hash-agg with map-side combine →
-    per-doc max/sum.  Short docs (<2 words) report 0 repetition.
+    per-doc max/sum.  Empty and <2-word docs report 0 repetition (an
+    empty doc is not "maximally repetitive" — the quality gate that
+    composes on these signals must not spam-flag blanks).
     """
-    t = F.col(text_col)
-    staged = docs.select(
-        "doc_id",
-        F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit("")).alias(
-            "_w"
-        ),
-    )
+    staged = docs.select("doc_id", words_arr(F.col(text_col)).alias("_w"))
     base = staged.select(
         "doc_id",
         F.size("_w").cast("long").alias("n_words"),
@@ -218,9 +220,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "doc_id",
             "n_words",
             F.round(
-                F.lit(1.0)
-                - F.col("n_distinct")
-                / F.greatest(F.col("n_words"), F.lit(1)).cast("double"),
+                F.when(
+                    F.col("n_words") > 0,
+                    F.lit(1.0)
+                    - F.col("n_distinct") / F.col("n_words").cast("double"),
+                ).otherwise(F.lit(0.0)),
                 6,
             ).alias("dup_word_frac"),
             F.coalesce(F.col("_tot"), F.lit(0)).cast("long").alias("n_2grams"),
@@ -241,18 +245,17 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
 
     tf = term count within the doc; idf = ln(N / df) with N = corpus
     row count and df = docs containing the term; score rounded 6dp and
-    RANKED ON THE ROUNDED value with a term tie-break, so a 1-ulp ln
-    difference between engines cannot reorder the top-k.  Plan: one
-    (doc, term) count agg (map-side combine), a term-keyed df agg
-    joined back (term key — high cardinality, no skew funnel), and a
-    per-doc window.
+    ranked on the ROUNDED value with a term tie-break, so a 1-ulp ln
+    difference between engines cannot reorder equal-rounded scores.
+    (Residual cross-engine risk, shared with every rounded-float
+    oracle here: a score landing within an ulp of a 6dp rounding
+    boundary could round differently per engine — accepted and
+    monitored by the tri-scale contract gate.)  Plan: one (doc, term)
+    count agg (map-side combine), a term-keyed df agg joined back
+    (term key — high cardinality, no skew funnel), a per-doc window.
     """
-    t = F.col(text_col)
     words = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != F.lit(""))
-        ).alias("term"),
+        "doc_id", F.explode(words_arr(F.col(text_col))).alias("term")
     )
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("_tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
@@ -268,8 +271,6 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )

@@ -2100,7 +2100,9 @@ def ta6_redact(spark: SparkSession, sf: str) -> DataFrame:
     gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
     gs AS (SELECT doc_id, max(c) AS top, sum(c) AS tot FROM gc GROUP BY 1)
     SELECT b.doc_id, b.n_words,
-           round(1.0 - b.n_distinct / CAST(greatest(b.n_words, 1) AS double), 6) AS dup_word_frac,
+           round(CASE WHEN b.n_words > 0
+                      THEN 1.0 - b.n_distinct / CAST(b.n_words AS double)
+                      ELSE 0.0 END, 6) AS dup_word_frac,
            CAST(coalesce(gs.tot, 0) AS BIGINT) AS n_2grams,
            round(coalesce(CAST(gs.top AS double) / gs.tot, 0), 6) AS top_2gram_frac
     FROM base b LEFT JOIN gs USING (doc_id)

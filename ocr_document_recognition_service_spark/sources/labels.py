@@ -25,7 +25,11 @@ def read_label_dir(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(f"{path}/*.txt").withColumn(
         "_file", F.input_file_name()
     )
-    stem = F.regexp_extract(F.col("_file"), r"([^/]+)\.txt$", 1)
+    # input_file_name() returns a URI — percent-decode so stems with
+    # spaces/special chars still match the image-side pairing key
+    stem = F.url_decode(
+        F.regexp_extract(F.col("_file"), r"([^/]+)\.txt$", 1)
+    )
     return raw.select(
         stem.alias("image_id"), F.col("value").alias("line")
     ).filter(F.length(F.trim("line")) > 0)

@@ -701,6 +701,8 @@ def test_repetition_stats_hand_case(spark):
             (1, "buy now buy now buy now"),       # 6 words, 2 distinct
             (2, "all words here are unique ok"),  # no repetition
             (3, "single"),                        # <2 words
+            (4, ""),                                  # empty doc
+            (5, "   "),                               # whitespace only
         ],
         "doc_id long, text string",
     )
@@ -715,6 +717,10 @@ def test_repetition_stats_hand_case(spark):
     assert r2["top_2gram_frac"] == round(1 / 5, 6)
     r3 = rows[3]
     assert (r3["n_2grams"], r3["top_2gram_frac"], r3["dup_word_frac"]) == (0, 0.0, 0.0)
+    # empty / whitespace-only docs are NOT "maximally repetitive"
+    for d in (4, 5):
+        r = rows[d]
+        assert (r["n_words"], r["dup_word_frac"], r["top_2gram_frac"]) == (0, 0.0, 0.0)
 
 
 def test_dup_components_chain_and_cliques(spark):
