@@ -281,6 +281,43 @@ def tfidf_topk(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean unigram negative log-probability — the
+    SQL-expressible analog of the KenLM-perplexity quality filter
+    (CCNet-style): gibberish and off-distribution text scores HIGH,
+    fluent in-distribution text scores LOW.
+
+    p(w) = corpus count(w) / total tokens (self-estimated — the corpus
+    is its own LM, exactly CCNet's in-domain framing);
+    score = mean over doc tokens of −ln p(w), rounded 6dp.  Plan: one
+    (term) count agg + broadcast total + term-keyed join back to the
+    doc term counts — two shuffles on high-cardinality keys, no skew
+    funnel.  Docs with no tokens report NULL (nothing to score).
+    """
+    words = docs.select(
+        "doc_id", F.explode(words_arr(F.col(text_col))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("_tf"))
+    cf = tf.groupBy("term").agg(F.sum("_tf").alias("_cf"))
+    tot = cf.agg(F.sum("_cf").cast("double").alias("_tot"))
+    scored = (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("_tf") * -F.log(F.col("_cf") / F.col("_tot"))
+                )
+                / F.sum("_tf"),
+                6,
+            ).alias("mean_neg_logprob"),
+        )
+    )
+    return scored
+
+
 def redacted_col(text_col: str = "text") -> F.Column:
     """THE redaction expression (emails → <EMAIL>, urls → <URL>, digit
     runs → <NUM>) — single definition shared by ta6 (which pins it by

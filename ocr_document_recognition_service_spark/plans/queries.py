@@ -2151,6 +2151,34 @@ def ta8_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.tfidf_topk(load(spark, sf, "documents"), k=3)
 
 
+@_reg(
+    "ta9_unigram_logprob",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+    cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(sum(cf) AS double) AS tot FROM cf)
+    SELECT t.doc_id,
+           CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+           round(sum(t.tf * -ln(c.cf / tot.tot)) / sum(t.tf), 6)
+             AS mean_neg_logprob
+    FROM tf t JOIN cf c USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    "CCNet-style LM quality filter, SQL-expressible analog: per-doc "
+    "mean unigram -ln p(w) with p self-estimated from corpus counts — "
+    "gibberish/off-distribution text scores high; term-keyed joins, "
+    "no skew funnel",
+)
+def ta9_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    return text_analysis.unigram_logprob(load(spark, sf, "documents"))
+
+
 # =====================================================================
 # Events aggregation
 # =====================================================================
