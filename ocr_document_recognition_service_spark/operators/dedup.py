@@ -184,6 +184,44 @@ def minhash_signatures(
     )
 
 
+def band_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    band_rows: int = LSH_BAND_ROWS,
+    shingle: str = "w3",
+) -> DataFrame:
+    """(doc_id, band, band_sig): MinHash band signatures — the shared
+    front half of ``lsh_candidate_pairs`` and the accumulating
+    signature store of ``streaming.neardup``.  All n min-hashes in ONE
+    wide hash-agg over the shingle rows (map-side combine, codegen),
+    band signature = ordered concat of the band's min-hashes."""
+    sh = _shingle_rows(docs, shingle)
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("w")))).alias(f"s{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    n_bands = n_hashes // band_rows
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"s{b * band_rows + r}") for r in range(band_rows)],
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_sig").alias("band_sig"),
+    )
+
+
 LSH_BUCKET_CAP = 64
 
 
@@ -223,27 +261,7 @@ def lsh_candidate_pairs(
     SimHash is the opposite trade (int arithmetic in ``aggregate`` won
     — see simhash_bits).
     """
-    sh = _shingle_rows(docs, shingle)
-    wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("w")))).alias(f"s{s}")
-            for s in range(n_hashes)
-        ]
-    )
-    n_bands = n_hashes // band_rows
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|",
-                *[F.col(f"s{b * band_rows + r}") for r in range(band_rows)],
-            ).alias("band_sig"),
-        )
-        for b in range(n_bands)
-    ]
-    bands = wide.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    bands = band_signatures(docs, n_hashes, band_rows, shingle)
     idx = bands
     if bucket_cap is not None:
         from pyspark.sql import Window

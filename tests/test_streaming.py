@@ -131,3 +131,53 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     batch = streaming_dedup(spark.read.parquet(str(src)), key="url", ts_col="warc_ts")
     assert got == {r["url"] for r in batch.collect()} == {"u/1", "u/2", "u/3"}
     assert spark.sql("SELECT count(*) FROM sdedup").collect()[0][0] == 3
+
+
+def test_incremental_neardup_first_wins_and_idempotent(spark, tmp_path):
+    """Streaming near-dedup at ingest: within-batch keep-min, history
+    first-wins, replay exactly-once; final kept set equals the batch
+    keep-min result when ids arrive in id order."""
+    from ocr_document_recognition_service_spark.operators import dedup
+    from ocr_document_recognition_service_spark.streaming.neardup import (
+        incremental_neardup,
+    )
+
+    def doc(i, text):
+        return (i, text)
+
+    uniq = lambda i: " ".join(f"tok{i}_{j} filler{i}_{j}" for j in range(12))
+    dup_text = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = [doc(0, uniq(0)), doc(1, uniq(1)), doc(2, uniq(2)),
+          doc(3, dup_text), doc(4, dup_text), doc(5, uniq(5))]
+    dup2 = "completely different repeated payload shared by late arrivals ok"
+    b2 = [doc(10, uniq(10)), doc(11, dup_text),        # history hit
+          doc(12, dup2), doc(13, dup2)]                # within-batch pair
+
+    src = tmp_path / "nd_src"; src.mkdir()
+    out, bands, ck = (str(tmp_path / n) for n in ("nd_out", "nd_bands", "nd_ck"))
+    import pandas as pd
+
+    pd.DataFrame(b1, columns=["doc_id", "text"]).to_parquet(
+        str(src / "p1.parquet"))
+    incremental_neardup(spark, str(src), out, bands, ck)
+    kept1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept1 == {0, 1, 2, 3, 5}  # 4 = within-batch dup of 3
+
+    pd.DataFrame(b2, columns=["doc_id", "text"]).to_parquet(
+        str(src / "p2.parquet"))
+    incremental_neardup(spark, str(src), out, bands, ck)
+    kept2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept2 == {0, 1, 2, 3, 5, 10, 12}  # 11 history-hit, 13 wb dup
+
+    # replay with nothing new: exactly-once, no duplicates
+    incremental_neardup(spark, str(src), out, bands, ck)
+    assert spark.read.parquet(out).count() == 7
+    # signature store holds ONLY kept docs
+    assert {r["doc_id"] for r in spark.read.parquet(bands).collect()} == kept2
+
+    # equals the batch keep-min result (ids arrived in id order)
+    all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    pairs = dedup.lsh_candidate_pairs(all_docs)
+    batch_drop = {r["doc_b"] for r in pairs.collect()}
+    batch_kept = {i for i, _ in b1 + b2} - batch_drop
+    assert kept2 == batch_kept
