@@ -292,7 +292,9 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     score = mean over doc tokens of −ln p(w), rounded 6dp.  Plan: one
     (term) count agg + broadcast total + term-keyed join back to the
     doc term counts — two shuffles on high-cardinality keys, no skew
-    funnel.  Docs with no tokens report NULL (nothing to score).
+    funnel.  Docs with no tokens are ABSENT from the output (nothing
+    to score) — left-join against the corpus and coalesce if one row
+    per doc is required.
     """
     words = docs.select(
         "doc_id", F.explode(words_arr(F.col(text_col))).alias("term")

@@ -172,8 +172,10 @@ def test_incremental_neardup_first_wins_and_idempotent(spark, tmp_path):
     # replay with nothing new: exactly-once, no duplicates
     incremental_neardup(spark, str(src), out, bands, ck)
     assert spark.read.parquet(out).count() == 7
-    # signature store holds ONLY kept docs
-    assert {r["doc_id"] for r in spark.read.parquet(bands).collect()} == kept2
+    # signature store holds the WHOLE seen stream (kept and dropped) -
+    # that is what makes transitive chains batch-boundary-independent
+    assert {r["doc_id"] for r in spark.read.parquet(bands).collect()} == {
+        0, 1, 2, 3, 4, 5, 10, 11, 12, 13}
 
     # equals the batch keep-min result (ids arrived in id order)
     all_docs = spark.createDataFrame(b1 + b2, "doc_id long, text string")
@@ -181,3 +183,68 @@ def test_incremental_neardup_first_wins_and_idempotent(spark, tmp_path):
     batch_drop = {r["doc_b"] for r in pairs.collect()}
     batch_kept = {i for i, _ in b1 + b2} - batch_drop
     assert kept2 == batch_kept
+
+
+def test_incremental_neardup_transitive_chain_across_batches(spark, tmp_path):
+    """a~b, b~c chain where b is DROPPED and c arrives a batch later:
+    c must still be dropped (b's signatures are stored even though b
+    was rejected) — the batch-boundary-independence property."""
+    import pandas as pd
+
+    from ocr_document_recognition_service_spark.operators import dedup
+    from ocr_document_recognition_service_spark.streaming.neardup import (
+        incremental_neardup,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "alpha beta gamma delta epsilon zeta eta theta iota novel1"
+    t3 = "front3 beta gamma delta epsilon zeta eta theta iota novel1"
+    # fixture premise: 1~2 and 2~3 collide, 1~3 does NOT
+    import collections
+    bb = collections.defaultdict(set)
+    for r in dedup.band_signatures(
+        spark.createDataFrame(
+            [(1, t1), (2, t2), (3, t3)], "doc_id long, text string"
+        )
+    ).collect():
+        bb[(r["band"], r["band_sig"])].add(r["doc_id"])
+    assert any({1, 2} <= s for s in bb.values())
+    assert any({2, 3} <= s for s in bb.values())
+    assert not any({1, 3} <= s for s in bb.values())
+
+    src = tmp_path / "ch_src"; src.mkdir()
+    out, bands, ck = (str(tmp_path / n) for n in ("ch_out", "ch_bands", "ch_ck"))
+    pd.DataFrame([(1, t1), (2, t2)], columns=["doc_id", "text"]).to_parquet(
+        str(src / "p1.parquet"))
+    incremental_neardup(spark, str(src), out, bands, ck)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+    pd.DataFrame([(3, t3)], columns=["doc_id", "text"]).to_parquet(
+        str(src / "p2.parquet"))
+    incremental_neardup(spark, str(src), out, bands, ck)
+    # 3 collides with DROPPED 2's stored bands -> dropped, same as if
+    # all three had shared one batch
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1}
+
+
+def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
+    """A retried foreachBatch (same batch_id) must not collide with its
+    own prior signatures nor duplicate output."""
+    from ocr_document_recognition_service_spark.streaming.neardup import (
+        process_neardup_batch,
+    )
+
+    out, bands = str(tmp_path / "rp_out"), str(tmp_path / "rp_bands")
+    dup = "same same text here repeated exactly for the dup pair ok ok"
+    batch = spark.createDataFrame(
+        [(1, "totally unique first document tokens here ok fine"),
+         (2, dup), (3, dup)],
+        "doc_id long, text string",
+    )
+    process_neardup_batch(spark, batch, 7, out, bands)
+    first = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}  # 3 = within-batch dup of 2
+    # retry the SAME batch id: must produce the identical result, not
+    # an empty partition (self-collision) or duplicates
+    process_neardup_batch(spark, batch, 7, out, bands)
+    rows = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2} and len(rows) == 2
