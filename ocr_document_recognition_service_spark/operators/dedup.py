@@ -274,17 +274,24 @@ def lsh_candidate_pairs(
             .filter(F.col("_rn") <= bucket_cap)
             .drop("_rn")
         )
+    # probe > index: the capped index holds the SMALLEST doc_ids per
+    # (band, band_sig) (downward-closed), so pair (x<y) is a candidate
+    # iff x is indexed in a shared bucket — this join emits exactly
+    # those (the same set as the != + least/greatest form) at half the
+    # pre-distinct rows; distinct collapses cross-band repeats.
+    # NOTE: when bucket_cap is None the > form is trivially equivalent
+    # to the classic  a.doc_id < b.doc_id  join.
     return (
         bands.alias("a")
         .join(
             idx.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
         )
         .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            F.col("b.doc_id").alias("doc_a"),
+            F.col("a.doc_id").alias("doc_b"),
         )
         .distinct()
     )
@@ -418,6 +425,7 @@ def simhash_near_pairs(
     n_bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 3,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded Hamming-LSH + exact verify.
 
@@ -425,10 +433,22 @@ def simhash_near_pairs(
     sharing ANY band value (one keyed join per the banded-bucket shape —
     never all-pairs); verify = exact popcount(xor) ≤ max_hamming.  By
     pigeonhole the banding has EXACT recall whenever
-    max_hamming < n_bands (≤3 differing bits cannot touch all 4 bands),
-    so this equals the brute-force result, at bucket-bounded cost.
-    Widen n_bits / n_bands at scale for finer buckets (md5 supplies up
-    to 128 bits).
+    max_hamming < n_bands (≤3 differing bits cannot touch all 4 bands)
+    — so the UNCAPPED form equals brute force.  Widen n_bits / n_bands
+    at scale for finer buckets (md5 supplies up to 128 bits).
+
+    *bucket_cap* bounds the worst-case band-bucket population: with
+    4 bands × 8-bit values there are only 256 buckets per band, and
+    near-identical boilerplate collapses into mega-buckets whose
+    ``a ⋈ b`` goes quadratic.  The dd3/sim3 index-side cap applies:
+    every doc probes, only the *bucket_cap* smallest doc_ids per
+    (band, bv) serve as the index, so a bucket of M emits ≤ M × cap
+    pairs and the bucket minimum stays connected to every member.
+    CAVEAT (documented trade): inside an over-full bucket, the
+    pigeonhole exact-recall guarantee narrows to pairs touching the
+    capped index set — two non-indexed members of the same mega-bucket
+    are only found if they co-occur under another band.  Raise the cap
+    (or n_bits/n_bands, shrinking buckets) to buy recall back.
     """
     assert n_bits % n_bands == 0 and max_hamming < n_bands
     width = n_bits // n_bands
@@ -445,16 +465,32 @@ def simhash_near_pairs(
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    idx = bands
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bv").orderBy(F.col("doc_id").asc())
+        idx = (
+            bands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    # probe > index: the capped index holds the SMALLEST doc_ids per
+    # bucket (downward-closed), so pair (x<y) is a candidate iff x is
+    # indexed in a shared bucket — this join emits exactly those, once
+    # per band (distinct collapses cross-band repeats, half the rows
+    # of the != form)
     cand = (
         bands.alias("a")
         .join(
-            bands.alias("b"),
+            idx.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("b.doc_id").alias("doc_a"),
+            F.col("a.doc_id").alias("doc_b"),
         )
         .distinct()
     )
@@ -504,28 +540,55 @@ def embedding_dup_pairs(
     planes: list[list[float]] | None = None,
     n_planes: int = 6,
     threshold: float = 0.99,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding cosine near-dup pairs over random-hyperplane LSH
     bucket candidates (generate-then-verify; no label/source blocking).
 
-    Candidates = same-bucket (vec_a < vec_b) pairs from
-    ``similarity.lsh_buckets`` — at 100 TB the bucket id is the
-    partition key and the quadratic term is bounded per bucket.  Exact
-    cosine on candidates only, ARRAY-NATIVE (zip_with/aggregate in
-    codegen — no posexplode, no norms shuffle); per-element products in
-    double + 4dp rounding keep parity with the flat SQL oracle.
+    Candidates = same-bucket pairs from ``similarity.lsh_buckets`` — at
+    100 TB the bucket id is the partition key.  With *n_planes* fixed
+    the bucket COUNT is fixed (2^n_planes), so bucket population grows
+    ~N/2^n_planes and an uncapped ``b ⋈ b`` is O(N²/2^n_planes) —
+    quadratic at scale even with uniform hyperplanes.  *bucket_cap*
+    bounds it with the dd3/sim3 index-side pattern: every vector still
+    probes, only the *bucket_cap* smallest vec_ids per bucket serve as
+    the index side, so a bucket of M emits ≤ M × bucket_cap pairs.  The
+    bucket MINIMUM is always indexed, so every member stays paired with
+    the bucket representative and duplicate clusters survive transitive
+    closure; only pair-level recall among non-representatives is
+    truncated.  At scale also raise *n_planes* ≈ log2(N/target_bucket)
+    so buckets stay small in the first place.
+
+    Exact cosine on candidates only, ARRAY-NATIVE (zip_with/aggregate
+    in codegen — no posexplode, no norms shuffle); per-element products
+    in double + 4dp rounding keep parity with the flat SQL oracle.
     """
     planes = planes or similarity.hyperplanes(n_planes)
     b = similarity.lsh_buckets(emb, planes)
+    idx = b
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket").orderBy(F.col("vec_id").asc())
+        idx = (
+            b.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    # the index is downward-closed by vec_id within a bucket (the cap
+    # keeps the SMALLEST ids), so probe > index emits each capped pair
+    # exactly once — no distinct, no least/greatest: pair (x<y) is a
+    # candidate iff x is indexed, which is precisely this join
     cand = (
         b.alias("a")
         .join(
-            b.alias("b"),
+            idx.alias("b"),
             (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+            F.col("b.vec_id").alias("vec_a"),
+            F.col("a.vec_id").alias("vec_b"),
         )
     )
     ea = emb.select(

@@ -304,13 +304,35 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
     )
 
 
-def _cell_probe_topk(cells: DataFrame, emb: DataFrame, k: int) -> DataFrame:
+CELL_CAP = 64
+
+
+def _cell_probe_topk(
+    cells: DataFrame, emb: DataFrame, k: int, cell_cap: int | None = CELL_CAP
+) -> DataFrame:
     """Shared IVF probe tail: same-cell candidate pairs → exact cosine
-    → rank-filtered top-k (probe=1: a query reads only its cell)."""
+    → rank-filtered top-k (probe=1: a query reads only its cell).
+
+    *cell_cap* bounds the worst-case cell population on the INDEX side
+    (the lsh_probe_candidates pattern): with n_cells fixed a cell holds
+    ~N/n_cells vectors and an uncapped same-cell join is O(N²/n_cells).
+    Every vector still probes as a query; only the *cell_cap* smallest
+    vec_ids per cell serve as neighbors, so per-query work is ≤
+    cell_cap candidates.  Recall trade: neighbors truncated out of an
+    over-full cell are unreachable (probe=1) — at scale also grow
+    n_cells ≈ N/target_cell so cells stay small (the real IVF knob)."""
+    idx = cells
+    if cell_cap is not None:
+        w = Window.partitionBy("cell").orderBy(F.col("vec_id").asc())
+        idx = (
+            cells.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cell_cap)
+            .drop("_rn")
+        )
     cand = (
         cells.alias("qa")
         .join(
-            cells.alias("qb"),
+            idx.alias("qb"),
             (F.col("qa.cell") == F.col("qb.cell"))
             & (F.col("qa.vec_id") != F.col("qb.vec_id")),
         )
@@ -322,12 +344,17 @@ def _cell_probe_topk(cells: DataFrame, emb: DataFrame, k: int) -> DataFrame:
     return _rank_scored(_score_pairs(cand, emb), k)
 
 
-def ivf_topk(emb: DataFrame, n_cells: int = 8, k: int = 1) -> DataFrame:
+def ivf_topk(
+    emb: DataFrame,
+    n_cells: int = 8,
+    k: int = 1,
+    cell_cap: int | None = CELL_CAP,
+) -> DataFrame:
     """IVF-probed ANN: top-k by cosine among vectors sharing the
     query's cell (probe=1).  The inverted-file twin of lsh_topk — at
     scale the cell id is the partition key and a probe reads one cell."""
     cells = ivf_assign(emb, n_cells).select("vec_id", "cell")
-    return _cell_probe_topk(cells, emb, k)
+    return _cell_probe_topk(cells, emb, k, cell_cap)
 
 
 def _assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
@@ -384,12 +411,16 @@ def kmeans_cells(
 
 
 def ivf_kmeans_topk(
-    emb: DataFrame, n_cells: int = 8, iters: int = 2, k: int = 1
+    emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    k: int = 1,
+    cell_cap: int | None = CELL_CAP,
 ) -> DataFrame:
     """IVF probe over Lloyd-trained cells — sim4's probe with trained
     centroids instead of the first-k quantizer."""
     cells = kmeans_cells(emb, n_cells, iters)
-    return _cell_probe_topk(cells, emb, k)
+    return _cell_probe_topk(cells, emb, k, cell_cap)
 
 
 def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:

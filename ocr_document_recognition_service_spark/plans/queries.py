@@ -1454,10 +1454,18 @@ def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, b, (sh >> CAST(8*b AS int)) & 255 AS bv
       FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b)
     ),
+    capped AS (
+      SELECT doc_id, b, bv FROM (
+        SELECT doc_id, b, bv,
+               row_number() OVER (PARTITION BY b, bv ORDER BY doc_id ASC) AS rn
+        FROM bands
+      ) WHERE rn <= 64
+    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+      SELECT DISTINCT least(a.doc_id, c.doc_id) AS doc_a,
+                      greatest(a.doc_id, c.doc_id) AS doc_b
+      FROM bands a JOIN capped c
+        ON a.b = c.b AND a.bv = c.bv AND a.doc_id <> c.doc_id
     )
     SELECT doc_a, doc_b,
            CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
@@ -1466,7 +1474,8 @@ def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
     WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
     """,
     "SimHash(32) near-dup pairs: 4×8-bit banded Hamming-LSH candidates "
-    "+ exact popcount verify (EXACT recall for hamming ≤ 3 by pigeonhole)",
+    "(64-doc index cap per band bucket — bounded fan-out) + exact "
+    "popcount verify (pigeonhole-exact recall within capped buckets)",
 )
 def dd7_simhash_near(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_near_pairs(
@@ -1474,6 +1483,7 @@ def dd7_simhash_near(spark: SparkSession, sf: str) -> DataFrame:
         n_bits=32,
         n_bands=4,
         max_hamming=3,
+        bucket_cap=64,
     )
 
 
@@ -1496,10 +1506,18 @@ def dd7_simhash_near(spark: SparkSession, sf: str) -> DataFrame:
              CAST(sum(CASE WHEN s > 0 THEN (1::bigint << CAST(p AS int)) ELSE 0 END) AS bigint) AS bucket
       FROM sums GROUP BY vec_id
     ),
+    capped AS (
+      SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY vec_id ASC) AS rn
+        FROM buckets
+      ) WHERE rn <= 64
+    ),
     cand AS (
-      SELECT qa.vec_id AS vec_a, qb.vec_id AS vec_b
-      FROM buckets qa JOIN buckets qb
-        ON qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
+      SELECT DISTINCT least(qa.vec_id, qb.vec_id) AS vec_a,
+                      greatest(qa.vec_id, qb.vec_id) AS vec_b
+      FROM buckets qa JOIN capped qb
+        ON qa.bucket = qb.bucket AND qa.vec_id <> qb.vec_id
     ),
     dots AS (
       SELECT c.vec_a, c.vec_b, sum(fa.x * fb.x) AS dot
@@ -1514,13 +1532,15 @@ def dd7_simhash_near(spark: SparkSession, sf: str) -> DataFrame:
     WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.3
     """,
     "embedding cosine near-dup verified over random-hyperplane LSH "
-    "bucket pairs (generate-then-verify; no label blocking)",
+    "bucket pairs with a 64-vector index cap per bucket "
+    "(generate-then-verify, bounded fan-out; no label blocking)",
 )
 def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_dup_pairs(
         load(spark, sf, "embeddings").repartition(16),
         n_planes=6,
         threshold=0.3,
+        bucket_cap=64,
     )
 
 
@@ -1748,9 +1768,16 @@ def sim3_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         FROM d2
       ) WHERE rn = 1
     ),
+    cidx AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS rn
+        FROM cells
+      ) WHERE rn <= 64
+    ),
     cand AS (
       SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
-      FROM cells qa JOIN cells qb
+      FROM cells qa JOIN cidx qb
         ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id
     ),
     dots AS (
@@ -1773,10 +1800,12 @@ def sim3_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     ) WHERE rank <= 1
     """,
     "IVF-probed ANN: top-1 within the query's inverted-file cell "
-    "(8 deterministic centroids, probe=1)",
+    "(8 deterministic centroids, probe=1, 64-vector cell cap)",
 )
 def sim4_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.ivf_topk(load(spark, sf, "embeddings"), n_cells=8, k=1)
+    return similarity.ivf_topk(
+        load(spark, sf, "embeddings"), n_cells=8, k=1, cell_cap=64
+    )
 
 
 @_reg(
@@ -1824,9 +1853,16 @@ def sim4_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist2 ASC, cell ASC) AS rn FROM d3) WHERE rn = 1
     ),
+    cidx AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS rn
+        FROM cells
+      ) WHERE rn <= 64
+    ),
     cand AS (
       SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
-      FROM cells qa JOIN cells qb
+      FROM cells qa JOIN cidx qb
         ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id
     ),
     dots AS (
@@ -1853,7 +1889,7 @@ def sim4_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 )
 def sim5_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_kmeans_topk(
-        load(spark, sf, "embeddings"), n_cells=8, iters=2, k=1
+        load(spark, sf, "embeddings"), n_cells=8, iters=2, k=1, cell_cap=64
     )
 
 

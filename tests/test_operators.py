@@ -740,3 +740,69 @@ def test_dup_components_chain_and_cliques(spark):
     assert {got[i] for i in (10, 11, 12)} == {10}
     assert got[20] == 20 and got[21] == 20
     assert len(got) == 13
+
+
+def test_embedding_dup_pairs_bounded_under_skew(spark):
+    """A degenerate embedding corpus (every vector identical => ONE
+    hyperplane bucket) must not go quadratic: with the index-side cap a
+    bucket of M emits <= M * cap pairs, and the bucket minimum stays
+    paired with every member (cluster connectivity)."""
+    n, cap = 200, 8
+    rows = [(i, [1.0] * 64) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    pairs = dedup.embedding_dup_pairs(
+        emb, n_planes=6, threshold=0.5, bucket_cap=cap
+    ).collect()
+    assert 0 < len(pairs) <= n * cap
+    assert len(pairs) < n * (n - 1) // 2  # the uncapped quadratic count
+    partners_of_0 = {r["vec_b"] for r in pairs if r["vec_a"] == 0}
+    touched = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    assert touched == set(range(n))
+    assert partners_of_0 == set(range(1, n))  # min vec is always indexed
+    # uncapped control on a smaller corpus: all pairs emitted
+    small = spark.createDataFrame(rows[:30], "vec_id: long, embedding: array<float>")
+    uncapped = dedup.embedding_dup_pairs(
+        small, n_planes=6, threshold=0.5, bucket_cap=None
+    ).count()
+    assert uncapped == 30 * 29 // 2
+
+
+def test_simhash_near_pairs_bounded_under_skew(spark):
+    """N identical docs share every SimHash band value (one mega-bucket
+    per band); the index-side cap bounds pairs to <= N * cap while the
+    bucket minimum stays connected to every member."""
+    n, cap = 200, 8
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(n)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_near_pairs(docs, bucket_cap=cap).collect()
+    assert 0 < len(pairs) <= n * cap
+    assert len(pairs) < n * (n - 1) // 2
+    partners_of_0 = {r["doc_b"] for r in pairs if r["doc_a"] == 0}
+    touched = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert touched == set(range(n))
+    assert partners_of_0 == set(range(1, n))
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_cell_probe_bounded_under_skew(spark):
+    """IVF probe over one mega-cell: with the cell cap, per-query
+    candidate fan-out is bounded by cell_cap; uncapped it is N-1."""
+    n, cap = 120, 8
+    rows = [(i, [1.0] * 64) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cells = emb.select("vec_id", F.lit(0).alias("cell"))
+    got = similarity._cell_probe_topk(cells, emb, k=n, cell_cap=cap)
+    per_q = {
+        r["query_id"]: r["n"]
+        for r in got.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(per_q) == n  # every vector still probes
+    assert max(per_q.values()) <= cap
+    uncapped = similarity._cell_probe_topk(cells, emb, k=n, cell_cap=None)
+    worst = (
+        uncapped.groupBy("query_id").agg(F.count("*").alias("n"))
+        .agg(F.max("n")).collect()[0][0]
+    )
+    assert worst == n - 1
