@@ -248,3 +248,99 @@ def test_neardup_batch_replay_is_idempotent(spark, tmp_path):
     process_neardup_batch(spark, batch, 7, out, bands)
     rows = spark.read.parquet(out).collect()
     assert {r["doc_id"] for r in rows} == {1, 2} and len(rows) == 2
+
+
+def test_neardup_compaction_preserves_decisions(spark, tmp_path):
+    """Folding the signature store into a distinct (band, band_sig)
+    snapshot must not change any keep/drop decision, must stay
+    replay-idempotent, and must actually shrink the store to at most
+    the distinct-signature count."""
+    from ocr_document_recognition_service_spark.streaming import neardup as nd
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "alpha beta gamma delta epsilon zeta eta theta iota novel1"
+    t3 = "front3 beta gamma delta epsilon zeta eta theta iota novel1"
+    uniq = lambda i: " ".join(f"tok{i}_{j} fill{i}_{j}" for j in range(10))
+    batches = [
+        [(1, t1), (2, t2), (4, uniq(4))],   # 2 dropped (wb dup of 1)
+        [(5, uniq(5))],
+        [(6, t3), (7, uniq(7))],            # 6 must hit DROPPED 2's sigs
+    ]
+
+    def run(store_root, compact_after=None):
+        out = str(store_root / "out"); bands = str(store_root / "bands")
+        for bid, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            nd.process_neardup_batch(spark, df, bid, out, bands)
+            if compact_after is not None and bid == compact_after:
+                nd.compact_bands(spark, bands, upto_batch=bid)
+                nd.compact_bands(spark, bands, upto_batch=bid)  # idempotent
+                nd.vacuum_bands(spark, bands)
+        return out, bands
+
+    ctrl_root = tmp_path / "ctrl"; ctrl_root.mkdir()
+    comp_root = tmp_path / "comp"; comp_root.mkdir()
+    out_c, _ = run(ctrl_root)
+    out_k, bands_k = run(comp_root, compact_after=1)
+
+    kept_ctrl = {r["doc_id"] for r in spark.read.parquet(out_c).collect()}
+    kept_comp = {r["doc_id"] for r in spark.read.parquet(out_k).collect()}
+    assert kept_comp == kept_ctrl == {1, 4, 5, 7}  # 6 dropped via snapshot
+
+    # snapshot row count <= distinct signatures of the folded batches
+    snap = spark.read.parquet(nd._compact_path(bands_k))
+    folded = spark.createDataFrame(
+        batches[0] + batches[1], "doc_id long, text string"
+    )
+    from ocr_document_recognition_service_spark.operators import dedup
+    n_distinct = (
+        dedup.band_signatures(folded).select("band", "band_sig").distinct().count()
+    )
+    assert snap.count() <= n_distinct
+    # vacuum removed the folded delta partitions; only batch 2 remains
+    delta_batches = {
+        r["batch_id"]
+        for r in spark.read.parquet(bands_k).select("batch_id").distinct().collect()
+    }
+    assert delta_batches == {2}
+
+    # replay of the latest batch AFTER compaction: history excludes its
+    # own delta partition, snapshot holds only batches <= 1 -> identical
+    df2 = spark.createDataFrame(batches[2], "doc_id long, text string")
+    nd.process_neardup_batch(spark, df2, 2, out_k, bands_k)
+    rows = spark.read.parquet(out_k).collect()
+    assert {r["doc_id"] for r in rows} == kept_ctrl and len(rows) == 4
+
+
+def test_incremental_neardup_with_compact_every(spark, tmp_path):
+    """End-to-end: the streaming drain with compact_every enabled makes
+    the same decisions as the uncompacted stream."""
+    import pandas as pd
+    from ocr_document_recognition_service_spark.streaming.neardup import (
+        incremental_neardup,
+    )
+
+    uniq = lambda i: " ".join(f"w{i}_{j} x{i}_{j}" for j in range(12))
+    dup = "shared duplicated payload text exactly repeated across batches ok"
+    files = [
+        [(0, uniq(0)), (1, dup)],
+        [(2, dup), (3, uniq(3))],
+        [(4, dup), (5, uniq(5))],
+    ]
+    results = {}
+    for mode, every in (("plain", None), ("compact", 1)):
+        src = tmp_path / f"{mode}_src"; src.mkdir()
+        out, bands, ck = (
+            str(tmp_path / f"{mode}_{n}") for n in ("out", "bands", "ck")
+        )
+        for i, rows in enumerate(files):
+            pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+                str(src / f"p{i}.parquet")
+            )
+            incremental_neardup(
+                spark, str(src), out, bands, ck, compact_every=every
+            )
+        results[mode] = {
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        }
+    assert results["plain"] == results["compact"] == {0, 1, 3, 5}
