@@ -2679,24 +2679,31 @@ def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
 # query per distinct operator family (SURVEY §2 + the LLM-pipeline set).
 # The overflow holds (a) pipeline-stage subsets of an in-window query
 # (dd0⊂dd1, dd4⊂dd7, sim2⊂sim3, sim4⊂sim5), (b) plan shapes already
-# covered (ev1 = date_trunc agg ~ q1, w8 = frame window ~ w1), (c) the
-# nine redundant TPC-H variants, and (d) the six rows-only showcases.
+# covered (ev1 = date_trunc agg ~ q1, w8 = frame window ~ w1, q4/q6/
+# q12 ~ q1/q18, f4/f6 ~ f5), (c) the redundant TPC-H variants, and
+# (d) the six rows-only showcases.  Every operator family has at least
+# one in-window representative; r3's five new operators (dd8, ta7/ta8/
+# ta9, lab1) rotated IN for round 4 so each gets a driver-green row.
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # relational core
+    # relational core (q4/q6/q12 rotated to overflow r4 — the scan→
+    # filter→agg family stays covered by q1/q6-shape q18/q3/q5)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q4_late_orders", "q6_forecast_revenue", "q12_priority_mix",
     "q18_large_orders",
-    # text analysis
+    # text analysis (+ r3's ta7/ta8/ta9, first driver certification r4)
     "ta1_script_counts", "ta2_quality_score", "ta3_fingerprints",
     "ta4_token_stats", "ta5_kmv_distinct", "ta6_redact",
+    "ta7_repetition", "ta8_tfidf_topk", "ta9_unigram_logprob",
+    # label sources (r3's YOLO parser, first driver certification r4)
+    "lab1_yolo_boxes",
     # events / advanced relational
     "ev0_json_props", "ev2_rollup", "ev3_pivot", "ev4_asof_join",
     "ev5_range_join", "ev6_value_quantiles", "ev7_grouping_sets",
-    # filters & scalar functions
+    # filters & scalar functions (f4/f6 rotated to overflow r4 — the
+    # scalar-function family stays covered by f5/f8)
     "f1_vocab_filter", "f2_dim_filter", "f3_token_len_filter",
-    "f4_whitespace_norm", "f5_homoglyph_translate", "f6_strip_digits",
+    "f5_homoglyph_translate",
     "f8_base64_roundtrip", "f9_top_orders",
     # accuracy metrics
     "a1_iou", "a2_best_match", "a3_eval_report", "a9_match_report",
@@ -2706,9 +2713,10 @@ _DRIVER_WINDOW: list[str] = [
     "w6_sessionize", "w7_sorted_zip",
     # set operations
     "s1_customers_no_urgent", "s2_building_and_urgent",
-    # dedup family
+    # dedup family (+ r3's dd8 cluster assembly, first driver cert r4)
     "dd1_exact", "dd2_word_jaccard", "dd3_minhash_lsh",
     "dd5_embedding_dup", "dd6_ngram_jaccard", "dd7_simhash_near",
+    "dd8_components",
     # similarity / embeddings
     "sim1_topk_cosine", "sim3_lsh_topk", "sim5_ivf_kmeans_topk",
     "emb1_norm_quantize",
