@@ -145,16 +145,16 @@ def ap_report(
     broadcast back — the ``chunk_ids`` two-pass prefix-sum pattern.
     Band ties cannot split across groups (equal conf ⇒ equal band).
 
-    *conf_band* defaults to (max−min)/256 measured from the data (one
-    tiny pre-aggregation) — a fixed default would silently collapse to
-    ONE band (and the single-task funnel) for confidences on a scale it
-    wasn't tuned for, e.g. detector scores in [0, 1].
+    *conf_band* defaults to (max−min)/256 measured from the data,
+    folded INTO the plan as a broadcast 1-row aggregate (the ta8 ``_n``
+    pattern) — no driver collect, so ``ap_report`` composes lazily and
+    costs one fewer synchronous job.  A fixed default would silently
+    collapse to ONE band (and the single-task funnel) for confidences
+    on a scale it wasn't tuned for, e.g. detector scores in [0, 1].
+    The double casts keep the arithmetic type-safe for DecimalType
+    confidence columns.
     """
     spark = preds.sparkSession
-    if conf_band is None:
-        lo, hi = preds.agg(F.min(conf), F.max(conf)).collect()[0]
-        span = (hi - lo) if (hi is not None and lo is not None) else 0.0
-        conf_band = max(span / 256.0, 1e-9)
     thr = spark.createDataFrame(
         [(float(t),) for t in thresholds], "iou_threshold double"
     )
@@ -164,6 +164,21 @@ def ap_report(
     base = preds.withColumn(
         "_best", (F.row_number().over(best_w) == 1).cast("int")
     )
+    if conf_band is None:
+        band_df = preds.agg(
+            F.greatest(
+                (
+                    F.max(F.col(conf).cast("double"))
+                    - F.min(F.col(conf).cast("double"))
+                )
+                / F.lit(256.0),
+                F.lit(1e-9),
+            ).alias("_band")
+        )
+        base = base.crossJoin(F.broadcast(band_df))
+        band = F.col("_band")
+    else:
+        band = F.lit(float(conf_band))
     x = (
         base.crossJoin(F.broadcast(thr))
         .withColumn(
@@ -173,7 +188,8 @@ def ap_report(
                 & (F.col(score) > F.col("iou_threshold"))
             ).cast("int"),
         )
-        .withColumn("_g", F.floor(F.col(conf) / conf_band))
+        .withColumn("_g", F.floor(F.col(conf).cast("double") / band))
+        .drop("_band")
     )
     order = [F.col(conf).desc(), F.col(key).asc(), F.col(tiebreak).asc()]
     wr = Window.partitionBy("iou_threshold", "_g").orderBy(*order)

@@ -26,10 +26,12 @@ def read_label_dir(spark: SparkSession, path: str) -> DataFrame:
         "_file", F.input_file_name()
     )
     # input_file_name() returns a URI — percent-decode so stems with
-    # spaces/special chars still match the image-side pairing key
-    stem = F.url_decode(
-        F.regexp_extract(F.col("_file"), r"([^/]+)\.txt$", 1)
-    )
+    # spaces/special chars still match the image-side pairing key.
+    # url_decode is form-decoding ('+' → space), but a URI path keeps
+    # literal '+' as-is, so protect it ('+' → '%2B') before decoding —
+    # a label file named 'img+1.txt' must pair under stem 'img+1'
+    raw_stem = F.regexp_extract(F.col("_file"), r"([^/]+)\.txt$", 1)
+    stem = F.url_decode(F.replace(raw_stem, F.lit("+"), F.lit("%2B")))
     return raw.select(
         stem.alias("image_id"), F.col("value").alias("line")
     ).filter(F.length(F.trim("line")) > 0)

@@ -806,3 +806,43 @@ def test_cell_probe_bounded_under_skew(spark):
         .agg(F.max("n")).collect()[0][0]
     )
     assert worst == n - 1
+
+
+def test_ap_report_decimal_conf_and_lazy_band(spark):
+    """conf_band=None must (a) not run a driver-side collect (the band
+    is a broadcast 1-row agg inside the plan) and (b) survive a
+    DecimalType confidence column."""
+    from ocr_document_recognition_service_spark.operators import metrics
+
+    rows = [(1, 1, "0.90", 0.8), (1, 2, "0.80", 0.2),
+            (2, 1, "0.70", 0.9), (3, 1, "0.60", 0.1)]
+    preds = spark.createDataFrame(
+        rows, "k long, line long, conf string, iou double"
+    ).select("k", "line", F.col("conf").cast("decimal(10,4)").alias("conf"), "iou")
+    # plan construction must not trigger any job (lazy composition)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = metrics.ap_report(
+        preds, thresholds=[0.5], key="k", conf="conf",
+        score="iou", tiebreak="line", conf_band=None,
+    )
+    assert tracker.getJobIdsForGroup(None) == before
+    out = df.collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_gt"], r["n_pred"], r["n_tp"]) == (3, 4, 2)
+    # ranks by conf desc: 0.9(TP,p=1/1), 0.8(FP), 0.7(TP,p=2/3), 0.6(FP)
+    assert r["ap"] == round((1.0 + 2 / 3) / 3, 6)
+
+
+def test_dup_components_long_chain_converges(spark):
+    """A 300-link path graph (diameter 300) must converge within the
+    default 32-iteration bound — pointer jumping makes rounds scale
+    with log(diameter), where one-hop propagation would need 300."""
+    n = 300
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    out = dedup.dup_components(pairs).collect()
+    assert len(out) == n + 1
+    assert {r["component_id"] for r in out} == {0}

@@ -100,15 +100,18 @@ def test_yolo_label_dir_parse_and_skip_policy(spark, tmp_path):
         "\n"                        # blank -> dropped at read
     )
     (d / "page 3.txt").write_text("word 0.5 0.5 0.2 0.1\n")  # space in stem
+    (d / "img+1.txt").write_text("word 0.5 0.5 0.2 0.1\n")   # literal '+'
     lines = read_label_dir(spark, str(d))
-    assert lines.count() == 6  # blanks already gone
-    # input_file_name() URIs are percent-decoded back to the real stem
-    assert "page 3" in {r["image_id"] for r in lines.collect()}
+    assert lines.count() == 7  # blanks already gone
+    # input_file_name() URIs are percent-decoded back to the real stem;
+    # a literal '+' is a URI path char, NOT a form-encoded space
+    stems = {r["image_id"] for r in lines.collect()}
+    assert "page 3" in stems and "img+1" in stems
     boxes = parse_yolo_lines(lines, img_w=100.0, img_h=200.0)
     rows = {
         (r["image_id"], r["cls"]): r for r in boxes.collect()
     }
-    assert len(rows) == 4  # 2 malformed lines dropped
+    assert len(rows) == 5  # 2 malformed lines dropped
     r = rows[("img_001", "word")]
     assert (r["rx1"], r["ry1"], r["rx2"], r["ry2"]) == (0.4, 0.45, 0.6, 0.55)
     assert (r["x1"], r["y1"], r["x2"], r["y2"]) == (40.0, 90.0, 60.0, 110.0)
