@@ -403,18 +403,20 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes:
     return bytes(out)
 
 
-def _decode_png_gray(b: bytes) -> tuple[int, int, str, bytes] | None:
-    """8-bit greyscale non-interlaced PNG → (w, h, 'L', pixels), pure
-    stdlib (zlib IDAT inflate + filter reversal).  None if the payload
-    is not a PNG this path can read."""
+def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """8-bit non-interlaced PNG, colour types 0 (grey → 'L'), 2
+    (truecolour RGB) and 3 (palette + PLTE lookup → 'RGB'), pure
+    stdlib (zlib IDAT inflate + the five filter reversals).  None if
+    the payload is not a PNG this path can read."""
     import zlib
 
     if b[:8] != _PNG_SIG:
         return None
     pos, n = 8, len(b)
-    w = h = None
+    w = h = ctype = None
     ok = False
     idat = bytearray()
+    plte = b""
     while pos + 8 <= n:
         ln = int.from_bytes(b[pos:pos + 4], "big")
         cid = b[pos + 4:pos + 8]
@@ -422,8 +424,11 @@ def _decode_png_gray(b: bytes) -> tuple[int, int, str, bytes] | None:
         if cid == b"IHDR" and len(body) >= 13:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
-            # bit depth 8, colour type 0 (grey), no interlace
-            ok = body[8] == 8 and body[9] == 0 and body[12] == 0
+            ctype = body[9]
+            # bit depth 8, colour type 0/2/3, no interlace
+            ok = body[8] == 8 and ctype in (0, 2, 3) and body[12] == 0
+        elif cid == b"PLTE":
+            plte = body
         elif cid == b"IDAT":
             idat += body
         elif cid == b"IEND":
@@ -431,13 +436,32 @@ def _decode_png_gray(b: bytes) -> tuple[int, int, str, bytes] | None:
         pos += 12 + ln  # len + type + body + crc
     if not (ok and w and h and idat):
         return None
+    if ctype == 3 and (not plte or len(plte) % 3):
+        return None
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    if len(raw) != h * (w + 1):
+    bpp = 3 if ctype == 2 else 1
+    if len(raw) != h * (w * bpp + 1):
         return None
-    return w, h, "L", _png_unfilter(raw, w, h, 1)
+    px = _png_unfilter(raw, w, h, bpp)
+    if ctype == 0:
+        return w, h, "L", px
+    if ctype == 2:
+        return w, h, "RGB", px
+    # palette indices → RGB triples via PLTE
+    n_entries = len(plte) // 3
+    if any(i >= n_entries for i in px):
+        return None
+    out = bytearray(len(px) * 3)
+    for k, i in enumerate(px):
+        out[3 * k:3 * k + 3] = plte[3 * i:3 * i + 3]
+    return w, h, "RGB", bytes(out)
+
+
+# backwards-compat alias (pre-r4 name, grey-only then)
+_decode_png_gray = _decode_png
 
 
 def _decode_bmp(b: bytes) -> tuple[int, int, str, bytes] | None:
@@ -510,24 +534,20 @@ def synthetic_bmp_payload(i: int, w: int = 13, h: int = 7) -> bytes:
     return bytes(hdr + info + body)
 
 
-def synthetic_gray_png_payload(i: int, w: int = 11, h: int = 10) -> bytes:
-    """Valid 8-bit greyscale PNG with deterministic pixels, row filter
-    type = row % 5 (forward-filtered), real zlib IDAT — exercises every
-    filter-reversal branch in ``_png_unfilter`` on round-trip."""
-    import struct
-    import zlib
-
-    px = _px_stream(i, w * h)
+def _png_forward_filter(px: bytes, w: int, h: int, bpp: int) -> bytes:
+    """Forward-filter raw pixel rows with filter type = row % 5 —
+    exercises every reversal branch in ``_png_unfilter`` on decode."""
+    stride = w * bpp
     raw = bytearray()
-    prev = bytes(w)
+    prev = bytes(stride)
     for r in range(h):
-        row = px[r * w:(r + 1) * w]
+        row = px[r * stride:(r + 1) * stride]
         f = r % 5
         raw.append(f)
-        for c in range(w):
-            a = row[c - 1] if c >= 1 else 0
+        for c in range(stride):
+            a = row[c - bpp] if c >= bpp else 0
             b_ = prev[c]
-            cc = prev[c - 1] if c >= 1 else 0
+            cc = prev[c - bpp] if c >= bpp else 0
             if f == 0:
                 v = row[c]
             elif f == 1:
@@ -543,34 +563,86 @@ def synthetic_gray_png_payload(i: int, w: int = 11, h: int = 10) -> bytes:
                 v = (row[c] - pr) & 0xFF
             raw.append(v)
         prev = row
+    return bytes(raw)
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        return (
-            len(body).to_bytes(4, "big")
-            + cid
-            + body
-            + struct.pack(">I", zlib.crc32(cid + body))
-        )
 
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + cid
+        + body
+        + struct.pack(">I", zlib.crc32(cid + body))
+    )
+
+
+def synthetic_gray_png_payload(i: int, w: int = 11, h: int = 10) -> bytes:
+    """Valid 8-bit greyscale PNG with deterministic pixels, row filter
+    type = row % 5 (forward-filtered), real zlib IDAT — exercises every
+    filter-reversal branch in ``_png_unfilter`` on round-trip."""
+    import zlib
+
+    raw = _png_forward_filter(_px_stream(i, w * h), w, h, 1)
     ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def synthetic_rgb_png_payload(i: int, w: int = 9, h: int = 8) -> bytes:
+    """Valid 8-bit truecolour (type 2) PNG, forward-filtered rows,
+    deterministic pixels — decode round-trips to the generator RGB."""
+    import zlib
+
+    raw = _png_forward_filter(_px_stream(i, w * h * 3), w, h, 3)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synthetic_palette_png_payload(
+    i: int, w: int = 10, h: int = 9, n_colors: int = 16
+) -> tuple[bytes, bytes]:
+    """Valid 8-bit paletted (type 3) PNG with a deterministic PLTE and
+    index raster; returns (payload, expected_rgb_pixels) so tests can
+    assert the palette-mapped decode exactly."""
+    import zlib
+
+    plte = _px_stream(10_000 + i, 3 * n_colors)
+    idx = bytes(x % n_colors for x in _px_stream(i, w * h))
+    raw = _png_forward_filter(idx, w, h, 1)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    expected = b"".join(plte[3 * k:3 * k + 3] for k in idx)
+    return payload, expected
 
 
 def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     """Real pixel decode for the formats the sandbox can read with the
-    stdlib alone — uncompressed 24-bit BMP and 8-bit greyscale PNG
-    (zlib IDAT + filter reversal) — then Pillow when importable.
+    stdlib alone — uncompressed 24-bit BMP and 8-bit PNG in greyscale,
+    truecolour-RGB, or paletted form (zlib IDAT + filter reversal +
+    PLTE lookup) — then Pillow when importable.
     Returns (width, height, mode, pixel_bytes row-major top-down);
     raises NotImplementedError only for formats none of those paths
-    cover (compressed colour PNG, JPEG entropy decode, …), which is
-    the remaining loudly-marked stub surface."""
+    cover (JPEG entropy decode, interlaced/16-bit PNG, video …), which
+    is the remaining loudly-marked stub surface."""
     b = bytes(payload)
-    out = _decode_bmp(b) or _decode_png_gray(b)
+    out = _decode_bmp(b) or _decode_png(b)
     if out is not None:
         return out
     pil = _try_pillow()
@@ -585,6 +657,7 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             # through to the documented contract below
             pass
     raise NotImplementedError(
-        "pixel decode beyond BMP/grey-PNG requires Pillow/cv2; install "
-        "on the cluster and this same call decodes every format"
+        "pixel decode beyond BMP/grey-or-colour-PNG requires Pillow/"
+        "cv2; install on the cluster and this same call decodes every "
+        "format"
     )

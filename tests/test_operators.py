@@ -846,3 +846,22 @@ def test_dup_components_long_chain_converges(spark):
     out = dedup.dup_components(pairs).collect()
     assert len(out) == n + 1
     assert {r["component_id"] for r in out} == {0}
+
+
+def test_decode_image_pixels_rgb_and_palette_png():
+    """r4 stub shrink: 8-bit truecolour and paletted PNG decode with
+    the pure-stdlib path (zlib + filter reversal + PLTE lookup);
+    checksums pinned; the loud stub now covers only JPEG-entropy/
+    interlaced/16-bit PNG/video."""
+    w, h, mode, px = multimodal.decode_image_pixels(
+        multimodal.synthetic_rgb_png_payload(7)
+    )
+    assert (w, h, mode) == (9, 8, "RGB")
+    assert px == multimodal._px_stream(7, 9 * 8 * 3)
+    assert hashlib.md5(px).hexdigest() == "d28f5c558e6a5a7015be9d02831affb8"
+
+    payload, expected = multimodal.synthetic_palette_png_payload(4)
+    w, h, mode, px = multimodal.decode_image_pixels(payload)
+    assert (w, h, mode) == (10, 9, "RGB")
+    assert px == expected
+    assert hashlib.md5(px).hexdigest() == "fd87c84197767f8dbff68a2905337ef0"
