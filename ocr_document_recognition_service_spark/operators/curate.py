@@ -22,7 +22,7 @@ Stage semantics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 from . import stages
 
@@ -41,34 +41,27 @@ def curate(
     Returns {"curated", "train", "val", "stats"} DataFrames; all
     deterministic given the input and seed.
     """
-    # stages 0-4 (drop_errors → quality_gate → exact_dedup →
-    # neardup_lsh → balanced_sample) run through the config-driven
-    # stage registry — the Hydra `_target_` composition analog; the
-    # default pipeline IS this config list (stages.curate_config).
-    sampled = stages.run_pipeline(
-        extracted,
-        stages.curate_config(
-            min_tokens=min_tokens,
-            min_score=min_score,
-            n_per_lang=n_per_lang,
-        ),
+    # EVERY stage — drop_errors → quality_gate → exact_dedup →
+    # neardup_lsh → balanced_sample → project_curated → split/stats —
+    # runs through the config-driven stage registry (the complete
+    # Hydra `_target_` composition analog); the pipeline IS this
+    # config (stages.full_curate_config), rewireable in data.
+    cfg = stages.full_curate_config(
+        min_tokens=min_tokens,
+        min_score=min_score,
+        n_per_lang=n_per_lang,
+        split_weights=split_weights,
+        seed=seed,
     )
-
     # persist: four returned frames (curated/train/val/stats) share this
     # subtree — without a cache every downstream action re-runs the whole
     # extraction+dedup DAG (the shared-UDF-subtree re-evaluation rule).
     # The curated set is narrow and post-sampling, so this is the one
     # place caching is cheap and correct even at scale.
-    curated = sampled.select(
-        "url", "lang", "text", "n_tokens", "quality_score"
-    ).persist()
-
-    # 5. seeded split
-    train, val = curated.randomSplit(list(split_weights), seed=seed)
-
-    stats = curated.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
-    )
-    return {"curated": curated, "train": train, "val": val, "stats": stats}
+    curated = stages.run_pipeline(extracted, cfg["curated"]).persist()
+    return {
+        "curated": curated,
+        "train": stages.run_pipeline(curated, cfg["train"]),
+        "val": stages.run_pipeline(curated, cfg["val"]),
+        "stats": stages.run_pipeline(curated, cfg["stats"]),
+    }

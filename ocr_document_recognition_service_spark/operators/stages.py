@@ -156,3 +156,69 @@ def curate_config(
             "n_per_group": n_per_lang,
         },
     ]
+
+
+@stage("project_curated")
+def project_curated(
+    df: DataFrame,
+    cols: tuple[str, ...] = ("url", "lang", "text", "n_tokens", "quality_score"),
+) -> DataFrame:
+    """Final curated-column projection (the narrow frame the tail
+    stages and any sink consume)."""
+    return df.select(*cols)
+
+
+@stage("train_val_split")
+def train_val_split_stage(
+    df: DataFrame,
+    part: str | int = "train",
+    weights: tuple[float, ...] = (0.8, 0.2),
+    seed: int = 42,
+) -> DataFrame:
+    """Seeded train/val split as a registry stage (W3).  *part* picks
+    which split this pipeline yields ('train'/'val' or an index);
+    randomSplit is deterministic in (input, weights, seed), so separate
+    pipelines for 'train' and 'val' partition the input exactly."""
+    idx = {"train": 0, "val": 1}.get(part, part)
+    if not isinstance(idx, int):
+        raise KeyError(f"unknown split part {part!r}")
+    return df.randomSplit(list(weights), seed=seed)[idx]
+
+
+@stage("lang_stats")
+def lang_stats(df: DataFrame) -> DataFrame:
+    """Per-language corpus report (n_docs, total_tokens, avg_quality) —
+    the curation run's summary tail."""
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+
+
+def full_curate_config(
+    min_tokens: int = 20,
+    min_score: float = 0.3,
+    n_per_lang: int = 10_000,
+    split_weights: tuple[float, float] = (0.8, 0.2),
+    seed: int = 42,
+) -> dict[str, list[dict[str, Any]]]:
+    """The WHOLE curation pipeline — front half, projection, split and
+    stats — as config lists, one per output frame (the complete Hydra
+    ``_target_`` analog: core/config/core/core.yaml composes the
+    reference's pipeline the same way).  ``curate.curate()`` executes
+    exactly these; callers can rewire any of it in data."""
+    front = curate_config(
+        min_tokens=min_tokens, min_score=min_score, n_per_lang=n_per_lang
+    ) + [{"stage": "project_curated"}]
+    split = {
+        "stage": "train_val_split",
+        "weights": list(split_weights),
+        "seed": seed,
+    }
+    return {
+        "curated": front,
+        "train": [dict(split, part="train")],
+        "val": [dict(split, part="val")],
+        "stats": [{"stage": "lang_stats"}],
+    }

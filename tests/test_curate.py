@@ -119,3 +119,36 @@ def test_stage_registry_composes_custom_order(spark):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         stages.run_pipeline(df, [{"stage": "nope"}])
+
+
+def test_full_pipeline_composes_from_config(spark):
+    """r4: the ENTIRE curation — front half, projection, split, stats —
+    runs as config lists through the stage registry and reproduces
+    curate()'s outputs exactly (split included)."""
+    from ocr_document_recognition_service_spark.operators import curate as C
+    from ocr_document_recognition_service_spark.operators import stages
+
+    rows = list(gen_pages.gen_rows(120))
+    pages = spark.createDataFrame(pd.DataFrame(rows), schema=PAGES_SCHEMA)
+    extracted = extract_pages(pages, salt_threshold=16 * 1024, num_partitions=8)
+    cfg = stages.full_curate_config(
+        min_tokens=5, min_score=0.0, n_per_lang=50, seed=7
+    )
+    base = stages.run_pipeline(extracted, cfg["curated"]).persist()
+    train = stages.run_pipeline(base, cfg["train"])
+    val = stages.run_pipeline(base, cfg["val"])
+    stats = stages.run_pipeline(base, cfg["stats"])
+
+    ref = C.curate(
+        extracted, min_tokens=5, min_score=0.0, n_per_lang=50, seed=7
+    )
+    assert {r["url"] for r in base.collect()} == {
+        r["url"] for r in ref["curated"].collect()
+    }
+    t, v = {r["url"] for r in train.collect()}, {r["url"] for r in val.collect()}
+    assert t == {r["url"] for r in ref["train"].collect()}
+    assert v == {r["url"] for r in ref["val"].collect()}
+    assert t.isdisjoint(v) and (t | v) == {r["url"] for r in base.collect()}
+    assert {tuple(r) for r in stats.collect()} == {
+        tuple(r) for r in ref["stats"].collect()
+    }
