@@ -573,7 +573,8 @@ def embedding_dup_pairs(
     the bucket representative and duplicate clusters survive transitive
     closure; only pair-level recall among non-representatives is
     truncated.  At scale also raise *n_planes* ≈ log2(N/target_bucket)
-    so buckets stay small in the first place.
+    (``similarity.planes_for_corpus``) so buckets stay small in the
+    first place.
 
     Exact cosine on candidates only, ARRAY-NATIVE (zip_with/aggregate
     in codegen — no posexplode, no norms shuffle); per-element products

@@ -40,6 +40,23 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM, seed: int = 7):
     ]
 
 
+def planes_for_corpus(
+    n_vectors: int, target_bucket: int = 64, max_planes: int = 30
+) -> int:
+    """Scale-aware hyperplane count: with uniform buckets, *n_planes* =
+    ⌈log2(n_vectors / target_bucket)⌉ keeps the EXPECTED bucket
+    population ≈ target_bucket, so the same-bucket candidate join stays
+    ~linear as the corpus grows (the bucket_cap then only truncates
+    genuine skew, not the average case).  1e12 vectors / target 64 →
+    34 → capped at *max_planes* (2³⁰ buckets is already past any
+    realistic executor count)."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 1
+    return min(max_planes, math.ceil(math.log2(n_vectors / target_bucket)))
+
+
 def dot_arrays(a: F.Column | str, b: F.Column | str) -> F.Column:
     """Array dot product in codegen: per-element products in DOUBLE
     (the same arithmetic the flat SQL oracles run), summed in array

@@ -865,3 +865,13 @@ def test_decode_image_pixels_rgb_and_palette_png():
     assert (w, h, mode) == (10, 9, "RGB")
     assert px == expected
     assert hashlib.md5(px).hexdigest() == "fd87c84197767f8dbff68a2905337ef0"
+
+
+def test_planes_for_corpus_scaling():
+    """n_planes grows with log2(corpus/target): expected bucket size
+    stays ~target, so candidate joins stay linear as the corpus grows."""
+    assert similarity.planes_for_corpus(10) == 1
+    assert similarity.planes_for_corpus(64 * 64) == 6
+    assert similarity.planes_for_corpus(10**6) == 14
+    assert similarity.planes_for_corpus(10**9) == 24
+    assert similarity.planes_for_corpus(10**12) == 30  # max_planes cap
