@@ -262,18 +262,9 @@ def lsh_candidate_pairs(
     — see simhash_bits).
     """
     bands = band_signatures(docs, n_hashes, band_rows, shingle)
-    idx = bands
-    if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "band_sig").orderBy(
-            F.col("doc_id").asc()
-        )
-        idx = (
-            bands.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
+    idx = similarity.capped_index(
+        bands, ["band", "band_sig"], "doc_id", bucket_cap
+    )
     # probe > index: the capped index holds the SMALLEST doc_ids per
     # (band, band_sig) (downward-closed), so pair (x<y) is a candidate
     # iff x is indexed in a shared bucket — this join emits exactly
@@ -481,16 +472,7 @@ def simhash_near_pairs(
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
-    idx = bands
-    if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bv").orderBy(F.col("doc_id").asc())
-        idx = (
-            bands.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
+    idx = similarity.capped_index(bands, ["band", "bv"], "doc_id", bucket_cap)
     # probe > index: the capped index holds the SMALLEST doc_ids per
     # bucket (downward-closed), so pair (x<y) is a candidate iff x is
     # indexed in a shared bucket — this join emits exactly those, once
@@ -582,16 +564,7 @@ def embedding_dup_pairs(
     """
     planes = planes or similarity.hyperplanes(n_planes)
     b = similarity.lsh_buckets(emb, planes)
-    idx = b
-    if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("bucket").orderBy(F.col("vec_id").asc())
-        idx = (
-            b.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
+    idx = similarity.capped_index(b, ["bucket"], "vec_id", bucket_cap)
     # the index is downward-closed by vec_id within a bucket (the cap
     # keeps the SMALLEST ids), so probe > index emits each capped pair
     # exactly once — no distinct, no least/greatest: pair (x<y) is a

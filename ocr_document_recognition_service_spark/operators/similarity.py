@@ -57,6 +57,26 @@ def planes_for_corpus(
     return min(max_planes, math.ceil(math.log2(n_vectors / target_bucket)))
 
 
+def capped_index(
+    df: DataFrame, keys: list[str], id_col: str, cap: int | None
+) -> DataFrame:
+    """Index-side population cap shared by every bounded candidate
+    join (dd3/dd5/dd7/sim3/sim4/sim5): keep the *cap* smallest *id_col*
+    values per *keys* bucket (deterministic truncation; the bucket
+    minimum always survives, so bucket members stay connected to their
+    representative).  The row_number ≤ cap pattern compiles to
+    WindowGroupLimit — a MAP-SIDE top-k before the bucket exchange,
+    never a full per-bucket sort.  ``cap=None`` = passthrough."""
+    if cap is None:
+        return df
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def dot_arrays(a: F.Column | str, b: F.Column | str) -> F.Column:
     """Array dot product in codegen: per-element products in DOUBLE
     (the same arithmetic the flat SQL oracles run), summed in array
@@ -214,14 +234,7 @@ def lsh_probe_candidates(
     the documented cost of boundedness (raise n_tables to buy it back).
     """
     b = lsh_tables(emb, n_planes, n_tables, base_seed)
-    idx = b
-    if bucket_cap is not None:
-        w = Window.partitionBy("tbl", "bucket").orderBy(F.col("vec_id").asc())
-        idx = (
-            b.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= bucket_cap)
-            .drop("rn")
-        )
+    idx = capped_index(b, ["tbl", "bucket"], "vec_id", bucket_cap)
     cand = (
         b.alias("qa")
         .join(
@@ -338,14 +351,7 @@ def _cell_probe_topk(
     cell_cap candidates.  Recall trade: neighbors truncated out of an
     over-full cell are unreachable (probe=1) — at scale also grow
     n_cells ≈ N/target_cell so cells stay small (the real IVF knob)."""
-    idx = cells
-    if cell_cap is not None:
-        w = Window.partitionBy("cell").orderBy(F.col("vec_id").asc())
-        idx = (
-            cells.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= cell_cap)
-            .drop("_rn")
-        )
+    idx = capped_index(cells, ["cell"], "vec_id", cell_cap)
     cand = (
         cells.alias("qa")
         .join(

@@ -92,7 +92,12 @@ def _read_compact(
     cpath = _compact_path(bands_path)
     if not _path_exists(spark, cpath):
         return None, -1
-    snap = spark.read.parquet(cpath)
+    # explicit schema: a snapshot folded from zero-signature batches
+    # has a partition dir but no data files — inference would wedge
+    # every subsequent batch (same failure class as the delta tier)
+    snap = spark.read.schema("band int, band_sig string, thru long").parquet(
+        cpath
+    )
     mx = snap.agg(F.max("thru")).collect()[0][0]
     if mx is None:
         return None, -1
@@ -123,7 +128,7 @@ def history_bands(
 
 def compact_bands(
     spark: SparkSession, bands_path: str, upto_batch: int
-) -> None:
+) -> int:
     """Fold delta partitions with batch_id ≤ *upto_batch* plus the
     previous snapshot into one DISTINCT (band, band_sig) snapshot at
     ``<bands_path>_compact`` partitioned by (thru, band).
@@ -140,10 +145,13 @@ def compact_bands(
     - The snapshot is eagerly materialized (localCheckpoint) before the
       write because it reads the previous snapshot from the same root
       it overwrites.
+
+    Returns the EFFECTIVE coverage (max of the existing and new thru) —
+    the value ``vacuum_bands`` may safely prune against.
     """
     compact, thru = _read_compact(spark, bands_path)
     if upto_batch <= thru:
-        return  # already covered — idempotent no-op
+        return thru  # already covered — idempotent no-op
     delta = (
         _existing_bands(spark, bands_path)
         .filter(
@@ -160,16 +168,25 @@ def compact_bands(
         .partitionBy("thru", "band")
         .parquet(_compact_path(bands_path))
     )
+    return upto_batch
 
 
-def vacuum_bands(spark: SparkSession, bands_path: str) -> None:
+def vacuum_bands(
+    spark: SparkSession, bands_path: str, thru: int | None = None
+) -> None:
     """Delete store files superseded by the newest snapshot: delta
     partitions with batch_id ≤ thru and older snapshot versions.  Pure
     cleanup — ``history_bands`` already ignores both — so decisions are
     unchanged; run it after ``compact_bands`` to bound the file listing
     as well as the read.  (At cluster scale this is a catalog/manifest
-    delete — Iceberg expire-snapshots — same semantics.)"""
-    _, thru = _read_compact(spark, bands_path)
+    delete — Iceberg expire-snapshots — same semantics.)
+
+    *thru* skips re-deriving the snapshot coverage when the caller just
+    got it from ``compact_bands`` (one snapshot scan + collect saved on
+    the micro-batch hot path); it must be the snapshot's OWN coverage —
+    pruning past it would delete signatures not yet folded."""
+    if thru is None:
+        _, thru = _read_compact(spark, bands_path)
     if thru < 0:
         return
     jvm = spark.sparkContext._jvm
@@ -277,8 +294,8 @@ def incremental_neardup(
             and batch_id > 0
             and batch_id % compact_every == 0
         ):
-            compact_bands(spark, bands_path, upto_batch=batch_id - 1)
-            vacuum_bands(spark, bands_path)
+            eff = compact_bands(spark, bands_path, upto_batch=batch_id - 1)
+            vacuum_bands(spark, bands_path, thru=eff)
 
     (
         stream.writeStream.foreachBatch(process_batch)

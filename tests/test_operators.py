@@ -307,14 +307,16 @@ def test_sorted_zip_matches_python_zip(spark):
 
 
 def test_simhash_near_pairs_equals_brute_force(spark, docs):
-    """The banded Hamming-LSH candidates have EXACT recall for
+    """The UNCAPPED banded Hamming-LSH candidates have EXACT recall for
     max_hamming < n_bands (pigeonhole): result must equal the
-    brute-force all-pairs popcount filter."""
+    brute-force all-pairs popcount filter.  bucket_cap=None explicitly —
+    the capped default trades exactly this property inside over-full
+    buckets (pinned separately by the skew-bound test)."""
     sample = docs.limit(80)
     got = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in dedup.simhash_near_pairs(
-            sample, n_bits=32, n_bands=4, max_hamming=3
+            sample, n_bits=32, n_bands=4, max_hamming=3, bucket_cap=None
         ).collect()
     }
     sigs = {

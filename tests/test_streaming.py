@@ -344,3 +344,25 @@ def test_incremental_neardup_with_compact_every(spark, tmp_path):
             r["doc_id"] for r in spark.read.parquet(out).collect()
         }
     assert results["plain"] == results["compact"] == {0, 1, 3, 5}
+
+
+def test_neardup_compaction_empty_snapshot_not_wedged(spark, tmp_path):
+    """Folding only zero-signature batches writes an empty snapshot
+    (partition dir, no data files); subsequent batches must still read
+    it as empty instead of dying on schema inference."""
+    from ocr_document_recognition_service_spark.streaming import neardup as nd
+
+    out, bands = str(tmp_path / "es_out"), str(tmp_path / "es_bands")
+    # one-word docs produce no w3 shingles -> zero band signatures
+    empty = spark.createDataFrame([(1, "solo"), (2, "word")],
+                                  "doc_id long, text string")
+    nd.process_neardup_batch(spark, empty, 0, out, bands)
+    eff = nd.compact_bands(spark, bands, upto_batch=0)
+    nd.vacuum_bands(spark, bands, thru=eff)
+    # next batch must process normally against the empty history
+    dup = "same repeated payload text for the within batch pair here ok"
+    batch = spark.createDataFrame(
+        [(3, dup), (4, dup)], "doc_id long, text string"
+    )
+    nd.process_neardup_batch(spark, batch, 1, out, bands)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 3}
