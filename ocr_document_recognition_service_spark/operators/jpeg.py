@@ -1,0 +1,383 @@
+"""Baseline greyscale JPEG codec — pure stdlib + numpy, no image libs.
+
+Closes the last feasible piece of the pixel-decode surface the
+reference covers via cv2/Pillow (`core/pipelines/loaders/
+image_loader.py:20-31` loads real pixels for every format): baseline
+sequential DCT, 8-bit, single-component (greyscale) JPEG is decoded
+for REAL here — marker parse, DQT/DHT/SOF0/SOS, canonical Huffman
+entropy decode with DC prediction and AC run-length, dequantize,
+inverse zigzag, float IDCT, level shift.  Colour JPEG (multi-component
+chroma upsampling) and progressive mode remain the loudly-marked stub.
+
+The matching encoder exists so the sandbox (which has no image
+libraries to produce fixtures) can generate REAL JPEG payloads whose
+decode is pinned by checksum: standard Annex K luminance quantization
++ Huffman tables, byte stuffing, edge-replication padding.  DCT ∘
+quantize is lossy, so round-trips assert bounded pixel error plus an
+EXACT md5 on the decoded bytes (determinism: all arithmetic is IEEE
+double + fixed rounding).
+
+Spark-side plumbing is unchanged: `multimodal.decode_image_pixels`
+dispatches here per-row inside the same Arrow-batched UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------
+# Constants: zigzag order + ITU-T T.81 Annex K luminance tables
+# ---------------------------------------------------------------------
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# (BITS counts for code lengths 1..16, HUFFVAL) — Annex K.3
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(val → (code, length)) canonical Huffman assignment (T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_tree(bits: list[int], vals: list[int]):
+    """((length, code) → val) lookup for decoding."""
+    return {(l, c): v for v, (c, l) in _canonical_codes(bits, vals).items()}
+
+
+# 8×8 DCT basis (orthonormal): row k of _DCT_M is the k-th cosine basis
+_DCT_M = np.array(
+    [
+        [
+            math.sqrt((1.0 if u == 0 else 2.0) / 8.0)
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _DCT_M @ block @ _DCT_M.T
+
+
+def _idct(coef: np.ndarray) -> np.ndarray:
+    return _DCT_M.T @ coef @ _DCT_M
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            # stuffed byte: FF 00 → literal FF (markers never occur
+            # mid-scan in baseline single-scan data)
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _receive_extend(r: "_BitReader", s: int) -> int:
+    """T.81 F.2.2.1: read an s-bit magnitude, sign-extend."""
+    if s == 0:
+        return 0
+    v = r.bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ---------------------------------------------------------------------
+# Encoder (fixture generator — real JPEG output)
+# ---------------------------------------------------------------------
+
+
+def encode_gray_jpeg(px: bytes, w: int, h: int) -> bytes:
+    """8-bit greyscale pixels (row-major) → baseline JFIF JPEG using
+    the Annex K luminance tables.  Deterministic: float64 DCT + round
+    half-to-even quantization."""
+    img = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(np.float64)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    qt = np.array(QT_LUM, dtype=np.float64).reshape(8, 8)
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    out = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            q = np.rint(_fdct(block) / qt).astype(int).reshape(64)
+            zz = [int(q[i]) for i in ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _category(diff)
+            c, l = dc_codes[s]
+            out.write(c, l)
+            if s:
+                out.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, l = ac_codes[0xF0]  # ZRL
+                    out.write(c, l)
+                    run -= 16
+                s = _category(v)
+                c, l = ac_codes[(run << 4) | s]
+                out.write(c, l)
+                out.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                c, l = ac_codes[0x00]  # EOB
+                out.write(c, l)
+    scan = out.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes([0x00]) + bytes(QT_LUM[i] for i in ZIGZAG))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+    ) + seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------
+# Decoder (the real surface)
+# ---------------------------------------------------------------------
+
+
+def decode_gray_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """Baseline sequential greyscale JPEG → (w, h, 'L', pixels).
+    None when the payload is not a JPEG this path covers (colour /
+    progressive / arithmetic / 12-bit) — the caller falls through to
+    its loud stub."""
+    if b[:2] != b"\xff\xd8":
+        return None
+    qts: dict[int, list[int]] = {}
+    dc_trees: dict[int, dict] = {}
+    ac_trees: dict[int, dict] = {}
+    w = h = None
+    comp = None  # (id, qt_id)
+    pos = 2
+    n = len(b)
+    scan_off = None
+    dc_sel = ac_sel = 0
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI before scan
+            return None
+        ln = int.from_bytes(b[pos + 2:pos + 4], "big")
+        body = b[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    return None  # 16-bit tables: not baseline-8
+                tbl = list(body[i + 1:i + 65])
+                inv = [0] * 64
+                for k, z in enumerate(ZIGZAG):
+                    inv[z] = tbl[k]
+                qts[tq] = inv
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17:i + 17 + cnt])
+                tree = _decode_tree(bits, vals)
+                (ac_trees if tc else dc_trees)[th] = tree
+                i += 17 + cnt
+        elif marker == 0xC0:
+            prec = body[0]
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if prec != 8 or ncomp != 1:
+                return None  # colour / 12-bit → stub path
+            cid, samp, tq = body[6], body[7], body[8]
+            if samp != 0x11:
+                return None
+            comp = (cid, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/progressive/lossless/arithmetic
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                return None
+            dc_sel = body[2] >> 4
+            ac_sel = body[2] & 0x0F
+            scan_off = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_off is None or w is None or comp is None:
+        return None
+    qt = qts.get(comp[1])
+    dc_tree = dc_trees.get(dc_sel)
+    ac_tree = ac_trees.get(ac_sel)
+    if qt is None or dc_tree is None or ac_tree is None:
+        return None
+    # entropy data runs until the EOI marker
+    end = b.rfind(b"\xff\xd9")
+    if end < scan_off:
+        return None
+    r = _BitReader(b[scan_off:end])
+
+    def read_huff(tree) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | r.bits(1)
+            length += 1
+            v = tree.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("bad Huffman code")
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    qarr = np.array(qt, dtype=np.float64).reshape(8, 8)
+    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+    prev_dc = 0
+    try:
+        for by in range(bh):
+            for bx in range(bw):
+                zz = [0] * 64
+                s = read_huff(dc_tree)
+                prev_dc += _receive_extend(r, s)
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    rs = read_huff(ac_tree)
+                    rr, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if rr == 15:
+                            k += 16  # ZRL
+                            continue
+                        break  # EOB
+                    k += rr
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _receive_extend(r, s)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                for kk, z in enumerate(ZIGZAG):
+                    coef[z] = zz[kk]
+                block = _idct(coef.reshape(8, 8) * qarr) + 128.0
+                out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                    np.rint(block), 0, 255
+                ).astype(np.uint8)
+    except (IndexError, ValueError):
+        return None
+    return w, h, "L", out[:h, :w].tobytes()

@@ -638,11 +638,17 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     truecolour-RGB, or paletted form (zlib IDAT + filter reversal +
     PLTE lookup) — then Pillow when importable.
     Returns (width, height, mode, pixel_bytes row-major top-down);
+    baseline greyscale JPEG decodes for real too (``operators.jpeg`` —
+    marker parse, canonical Huffman entropy decode, dequantize, IDCT);
     raises NotImplementedError only for formats none of those paths
-    cover (JPEG entropy decode, interlaced/16-bit PNG, video …), which
-    is the remaining loudly-marked stub surface."""
+    cover (colour/progressive JPEG, interlaced/16-bit PNG, video …),
+    which is the remaining loudly-marked stub surface."""
     b = bytes(payload)
     out = _decode_bmp(b) or _decode_png(b)
+    if out is None:
+        from . import jpeg as _jpeg
+
+        out = _jpeg.decode_gray_jpeg(b)
     if out is not None:
         return out
     pil = _try_pillow()

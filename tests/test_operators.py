@@ -877,3 +877,45 @@ def test_planes_for_corpus_scaling():
     assert similarity.planes_for_corpus(10**6) == 14
     assert similarity.planes_for_corpus(10**9) == 24
     assert similarity.planes_for_corpus(10**12) == 30  # max_planes cap
+
+
+def test_jpeg_baseline_gray_codec_roundtrip():
+    """r4: REAL baseline greyscale JPEG entropy decode (pure
+    stdlib+numpy — canonical Annex-K Huffman, DC prediction, AC RLE,
+    dequantize, IDCT).  The matching encoder produces real JFIF bytes;
+    DCT quantization is lossy so round-trips pin (a) exact md5 of the
+    decoded pixels (determinism) and (b) error bounds: flat images
+    exact, smooth gradients within 2, noise mean error bounded."""
+    import numpy as np
+
+    from ocr_document_recognition_service_spark.operators import jpeg
+
+    cases = {
+        (3, 16, 16): "e4aa7d252c028bc5b2c6e068625a5bb2",
+        (5, 13, 9): "6a025e2adc0650e064a5cc249ee704d7",
+        (9, 8, 24): "e26416f2bb3aecd5fdd7d6780f33e2e7",
+    }
+    for (i, w, h), md5 in cases.items():
+        px = multimodal._px_stream(i, w * h)
+        enc = jpeg.encode_gray_jpeg(px, w, h)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        # header metadata path agrees with the full decode
+        assert multimodal.parse_image_header(enc)[:2] == (w, h)
+        gw, gh, mode, out = multimodal.decode_image_pixels(enc)
+        assert (gw, gh, mode) == (w, h, "L")
+        assert hashlib.md5(out).hexdigest() == md5
+        a = np.frombuffer(px, dtype=np.uint8).astype(int)
+        b = np.frombuffer(out, dtype=np.uint8).astype(int)
+        assert np.abs(a - b).mean() < 20  # random noise, Annex-K quant
+
+    flat = bytes([128]) * 256
+    out = jpeg.decode_gray_jpeg(jpeg.encode_gray_jpeg(flat, 16, 16))[3]
+    assert out == flat  # flat blocks survive exactly
+    grad = bytes([(x * 255) // 31 for _ in range(16) for x in range(32)])
+    out = jpeg.decode_gray_jpeg(jpeg.encode_gray_jpeg(grad, 32, 16))[3]
+    assert max(abs(a - b) for a, b in zip(grad, out)) <= 2
+
+    # colour JPEG header (3 components) is NOT claimed: falls to stub
+    assert jpeg.decode_gray_jpeg(multimodal.synthetic_image_payload(2)) is None
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels(multimodal.synthetic_image_payload(2))
