@@ -1,18 +1,21 @@
-"""Baseline greyscale JPEG codec — pure stdlib + numpy, no image libs.
+"""Baseline JPEG codec — pure stdlib + numpy, no image libs.
 
 Closes the last feasible piece of the pixel-decode surface the
 reference covers via cv2/Pillow (`core/pipelines/loaders/
 image_loader.py:20-31` loads real pixels for every format): baseline
-sequential DCT, 8-bit, single-component (greyscale) JPEG is decoded
-for REAL here — marker parse, DQT/DHT/SOF0/SOS, canonical Huffman
-entropy decode with DC prediction and AC run-length, dequantize,
-inverse zigzag, float IDCT, level shift.  Colour JPEG (multi-component
-chroma upsampling) and progressive mode remain the loudly-marked stub.
+sequential DCT, 8-bit JPEG is decoded for REAL here — marker parse,
+DQT/DHT/SOF0/SOS, canonical Huffman entropy decode with DC prediction
+and AC run-length, dequantize, inverse zigzag, float IDCT, level
+shift — for greyscale AND 3-component YCbCr colour at any sampling
+(the generic MCU loop handles 4:4:4, 4:2:2 and 4:2:0; chroma is
+replication-upsampled, JFIF YCbCr→RGB).  Progressive / arithmetic /
+12-bit modes remain the loudly-marked stub.
 
 The matching encoder exists so the sandbox (which has no image
 libraries to produce fixtures) can generate REAL JPEG payloads whose
-decode is pinned by checksum: standard Annex K luminance quantization
-+ Huffman tables, byte stuffing, edge-replication padding.  DCT ∘
+decode is pinned by checksum: standard Annex K quantization + Huffman
+tables (luminance and chrominance), byte stuffing, edge-replication
+padding, greyscale / colour 4:4:4 / colour 4:2:0 modes.  DCT ∘
 quantize is lossy, so round-trips assert bounded pixel error plus an
 EXACT md5 on the decoded bytes (determinism: all arithmetic is IEEE
 double + fixed rounding).
@@ -50,9 +53,46 @@ QT_LUM = [
     72, 92, 95, 98, 112, 100, 103, 99,
 ]
 
+QT_CHROM = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
 # (BITS counts for code lengths 1..16, HUFFVAL) — Annex K.3
 DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
 AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 AC_LUM_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
@@ -190,63 +230,187 @@ def _receive_extend(r: "_BitReader", s: int) -> int:
 # ---------------------------------------------------------------------
 
 
+_LUM_DC = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+_LUM_AC = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+_CHR_DC = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+_CHR_AC = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+
+
+def _encode_block(
+    out: _BitWriter,
+    block: np.ndarray,
+    qt: np.ndarray,
+    prev_dc: int,
+    dc_codes,
+    ac_codes,
+) -> int:
+    """FDCT + quantize + entropy-code one 8×8 sample block; returns the
+    new DC predictor."""
+    q = np.rint(_fdct(block - 128.0) / qt).astype(int).reshape(64)
+    zz = [int(q[i]) for i in ZIGZAG]
+    diff = zz[0] - prev_dc
+    s = _category(diff)
+    c, l = dc_codes[s]
+    out.write(c, l)
+    if s:
+        out.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, l = ac_codes[0xF0]  # ZRL
+            out.write(c, l)
+            run -= 16
+        s = _category(v)
+        c, l = ac_codes[(run << 4) | s]
+        out.write(c, l)
+        out.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        c, l = ac_codes[0x00]  # EOB
+        out.write(c, l)
+    return zz[0]
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _pad_plane(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate a component plane up to (bh*8, bw*8)."""
+    return np.pad(
+        plane,
+        ((0, bh * 8 - plane.shape[0]), (0, bw * 8 - plane.shape[1])),
+        mode="edge",
+    )
+
+
+def _headers(
+    w: int, h: int, comps: list[tuple[int, int, int, int]]
+) -> bytes:
+    """SOI..SOS header bytes for *comps* = [(cid, h_samp, v_samp, tq)]."""
+    ncomp = len(comps)
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(QT_LUM[i] for i in ZIGZAG))
+    dht = _seg(
+        0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+    ) + _seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    sos_comps = bytes([comps[0][0], 0x00])
+    if ncomp == 3:
+        dqt += _seg(0xDB, bytes([0x01]) + bytes(QT_CHROM[i] for i in ZIGZAG))
+        dht += _seg(
+            0xC4, bytes([0x01]) + bytes(DC_CHROM_BITS) + bytes(DC_CHROM_VALS)
+        ) + _seg(
+            0xC4, bytes([0x11]) + bytes(AC_CHROM_BITS) + bytes(AC_CHROM_VALS)
+        )
+        sos_comps += bytes([comps[1][0], 0x11, comps[2][0], 0x11])
+    sof_body = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
+        bytes([cid, (hs << 4) | vs, tq]) for cid, hs, vs, tq in comps
+    )
+    sof0 = _seg(0xC0, sof_body)
+    sos = _seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos
+
+
 def encode_gray_jpeg(px: bytes, w: int, h: int) -> bytes:
     """8-bit greyscale pixels (row-major) → baseline JFIF JPEG using
     the Annex K luminance tables.  Deterministic: float64 DCT + round
     half-to-even quantization."""
     img = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(np.float64)
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    padded = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    padded = _pad_plane(img, bh, bw)
     qt = np.array(QT_LUM, dtype=np.float64).reshape(8, 8)
-    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
-    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
     out = _BitWriter()
     prev_dc = 0
     for by in range(bh):
         for bx in range(bw):
-            block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
-            q = np.rint(_fdct(block) / qt).astype(int).reshape(64)
-            zz = [int(q[i]) for i in ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _category(diff)
-            c, l = dc_codes[s]
-            out.write(c, l)
-            if s:
-                out.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    c, l = ac_codes[0xF0]  # ZRL
-                    out.write(c, l)
-                    run -= 16
-                s = _category(v)
-                c, l = ac_codes[(run << 4) | s]
-                out.write(c, l)
-                out.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                c, l = ac_codes[0x00]  # EOB
-                out.write(c, l)
-    scan = out.flush()
+            prev_dc = _encode_block(
+                out,
+                padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8],
+                qt,
+                prev_dc,
+                _LUM_DC,
+                _LUM_AC,
+            )
+    return (
+        _headers(w, h, [(1, 1, 1, 0)]) + out.flush() + b"\xff\xd9"
+    )
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    dqt = seg(0xDB, bytes([0x00]) + bytes(QT_LUM[i] for i in ZIGZAG))
-    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    dht = seg(
-        0xC4,
-        bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
-    ) + seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+def _rgb_to_ycbcr(px: bytes, w: int, h: int):
+    rgb = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def encode_rgb_jpeg(
+    px: bytes, w: int, h: int, subsample: bool = False
+) -> bytes:
+    """8-bit interleaved RGB → baseline JFIF YCbCr JPEG; 4:4:4 by
+    default, 4:2:0 with *subsample* (chroma = 2×2 box mean)."""
+    y, cb, cr = _rgb_to_ycbcr(px, w, h)
+    qt_l = np.array(QT_LUM, dtype=np.float64).reshape(8, 8)
+    qt_c = np.array(QT_CHROM, dtype=np.float64).reshape(8, 8)
+    out = _BitWriter()
+    if not subsample:
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        planes = [
+            (_pad_plane(y, bh, bw), qt_l, _LUM_DC, _LUM_AC),
+            (_pad_plane(cb, bh, bw), qt_c, _CHR_DC, _CHR_AC),
+            (_pad_plane(cr, bh, bw), qt_c, _CHR_DC, _CHR_AC),
+        ]
+        preds = [0, 0, 0]
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, (pl, qt, dct, act) in enumerate(planes):
+                    preds[ci] = _encode_block(
+                        out,
+                        pl[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8],
+                        qt,
+                        preds[ci],
+                        dct,
+                        act,
+                    )
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        mx, my = (w + 15) // 16, (h + 15) // 16
+        ypl = _pad_plane(y, my * 2, mx * 2)
+        # chroma: 2×2 box mean of the padded luma-res plane, then the
+        # half-res planes are exactly (my*8, mx*8)
+        def down(p: np.ndarray) -> np.ndarray:
+            p = _pad_plane(p, my * 2, mx * 2)
+            return (
+                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+            ) / 4.0
+
+        cbd, crd = down(cb), down(cr)
+        preds = [0, 0, 0]
+        for byy in range(my):
+            for bxx in range(mx):
+                for v in range(2):
+                    for hh in range(2):
+                        r0, c0 = (byy * 2 + v) * 8, (bxx * 2 + hh) * 8
+                        preds[0] = _encode_block(
+                            out, ypl[r0:r0 + 8, c0:c0 + 8], qt_l,
+                            preds[0], _LUM_DC, _LUM_AC,
+                        )
+                preds[1] = _encode_block(
+                    out, cbd[byy * 8:(byy + 1) * 8, bxx * 8:(bxx + 1) * 8],
+                    qt_c, preds[1], _CHR_DC, _CHR_AC,
+                )
+                preds[2] = _encode_block(
+                    out, crd[byy * 8:(byy + 1) * 8, bxx * 8:(bxx + 1) * 8],
+                    qt_c, preds[2], _CHR_DC, _CHR_AC,
+                )
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    return _headers(w, h, comps) + out.flush() + b"\xff\xd9"
 
 
 # ---------------------------------------------------------------------
@@ -254,22 +418,27 @@ def encode_gray_jpeg(px: bytes, w: int, h: int) -> bytes:
 # ---------------------------------------------------------------------
 
 
-def decode_gray_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
-    """Baseline sequential greyscale JPEG → (w, h, 'L', pixels).
-    None when the payload is not a JPEG this path covers (colour /
-    progressive / arithmetic / 12-bit) — the caller falls through to
-    its loud stub."""
+def decode_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """Baseline sequential JPEG → (w, h, 'L'|'RGB', pixels).
+
+    Handles 1-component greyscale and 3-component YCbCr at any
+    sampling factors (4:4:4 / 4:2:2 / 4:2:0 via the generic MCU loop),
+    restart markers included.  None when the payload is not a JPEG
+    this path covers (progressive / arithmetic / 12-bit / CMYK) — the
+    caller falls through to its loud stub.
+    """
     if b[:2] != b"\xff\xd8":
         return None
     qts: dict[int, list[int]] = {}
     dc_trees: dict[int, dict] = {}
     ac_trees: dict[int, dict] = {}
     w = h = None
-    comp = None  # (id, qt_id)
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    sel: dict[int, tuple[int, int]] = {}  # cid → (dc_sel, ac_sel)
+    dri = 0
     pos = 2
     n = len(b)
     scan_off = None
-    dc_sel = ac_sel = 0
     while pos + 4 <= n:
         if b[pos] != 0xFF:
             return None
@@ -300,41 +469,80 @@ def decode_gray_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
                 tree = _decode_tree(bits, vals)
                 (ac_trees if tc else dc_trees)[th] = tree
                 i += 17 + cnt
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[0:2], "big")
         elif marker == 0xC0:
             prec = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
-            if prec != 8 or ncomp != 1:
-                return None  # colour / 12-bit → stub path
-            cid, samp, tq = body[6], body[7], body[8]
-            if samp != 0x11:
-                return None
-            comp = (cid, tq)
+            if prec != 8 or ncomp not in (1, 3):
+                return None  # 12-bit / CMYK → stub path
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                samp = body[7 + 3 * c]
+                tq = body[8 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # extended/progressive/lossless/arithmetic
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
-                return None
-            dc_sel = body[2] >> 4
-            ac_sel = body[2] & 0x0F
+            if ns != len(comps) or ns == 0:
+                return None  # multi-scan not supported
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                sel[cid] = (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
             scan_off = pos + 2 + ln
             break
         pos += 2 + ln
-    if scan_off is None or w is None or comp is None:
+    if scan_off is None or w is None or not comps:
         return None
-    qt = qts.get(comp[1])
-    dc_tree = dc_trees.get(dc_sel)
-    ac_tree = ac_trees.get(ac_sel)
-    if qt is None or dc_tree is None or ac_tree is None:
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
         return None
-    # entropy data runs until the EOI marker
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
     end = b.rfind(b"\xff\xd9")
     if end < scan_off:
         return None
-    r = _BitReader(b[scan_off:end])
+    scan = b[scan_off:end]
+
+    planes = []
+    tables = []
+    for cid, hs, vs, tq in comps:
+        qt = qts.get(tq)
+        if cid not in sel or qt is None:
+            return None
+        dc_tree = dc_trees.get(sel[cid][0])
+        ac_tree = ac_trees.get(sel[cid][1])
+        if dc_tree is None or ac_tree is None:
+            return None
+        planes.append(np.empty((my * vs * 8, mx * hs * 8), dtype=np.uint8))
+        tables.append(
+            (np.array(qt, dtype=np.float64).reshape(8, 8), dc_tree, ac_tree)
+        )
+
+    # restart-interval segmentation: RSTn markers byte-align the stream
+    # and reset every DC predictor
+    segments = []
+    if dri:
+        seg_start = 0
+        i = 0
+        while i < len(scan) - 1:
+            if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7:
+                segments.append(scan[seg_start:i])
+                seg_start = i + 2
+                i += 2
+            else:
+                i += 1
+        segments.append(scan[seg_start:])
+    else:
+        segments = [scan]
+
+    r = _BitReader(segments[0])
+    seg_idx = 0
 
     def read_huff(tree) -> int:
         code, length = 0, 0
@@ -346,38 +554,75 @@ def decode_gray_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
                 return v
         raise ValueError("bad Huffman code")
 
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    qarr = np.array(qt, dtype=np.float64).reshape(8, 8)
-    out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-    prev_dc = 0
+    def decode_block(ci: int, prev_dc: int, by: int, bx: int) -> int:
+        qarr, dc_tree, ac_tree = tables[ci]
+        zz = [0] * 64
+        s = read_huff(dc_tree)
+        prev_dc += _receive_extend(r, s)
+        zz[0] = prev_dc
+        k = 1
+        while k < 64:
+            rs = read_huff(ac_tree)
+            rr, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if rr == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += rr
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _receive_extend(r, s)
+            k += 1
+        coef = np.zeros(64, dtype=np.float64)
+        for kk, z in enumerate(ZIGZAG):
+            coef[z] = zz[kk]
+        block = _idct(coef.reshape(8, 8) * qarr) + 128.0
+        planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+            np.rint(block), 0, 255
+        ).astype(np.uint8)
+        return prev_dc
+
+    preds = [0] * len(comps)
+    mcu_count = 0
     try:
-        for by in range(bh):
-            for bx in range(bw):
-                zz = [0] * 64
-                s = read_huff(dc_tree)
-                prev_dc += _receive_extend(r, s)
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    rs = read_huff(ac_tree)
-                    rr, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if rr == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += rr
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _receive_extend(r, s)
-                    k += 1
-                coef = np.zeros(64, dtype=np.float64)
-                for kk, z in enumerate(ZIGZAG):
-                    coef[z] = zz[kk]
-                block = _idct(coef.reshape(8, 8) * qarr) + 128.0
-                out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
-                    np.rint(block), 0, 255
-                ).astype(np.uint8)
+        for myy in range(my):
+            for mxx in range(mx):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("missing restart segment")
+                    r = _BitReader(segments[seg_idx])
+                    preds = [0] * len(comps)
+                for ci, (_, hs, vs, _) in enumerate(comps):
+                    for v in range(vs):
+                        for hh in range(hs):
+                            preds[ci] = decode_block(
+                                ci, preds[ci], myy * vs + v, mxx * hs + hh
+                            )
+                mcu_count += 1
     except (IndexError, ValueError):
         return None
-    return w, h, "L", out[:h, :w].tobytes()
+
+    if len(comps) == 1:
+        return w, h, "L", planes[0][:h, :w].tobytes()
+    # upsample chroma by replication to full resolution, YCbCr → RGB
+    full = []
+    for ci, (_, hs, vs, _) in enumerate(comps):
+        p = planes[ci].astype(np.float64)
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    y, cb, cr = full
+    rr = y + 1.402 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bb = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.rint(rr), 0, 255), np.clip(np.rint(gg), 0, 255),
+         np.clip(np.rint(bb), 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    return w, h, "RGB", rgb.tobytes()
+
+
+# name kept from the grey-only first cut; now the general entry point
+decode_gray_jpeg = decode_jpeg

@@ -5,12 +5,14 @@ does in the pages table.  The Spark-side plumbing — schema, format
 sniffing, Arrow batch shape, partition behavior — is real and tested.
 Header metadata (PNG/GIF/JPEG/BMP dims, WAV chunks) is REAL stdlib
 parsing; ``decode_image_pixels`` REALLY decodes uncompressed 24-bit
-BMP and 8-bit greyscale PNG (zlib IDAT + filter reversal) with the
-stdlib alone, and flips to Pillow for everything else when importable
-(import-try gate).  Only formats beyond both paths (JPEG entropy
-decode, compressed colour PNG, video/audio sample decode) remain the
-loudly-marked ``NotImplementedError``/deterministic-fake stub — the
-one concession to this container having no image/audio libs.
+BMP, 8-bit PNG (grey/RGB/paletted; zlib IDAT + filter reversal + PLTE
+lookup) and baseline JPEG (grey + YCbCr colour at any sampling, see
+``operators.jpeg``) with stdlib+numpy alone, and flips to Pillow for
+everything else when importable (import-try gate).  Only formats
+beyond all paths (progressive/arithmetic JPEG, interlaced/16-bit PNG,
+video/audio sample decode) remain the loudly-marked
+``NotImplementedError``/deterministic-fake stub — the one concession
+to this container having no image/audio libs.
 """
 
 from __future__ import annotations
@@ -638,17 +640,19 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     truecolour-RGB, or paletted form (zlib IDAT + filter reversal +
     PLTE lookup) — then Pillow when importable.
     Returns (width, height, mode, pixel_bytes row-major top-down);
-    baseline greyscale JPEG decodes for real too (``operators.jpeg`` —
-    marker parse, canonical Huffman entropy decode, dequantize, IDCT);
-    raises NotImplementedError only for formats none of those paths
-    cover (colour/progressive JPEG, interlaced/16-bit PNG, video …),
+    baseline JPEG decodes for real too — greyscale AND 3-component
+    YCbCr at 4:4:4 / 4:2:2 / 4:2:0, restart markers included
+    (``operators.jpeg``: marker parse, canonical Huffman entropy
+    decode, dequantize, IDCT, chroma upsample); raises
+    NotImplementedError only for formats none of those paths cover
+    (progressive/arithmetic JPEG, interlaced/16-bit PNG, video …),
     which is the remaining loudly-marked stub surface."""
     b = bytes(payload)
     out = _decode_bmp(b) or _decode_png(b)
     if out is None:
         from . import jpeg as _jpeg
 
-        out = _jpeg.decode_gray_jpeg(b)
+        out = _jpeg.decode_jpeg(b)
     if out is not None:
         return out
     pil = _try_pillow()
@@ -663,7 +667,7 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             # through to the documented contract below
             pass
     raise NotImplementedError(
-        "pixel decode beyond BMP/grey-or-colour-PNG requires Pillow/"
-        "cv2; install on the cluster and this same call decodes every "
-        "format"
+        "pixel decode beyond BMP/PNG/baseline-JPEG requires Pillow/cv2 "
+        "(progressive JPEG, video); install on the cluster and this "
+        "same call decodes every format"
     )

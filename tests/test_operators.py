@@ -919,3 +919,50 @@ def test_jpeg_baseline_gray_codec_roundtrip():
     assert jpeg.decode_gray_jpeg(multimodal.synthetic_image_payload(2)) is None
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_pixels(multimodal.synthetic_image_payload(2))
+
+
+def test_jpeg_colour_codec_444_and_420():
+    """r4: colour baseline JPEG — 3-component YCbCr through the generic
+    MCU loop at 4:4:4 and 4:2:0 (2x2 box-mean chroma, replication
+    upsample).  Channel order pinned by primary-colour patches; smooth
+    content within tight error bounds; decoded bytes md5-pinned."""
+    import numpy as np
+
+    from ocr_document_recognition_service_spark.operators import jpeg
+
+    w, h = 32, 24
+    px = bytes(
+        c
+        for y in range(h)
+        for x in range(w)
+        for c in (min(255, 50 + x * 4), min(255, 40 + y * 5),
+                  min(255, 60 + x * 2 + y * 2))
+    )
+    a = np.frombuffer(px, dtype=np.uint8).astype(int)
+    pinned = {
+        False: ("1ff5610456fab66ab5200f87caa8b519", 8),
+        True: ("4860a02af7a838d6cae45713dadfe68c", 12),
+    }
+    for sub, (md5, bound) in pinned.items():
+        enc = jpeg.encode_rgb_jpeg(px, w, h, subsample=sub)
+        gw, gh, mode, out = multimodal.decode_image_pixels(enc)
+        assert (gw, gh, mode) == (w, h, "RGB")
+        assert hashlib.md5(out).hexdigest() == md5
+        b = np.frombuffer(out, dtype=np.uint8).astype(int)
+        assert np.abs(a - b).max() <= bound
+
+    # primary-colour patches pin the YCbCr matrices and channel order
+    img = bytearray()
+    for _ in range(8):
+        for patch in ([255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255]):
+            img += bytes(patch) * 8
+    out = jpeg.decode_jpeg(jpeg.encode_rgb_jpeg(bytes(img), 32, 8))[3]
+    m = np.frombuffer(out, dtype=np.uint8).reshape(8, 32, 3).astype(int)
+    for cx, want in ((4, (255, 0, 0)), (12, (0, 255, 0)),
+                     (20, (0, 0, 255)), (28, (255, 255, 255))):
+        assert np.abs(m[4, cx] - np.array(want)).max() <= 4
+
+    # odd dimensions survive 4:2:0 MCU padding
+    px2 = multimodal._px_stream(11, 13 * 9 * 3)
+    o = jpeg.decode_jpeg(jpeg.encode_rgb_jpeg(px2, 13, 9, subsample=True))
+    assert o[:3] == (13, 9, "RGB") and len(o[3]) == 13 * 9 * 3
