@@ -8,8 +8,9 @@ parsing; ``decode_image_pixels`` REALLY decodes uncompressed 24-bit
 BMP, 8-bit PNG (grey/RGB/paletted; zlib IDAT + filter reversal + PLTE
 lookup) and baseline JPEG (grey + YCbCr colour at any sampling, see
 ``operators.jpeg``) with stdlib+numpy alone, and flips to Pillow for
-everything else when importable (import-try gate).  Only formats
-beyond all paths (progressive/arithmetic JPEG, interlaced/16-bit PNG,
+everything else when importable (import-try gate); Adam7-interlaced
+and 16-bit PNG (high-byte reduction) decode for real too.  Only
+formats beyond all paths (progressive/arithmetic JPEG,
 video/audio sample decode) remain the loudly-marked
 ``NotImplementedError``/deterministic-fake stub — the one concession
 to this container having no image/audio libs.
@@ -405,10 +406,32 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_dims(w: int, h: int):
+    """Non-empty (pass_index, wp, hp) sub-image dims for Adam7."""
+    out = []
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp > 0 and hp > 0:
+            out.append((p, wp, hp))
+    return out
+
+
 def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
-    """8-bit non-interlaced PNG, colour types 0 (grey → 'L'), 2
-    (truecolour RGB) and 3 (palette + PLTE lookup → 'RGB'), pure
-    stdlib (zlib IDAT inflate + the five filter reversals).  None if
+    """8- or 16-bit PNG, colour types 0 (grey → 'L'), 2 (truecolour
+    RGB) and 3 (palette + PLTE lookup → 'RGB', 8-bit only per spec),
+    non-interlaced OR Adam7 interlaced, pure stdlib (zlib IDAT inflate
+    + the five filter reversals per scanline/sub-image).  16-bit
+    samples are reduced to their high byte (the standard 16→8
+    reduction) so the output is always one byte per sample — a REAL
+    decode with a documented precision reduction, not a stub.  None if
     the payload is not a PNG this path can read."""
     import zlib
 
@@ -416,6 +439,7 @@ def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
         return None
     pos, n = 8, len(b)
     w = h = ctype = None
+    interlace = 0
     ok = False
     idat = bytearray()
     plte = b""
@@ -426,9 +450,16 @@ def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
         if cid == b"IHDR" and len(body) >= 13:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
+            depth = body[8]
             ctype = body[9]
-            # bit depth 8, colour type 0/2/3, no interlace
-            ok = body[8] == 8 and ctype in (0, 2, 3) and body[12] == 0
+            interlace = body[12]
+            # bit depth 8/16 (16 only for grey/RGB), colour type
+            # 0/2/3, interlace none/Adam7
+            ok = (
+                ctype in (0, 2, 3)
+                and interlace in (0, 1)
+                and (depth == 8 or (depth == 16 and ctype in (0, 2)))
+            )
         elif cid == b"PLTE":
             plte = body
         elif cid == b"IDAT":
@@ -444,10 +475,34 @@ def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    bpp = 3 if ctype == 2 else 1
-    if len(raw) != h * (w * bpp + 1):
-        return None
-    px = _png_unfilter(raw, w, h, bpp)
+    bpp = (3 if ctype == 2 else 1) * (depth // 8)
+    if interlace == 0:
+        if len(raw) != h * (w * bpp + 1):
+            return None
+        px = _png_unfilter(raw, w, h, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full raster
+        passes = _adam7_dims(w, h)
+        if len(raw) != sum(hp * (wp * bpp + 1) for _, wp, hp in passes):
+            return None
+        full = bytearray(w * h * bpp)
+        off = 0
+        for p, wp, hp in passes:
+            x0, y0, dx, dy = _ADAM7[p]
+            sub_len = hp * (wp * bpp + 1)
+            sub = _png_unfilter(raw[off:off + sub_len], wp, hp, bpp)
+            off += sub_len
+            for sy in range(hp):
+                y = y0 + sy * dy
+                for sx in range(wp):
+                    x = x0 + sx * dx
+                    s = (sy * wp + sx) * bpp
+                    d = (y * w + x) * bpp
+                    full[d:d + bpp] = sub[s:s + bpp]
+        px = bytes(full)
+    if depth == 16:
+        px = px[0::2]  # big-endian samples → high byte (16→8 reduction)
     if ctype == 0:
         return w, h, "L", px
     if ctype == 2:
@@ -611,6 +666,39 @@ def synthetic_rgb_png_payload(i: int, w: int = 9, h: int = 8) -> bytes:
     )
 
 
+def synthetic_interlaced_png_payload(
+    i: int, w: int = 11, h: int = 10, ctype: int = 0
+) -> bytes:
+    """Valid Adam7-interlaced 8-bit PNG (grey ctype=0 or RGB ctype=2)
+    with deterministic pixels; each sub-image forward-filtered with
+    rotating filter types — decode must reassemble the exact raster."""
+    import zlib
+
+    bpp = 3 if ctype == 2 else 1
+    px = _px_stream(i, w * h * bpp)
+    raw = bytearray()
+    for p, wp, hp in _adam7_dims(w, h):
+        x0, y0, dx, dy = _ADAM7[p]
+        sub = bytearray()
+        for sy in range(hp):
+            y = y0 + sy * dy
+            for sx in range(wp):
+                x = x0 + sx * dx
+                s = (y * w + x) * bpp
+                sub += px[s:s + bpp]
+        raw += _png_forward_filter(bytes(sub), wp, hp, bpp)
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 1])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def synthetic_palette_png_payload(
     i: int, w: int = 10, h: int = 9, n_colors: int = 16
 ) -> tuple[bytes, bytes]:
@@ -645,7 +733,7 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     (``operators.jpeg``: marker parse, canonical Huffman entropy
     decode, dequantize, IDCT, chroma upsample); raises
     NotImplementedError only for formats none of those paths cover
-    (progressive/arithmetic JPEG, interlaced/16-bit PNG, video …),
+    (progressive/arithmetic JPEG, video …),
     which is the remaining loudly-marked stub surface."""
     b = bytes(payload)
     out = _decode_bmp(b) or _decode_png(b)

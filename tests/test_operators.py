@@ -966,3 +966,67 @@ def test_jpeg_colour_codec_444_and_420():
     px2 = multimodal._px_stream(11, 13 * 9 * 3)
     o = jpeg.decode_jpeg(jpeg.encode_rgb_jpeg(px2, 13, 9, subsample=True))
     assert o[:3] == (13, 9, "RGB") and len(o[3]) == 13 * 9 * 3
+
+
+def test_decode_adam7_interlaced_png():
+    """r4: Adam7-interlaced PNG decode — seven independently-filtered
+    sub-images scattered back onto the raster; round-trips to the
+    exact generator pixels across grey/RGB and awkward dimensions
+    (incl. 1x1 and sub-8 sizes where several passes are empty)."""
+    for ctype, mode, bpp in ((0, "L", 1), (2, "RGB", 3)):
+        for (w, h) in ((11, 10), (3, 2), (16, 9), (1, 1)):
+            pay = multimodal.synthetic_interlaced_png_payload(7, w, h, ctype)
+            got = multimodal.decode_image_pixels(pay)
+            assert got[:3] == (w, h, mode)
+            assert got[3] == multimodal._px_stream(7, w * h * bpp)
+    # interlaced decode == non-interlaced decode of the same raster
+    a = multimodal.decode_image_pixels(
+        multimodal.synthetic_interlaced_png_payload(5)
+    )
+    b = multimodal.decode_image_pixels(
+        multimodal.synthetic_gray_png_payload(5)
+    )
+    assert a == b
+    assert hashlib.md5(a[3]).hexdigest() == "0010e575476341cd3f47790a98f1f780"
+
+
+def test_decode_16bit_png_high_byte_reduction():
+    """r4: 16-bit grey/RGB PNG decodes via the same filter machinery
+    (bpp doubles) with the standard high-byte 16->8 reduction — output
+    is byte-per-sample and equals the high bytes exactly."""
+    import zlib
+
+    w, h = 9, 7
+    hi = multimodal._px_stream(3, w * h)
+    lo = multimodal._px_stream(4, w * h)
+    px16 = b"".join(bytes((hi[k], lo[k])) for k in range(w * h))
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+    )
+    pay = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(
+            b"IDAT", zlib.compress(multimodal._png_forward_filter(px16, w, h, 2))
+        )
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert multimodal.decode_image_pixels(pay) == (w, h, "L", hi)
+
+    hi3 = multimodal._px_stream(8, w * h * 3)
+    px16rgb = b"".join(
+        bytes((hi3[k], lo[k % (w * h)])) for k in range(w * h * 3)
+    )
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    )
+    pay = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(
+            b"IDAT",
+            zlib.compress(multimodal._png_forward_filter(px16rgb, w, h, 6)),
+        )
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert multimodal.decode_image_pixels(pay) == (w, h, "RGB", hi3)
