@@ -424,15 +424,20 @@ def _adam7_dims(w: int, h: int):
     return out
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_OUT_MODE = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
+
+
 def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
     """8- or 16-bit PNG, colour types 0 (grey → 'L'), 2 (truecolour
-    RGB) and 3 (palette + PLTE lookup → 'RGB', 8-bit only per spec),
-    non-interlaced OR Adam7 interlaced, pure stdlib (zlib IDAT inflate
-    + the five filter reversals per scanline/sub-image).  16-bit
-    samples are reduced to their high byte (the standard 16→8
-    reduction) so the output is always one byte per sample — a REAL
-    decode with a documented precision reduction, not a stub.  None if
-    the payload is not a PNG this path can read."""
+    RGB), 3 (palette + PLTE lookup → 'RGB', 8-bit only per spec),
+    4 (grey+alpha → 'LA') and 6 (RGBA), non-interlaced OR Adam7
+    interlaced, pure stdlib (zlib IDAT inflate + the five filter
+    reversals per scanline/sub-image).  16-bit samples are reduced to
+    their high byte (the standard 16→8 reduction) so the output is
+    always one byte per sample — a REAL decode with a documented
+    precision reduction, not a stub.  None if the payload is not a
+    PNG this path can read."""
     import zlib
 
     if b[:8] != _PNG_SIG:
@@ -453,12 +458,12 @@ def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
             depth = body[8]
             ctype = body[9]
             interlace = body[12]
-            # bit depth 8/16 (16 only for grey/RGB), colour type
-            # 0/2/3, interlace none/Adam7
+            # bit depth 8/16 (16 not for palette, per spec), colour
+            # type 0/2/3/4/6, interlace none/Adam7
             ok = (
-                ctype in (0, 2, 3)
+                ctype in (0, 2, 3, 4, 6)
                 and interlace in (0, 1)
-                and (depth == 8 or (depth == 16 and ctype in (0, 2)))
+                and (depth == 8 or (depth == 16 and ctype != 3))
             )
         elif cid == b"PLTE":
             plte = body
@@ -475,7 +480,7 @@ def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    bpp = (3 if ctype == 2 else 1) * (depth // 8)
+    bpp = _PNG_CHANNELS[ctype] * (depth // 8)
     if interlace == 0:
         if len(raw) != h * (w * bpp + 1):
             return None
@@ -503,10 +508,8 @@ def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
         px = bytes(full)
     if depth == 16:
         px = px[0::2]  # big-endian samples → high byte (16→8 reduction)
-    if ctype == 0:
-        return w, h, "L", px
-    if ctype == 2:
-        return w, h, "RGB", px
+    if ctype != 3:
+        return w, h, _PNG_OUT_MODE[ctype], px
     # palette indices → RGB triples via PLTE
     n_entries = len(plte) // 3
     if any(i >= n_entries for i in px):

@@ -1030,3 +1030,62 @@ def test_decode_16bit_png_high_byte_reduction():
         + multimodal._png_chunk(b"IEND", b"")
     )
     assert multimodal.decode_image_pixels(pay) == (w, h, "RGB", hi3)
+
+
+def test_decode_la_rgba_png():
+    """r4: PNG colour types 4 (grey+alpha) and 6 (RGBA) round-trip
+    byte-exact through the same filter machinery."""
+    import zlib
+
+    for ctype, mode, ch in ((4, "LA", 2), (6, "RGBA", 4)):
+        w, h = 7, 5
+        px = multimodal._px_stream(2, w * h * ch)
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype, 0, 0, 0])
+        )
+        pay = (
+            multimodal._PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(
+                b"IDAT",
+                zlib.compress(multimodal._png_forward_filter(px, w, h, ch)),
+            )
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        assert multimodal.decode_image_pixels(pay) == (w, h, mode, px)
+
+
+REFERENCE_IMAGES = "/root/reference/core"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(REFERENCE_IMAGES),
+    reason="reference fixtures not present outside the build sandbox",
+)
+def test_decode_real_reference_images():
+    """External validation: every image file shipped by the reference
+    repo (real-world JPEGs from standard encoders + PNGs) decodes with
+    OUR codecs — no image library — to header-consistent dimensions
+    with natural-image statistics (mean adjacent-pixel delta far below
+    the ~85 of random bytes)."""
+    import glob
+    import os
+
+    import numpy as np
+
+    files = sorted(
+        glob.glob(os.path.join(REFERENCE_IMAGES, "**", "*.png"), recursive=True)
+        + glob.glob(os.path.join(REFERENCE_IMAGES, "**", "*.jp*g"), recursive=True)
+    )
+    assert len(files) >= 9
+    chans = {"L": 1, "RGB": 3, "LA": 2, "RGBA": 4}
+    for f in files:
+        b = open(f, "rb").read()
+        hw = multimodal.parse_image_header(b)
+        w, h, mode, px = multimodal.decode_image_pixels(b)
+        assert (w, h) == hw[:2], f
+        ch = chans[mode]
+        assert len(px) == w * h * ch, f
+        a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(int)
+        assert np.abs(np.diff(a[:, :, 0], axis=1)).mean() < 40, f
