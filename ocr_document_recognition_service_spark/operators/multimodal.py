@@ -762,3 +762,47 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
         "(progressive JPEG, video); install on the cluster and this "
         "same call decodes every format"
     )
+
+
+PIXEL_STATS_TYPE = StructType(
+    [
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("mode", StringType(), True),
+        StructField("pixel_md5", StringType(), True),
+        StructField("decoder", StringType(), True),
+    ]
+)
+
+
+def decode_pixel_stats(df: DataFrame, col: str = "payload") -> DataFrame:
+    """Arrow-batched REAL pixel decode over a binary column: the full
+    BMP/PNG/JPEG stack (``decode_image_pixels``) runs inside the same
+    pandas-UDF shape as extraction, emitting per-row (width, height,
+    mode, md5(pixels)) — pixels hashed rather than carried so the
+    exchanged row stays narrow.  Rows no decoder covers report
+    decoder='stub' instead of failing the batch (the skip-with-log
+    policy, observable by counting)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(PIXEL_STATS_TYPE)
+    def decode(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for payloads in batches:
+            rows = []
+            for p in payloads:
+                if p is None:
+                    rows.append((None, None, None, None, None))
+                    continue
+                try:
+                    w, h, mode, px = decode_image_pixels(bytes(p))
+                    rows.append(
+                        (w, h, mode, hashlib.md5(px).hexdigest(), "native")
+                    )
+                except NotImplementedError:
+                    rows.append((None, None, None, None, "stub"))
+            yield pd.DataFrame(
+                rows,
+                columns=["width", "height", "mode", "pixel_md5", "decoder"],
+            )
+
+    return df.withColumn("pixel_stats", decode(F.col(col)))

@@ -2659,6 +2659,54 @@ def x_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "x_image_pixels",
+    None,
+    "REAL pixel decode through the Spark plumbing: BMP + PNG (grey/RGB/"
+    "palette/interlaced) + baseline JPEG (grey and colour) payloads "
+    "decoded inside an Arrow-batched pandas UDF, pixels md5-hashed "
+    "per row (narrow exchange); undecodable payloads report "
+    "decoder='stub' instead of failing the batch",
+)
+def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import jpeg, multimodal
+
+    def mk(i: int) -> bytes:
+        kind = i % 6
+        if kind == 0:
+            return multimodal.synthetic_bmp_payload(i)
+        if kind == 1:
+            return multimodal.synthetic_gray_png_payload(i)
+        if kind == 2:
+            return multimodal.synthetic_rgb_png_payload(i)
+        if kind == 3:
+            return multimodal.synthetic_interlaced_png_payload(i)
+        if kind == 4:
+            return jpeg.encode_gray_jpeg(
+                multimodal._px_stream(i, 16 * 16), 16, 16
+            )
+        return jpeg.encode_rgb_jpeg(
+            multimodal._px_stream(i, 16 * 16 * 3), 16, 16,
+            subsample=bool(i % 2),
+        )
+
+    imgs = spark.createDataFrame(
+        [(f"img://{i:04d}", mk(i)) for i in range(36)]
+        + [("not-image://0", b"<html>bytes</html>")],
+        "url: string, payload: binary",
+    )
+    out = multimodal.decode_pixel_stats(multimodal.media_meta(imgs))
+    return out.select(
+        "url",
+        "format",
+        F.col("pixel_stats.width").alias("width"),
+        F.col("pixel_stats.height").alias("height"),
+        F.col("pixel_stats.mode").alias("mode"),
+        F.col("pixel_stats.pixel_md5").alias("pixel_md5"),
+        F.col("pixel_stats.decoder").alias("decoder"),
+    )
+
+
+@_reg(
     "x_video_frames",
     None,
     "video frame-sample plumbing: mapInPandas fan-out to one row per "

@@ -1089,3 +1089,36 @@ def test_decode_real_reference_images():
         assert len(px) == w * h * ch, f
         a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch).astype(int)
         assert np.abs(np.diff(a[:, :, 0], axis=1)).mean() < 40, f
+
+
+def test_decode_pixel_stats_spark_plumbing(spark):
+    """The full pixel-decode stack runs inside the Arrow-batched UDF:
+    every synthetic payload decodes natively with the md5 the pure-
+    Python decoder pins; non-images report decoder='stub' per-row."""
+    from ocr_document_recognition_service_spark.operators import jpeg
+
+    payloads = [
+        ("bmp", multimodal.synthetic_bmp_payload(3)),
+        ("png", multimodal.synthetic_gray_png_payload(5)),
+        ("ipng", multimodal.synthetic_interlaced_png_payload(5)),
+        ("jpg", jpeg.encode_gray_jpeg(multimodal._px_stream(3, 256), 16, 16)),
+        ("other", b"\x00\x01notanimage"),
+    ]
+    df = spark.createDataFrame(
+        [(k, p) for k, p in payloads], "url: string, payload: binary"
+    )
+    got = {
+        r["url"]: r
+        for r in multimodal.decode_pixel_stats(df)
+        .select("url", "pixel_stats.*")
+        .collect()
+    }
+    for k, p in payloads[:-1]:
+        w, h, mode, px = multimodal.decode_image_pixels(p)
+        r = got[k]
+        assert (r["width"], r["height"], r["mode"]) == (w, h, mode)
+        assert r["pixel_md5"] == hashlib.md5(px).hexdigest()
+        assert r["decoder"] == "native"
+    assert got["other"]["decoder"] == "stub"
+    # interlaced and straight PNG of the same raster hash identically
+    assert got["png"]["pixel_md5"] == got["ipng"]["pixel_md5"]
