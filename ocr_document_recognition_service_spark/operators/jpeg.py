@@ -426,7 +426,19 @@ def decode_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
     restart markers included.  None when the payload is not a JPEG
     this path covers (progressive / arithmetic / 12-bit / CMYK) — the
     caller falls through to its loud stub.
+
+    Malformed/truncated payloads return None rather than raising: at
+    corpus scale one corrupt blob must not fail a whole Arrow batch
+    (fuzz-pinned — truncations, bit flips and splices of every valid
+    fixture).
     """
+    try:
+        return _decode_jpeg_checked(b)
+    except (IndexError, ValueError, ZeroDivisionError, struct.error):
+        return None
+
+
+def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
     if b[:2] != b"\xff\xd8":
         return None
     qts: dict[int, list[int]] = {}

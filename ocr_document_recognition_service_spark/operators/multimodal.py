@@ -800,6 +800,13 @@ def decode_pixel_stats(df: DataFrame, col: str = "payload") -> DataFrame:
                     )
                 except NotImplementedError:
                     rows.append((None, None, None, None, "stub"))
+                except Exception:
+                    # defense-in-depth: one corrupt blob must never
+                    # fail the whole Arrow batch (decoders are fuzz-
+                    # hardened to return None, but a decoder bug
+                    # should degrade to an observable row, not a
+                    # task failure at corpus scale)
+                    rows.append((None, None, None, None, "error"))
             yield pd.DataFrame(
                 rows,
                 columns=["width", "height", "mode", "pixel_md5", "decoder"],

@@ -1122,3 +1122,43 @@ def test_decode_pixel_stats_spark_plumbing(spark):
     assert got["other"]["decoder"] == "stub"
     # interlaced and straight PNG of the same raster hash identically
     assert got["png"]["pixel_md5"] == got["ipng"]["pixel_md5"]
+
+
+def test_decoders_survive_fuzzed_payloads():
+    """r4 robustness: truncations, bit flips and splices of every valid
+    image fixture must decode, return the stub NotImplementedError, or
+    be rejected — never raise anything else (at corpus scale one
+    corrupt blob must not fail an Arrow batch)."""
+    import random
+
+    from ocr_document_recognition_service_spark.operators import jpeg
+
+    rng = random.Random(77)
+    payloads = [
+        multimodal.synthetic_bmp_payload(1),
+        multimodal.synthetic_gray_png_payload(2),
+        multimodal.synthetic_rgb_png_payload(3),
+        multimodal.synthetic_palette_png_payload(4)[0],
+        multimodal.synthetic_interlaced_png_payload(5),
+        jpeg.encode_gray_jpeg(multimodal._px_stream(6, 256), 16, 16),
+        jpeg.encode_rgb_jpeg(multimodal._px_stream(7, 768), 16, 16),
+        jpeg.encode_rgb_jpeg(
+            multimodal._px_stream(8, 768), 16, 16, subsample=True
+        ),
+    ]
+    for p in payloads:
+        for _ in range(60):
+            b = bytearray(p)
+            op = rng.randrange(3)
+            if op == 0:
+                b = b[: rng.randrange(len(b))]
+            elif op == 1:
+                for _ in range(rng.randrange(1, 8)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            else:
+                i = rng.randrange(len(b))
+                b = b[:i] + bytes(rng.randrange(256) for _ in range(12)) + b[i:]
+            try:
+                multimodal.decode_image_pixels(bytes(b))
+            except NotImplementedError:
+                pass
