@@ -510,6 +510,12 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
         pos += 2 + ln
     if scan_off is None or w is None or not comps:
         return None
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one 8×8 data unit and the declared sampling factors
+        # do not shape the scan geometry (a grey JPEG with h/v=2
+        # factors still stores ceil(w/8)×ceil(h/8) blocks in order)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax < 1 or vmax < 1:

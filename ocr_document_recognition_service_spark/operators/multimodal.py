@@ -437,7 +437,16 @@ def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
     their high byte (the standard 16→8 reduction) so the output is
     always one byte per sample — a REAL decode with a documented
     precision reduction, not a stub.  None if the payload is not a
-    PNG this path can read."""
+    PNG this path can read — including crafted payloads whose zlib
+    stream is valid but whose filter bytes are not (same no-raise
+    contract as decode_jpeg)."""
+    try:
+        return _decode_png_checked(b)
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_png_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
     import zlib
 
     if b[:8] != _PNG_SIG:
@@ -459,9 +468,10 @@ def _decode_png(b: bytes) -> tuple[int, int, str, bytes] | None:
             ctype = body[9]
             interlace = body[12]
             # bit depth 8/16 (16 not for palette, per spec), colour
-            # type 0/2/3/4/6, interlace none/Adam7
+            # type 0/2/3/4/6, filter method 0, interlace none/Adam7
             ok = (
                 ctype in (0, 2, 3, 4, 6)
+                and body[11] == 0
                 and interlace in (0, 1)
                 and (depth == 8 or (depth == 16 and ctype != 3))
             )

@@ -2686,7 +2686,9 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
             )
         return jpeg.encode_rgb_jpeg(
             multimodal._px_stream(i, 16 * 16 * 3), 16, 16,
-            subsample=bool(i % 2),
+            # kind-5 rows have i ≡ 5 (mod 6), always odd — alternate on
+            # the row index within the kind instead
+            subsample=bool((i // 6) % 2),
         )
 
     imgs = spark.createDataFrame(

@@ -915,7 +915,8 @@ def test_jpeg_baseline_gray_codec_roundtrip():
     out = jpeg.decode_gray_jpeg(jpeg.encode_gray_jpeg(grad, 32, 16))[3]
     assert max(abs(a - b) for a, b in zip(grad, out)) <= 2
 
-    # colour JPEG header (3 components) is NOT claimed: falls to stub
+    # header-only JPEG fixture (no DHT/SOS/entropy data): rejected by
+    # the real decoder, falls to the stub path
     assert jpeg.decode_gray_jpeg(multimodal.synthetic_image_payload(2)) is None
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_pixels(multimodal.synthetic_image_payload(2))
@@ -1162,3 +1163,51 @@ def test_decoders_survive_fuzzed_payloads():
                 multimodal.decode_image_pixels(bytes(b))
             except NotImplementedError:
                 pass
+
+
+def test_decoder_contract_on_crafted_payloads():
+    """Review fixes pinned: (a) a PNG with a valid zlib stream but an
+    invalid filter byte (or nonzero filter method) rejects cleanly to
+    the stub path, never raising ValueError; (b) a single-component
+    JPEG declaring sampling factors 2x2 decodes with non-interleaved
+    geometry (T.81 A.2.2) — identical pixels to the 1x1 declaration."""
+    import zlib
+
+    from ocr_document_recognition_service_spark.operators import jpeg
+
+    w, h = 5, 4
+    # filter byte 7 on row 0: invalid, but the zlib stream is fine
+    raw = bytes([7]) + bytes(w) + (bytes([0]) + bytes(w)) * (h - 1)
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    bad_filter = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels(bad_filter)
+    # nonzero IHDR filter-method byte: not PNG filter method 0
+    ihdr_fm = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 1, 0])
+    bad_method = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr_fm)
+        + multimodal._png_chunk(
+            b"IDAT", zlib.compress((bytes([0]) + bytes(w)) * h)
+        )
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels(bad_method)
+
+    # grey JPEG with declared 2x2 sampling: scan geometry must ignore
+    # the factors — patch the SOF sampling byte and expect identical
+    # output to the stock encoding
+    px = multimodal._px_stream(9, 24 * 24)
+    enc = jpeg.encode_gray_jpeg(px, 24, 24)
+    want = jpeg.decode_jpeg(enc)
+    sof = enc.find(b"\xff\xc0")
+    # FF C0 len(2) prec h(2) w(2) ncomp cid samp — sampling at sof+11
+    assert enc[sof + 11] == 0x11
+    patched = enc[: sof + 11] + b"\x22" + enc[sof + 12:]
+    assert jpeg.decode_jpeg(patched) == want
