@@ -2659,6 +2659,45 @@ def x_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "x_warc_extract",
+    None,
+    "WARC ingestion end-to-end: Common-Crawl-style WARC file (real "
+    "WARC/1.0 response envelopes) -> binaryFile scan -> Arrow-batched "
+    "record parse -> the SAME extraction plan as the parquet path -> "
+    "per-lang summary; pinned byte-identical to extracting the "
+    "original rows directly",
+)
+def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .. import gen_pages
+    from ..pipeline import extract_pages
+    from ..sources import warc
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_warc_q")
+    os.makedirs(d, exist_ok=True)
+    rows = list(gen_pages.gen_rows(120))
+    warc.write_warc(
+        os.path.join(d, "seg0.warc"),
+        [(r["url"], r["warc_ts"], r["html"]) for r in rows],
+    )
+    pages = warc.read_warc(spark, os.path.join(d, "*.warc"))
+    out = extract_pages(pages, num_partitions=8)
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(
+                F.when(F.col("error").isNotNull(), 1).otherwise(0)
+            ).alias("n_errors"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_reg(
     "x_image_pixels",
     None,
     "REAL pixel decode through the Spark plumbing: BMP + PNG (grey/RGB/"
