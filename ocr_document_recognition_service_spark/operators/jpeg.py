@@ -8,7 +8,9 @@ DQT/DHT/SOF0/SOS, canonical Huffman entropy decode with DC prediction
 and AC run-length, dequantize, inverse zigzag, float IDCT, level
 shift — for greyscale AND 3-component YCbCr colour at any sampling
 (the generic MCU loop handles 4:4:4, 4:2:2 and 4:2:0; chroma is
-replication-upsampled, JFIF YCbCr→RGB).  Progressive / arithmetic /
+replication-upsampled, JFIF YCbCr→RGB) — and PROGRESSIVE (SOF2)
+decode: spectral selection + successive approximation, DC/AC first
+and refinement scans, EOB runs.  Arithmetic-coded / lossless /
 12-bit modes remain the loudly-marked stub.
 
 The matching encoder exists so the sandbox (which has no image
@@ -424,8 +426,10 @@ def decode_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
     Handles 1-component greyscale and 3-component YCbCr at any
     sampling factors (4:4:4 / 4:2:2 / 4:2:0 via the generic MCU loop),
     restart markers included.  None when the payload is not a JPEG
-    this path covers (progressive / arithmetic / 12-bit / CMYK) — the
-    caller falls through to its loud stub.
+    this path covers (arithmetic / 12-bit / CMYK) — the caller falls
+    through to its loud stub.  Progressive (SOF2) frames route to
+    ``_decode_progressive`` — spectral selection AND successive
+    approximation, DC/AC first + refinement scans, EOB runs.
 
     Malformed/truncated payloads return None rather than raising: at
     corpus scale one corrupt blob must not fail a whole Arrow batch
@@ -434,7 +438,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
     """
     try:
         return _decode_jpeg_checked(b)
-    except (IndexError, ValueError, ZeroDivisionError, struct.error):
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error):
         return None
 
 
@@ -495,13 +500,15 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
                 samp = body[7 + 3 * c]
                 tq = body[8 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:
+            return _decode_progressive(b)  # progressive frame
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+            return None  # extended/lossless/arithmetic
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps) or ns == 0:
-                return None  # multi-scan not supported
+                return None  # multi-scan baseline not supported
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 sel[cid] = (body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
@@ -644,3 +651,651 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
 
 # name kept from the grey-only first cut; now the general entry point
 decode_gray_jpeg = decode_jpeg
+
+
+# ---------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------
+
+
+def _finish_planes(comps, planes, w, h, hmax, vmax):
+    """Shared reconstruction tail: upsample + JFIF YCbCr→RGB (or crop
+    the single greyscale plane)."""
+    if len(comps) == 1:
+        return w, h, "L", planes[0][:h, :w].tobytes()
+    full = []
+    for ci, (_, hs, vs, _) in enumerate(comps):
+        p = planes[ci].astype(np.float64)
+        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h, :w])
+    y, cb, cr = full
+    rr = y + 1.402 * (cr - 128.0)
+    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bb = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.rint(rr), 0, 255), np.clip(np.rint(gg), 0, 255),
+         np.clip(np.rint(bb), 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    return w, h, "RGB", rgb.tobytes()
+
+
+def _entropy_end(b: bytes, start: int) -> int:
+    """Index of the first real marker (not stuffing, not RSTn) after
+    *start* — the end of a scan's entropy-coded data."""
+    i = start
+    n = len(b)
+    while i < n - 1:
+        if b[i] == 0xFF and b[i + 1] != 0x00 and not (
+            0xD0 <= b[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return n
+
+
+class _ScanReader:
+    """Bit reader over entropy data with RSTn handling: crossing a
+    restart marker byte-aligns and signals the caller to reset DC
+    predictors and the EOB run."""
+
+    def __init__(self, data: bytes) -> None:
+        self.segments = []
+        seg_start = 0
+        i = 0
+        while i < len(data) - 1:
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+                self.segments.append(data[seg_start:i])
+                seg_start = i + 2
+                i += 2
+            else:
+                i += 1
+        self.segments.append(data[seg_start:])
+        self.idx = 0
+        self.r = _BitReader(self.segments[0])
+
+    def restart(self) -> None:
+        self.idx += 1
+        if self.idx >= len(self.segments):
+            raise ValueError("missing restart segment")
+        self.r = _BitReader(self.segments[self.idx])
+
+    def bits(self, k: int) -> int:
+        return self.r.bits(k)
+
+    def huff(self, tree) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.r.bits(1)
+            length += 1
+            v = tree.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("bad Huffman code")
+
+
+def _prog_ac_first(sr, tree, coef, Ss, Se, Al, eobrun):
+    """AC first scan for one block (T.81 G.1.2.2): returns new eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = sr.huff(tree)
+        rr, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if rr != 15:
+                run = 1 << rr
+                if rr:
+                    run += sr.bits(rr)
+                return run - 1  # this block is part of the run
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > Se:
+            raise ValueError("AC run past band end")
+        coef[k] = _receive_extend(sr.r, s) << Al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(sr, tree, coef, Ss, Se, Al, eobrun):
+    """AC refinement scan for one block (T.81 G.1.2.3, the libjpeg
+    decode_mcu_AC_refine shape): returns new eobrun."""
+    p1 = 1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = sr.huff(tree)
+            rr, s = rs >> 4, rs & 0x0F
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement size")
+                newval = p1 if sr.bits(1) else -p1
+            else:
+                if rr != 15:
+                    eobrun = 1 << rr
+                    if rr:
+                        eobrun += sr.bits(rr)
+                    break
+                newval = 0  # ZRL
+            while k <= Se:
+                c = coef[k]
+                if c != 0:
+                    if sr.bits(1) and (abs(c) & p1) == 0:
+                        coef[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval and k <= Se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            c = coef[k]
+            if c != 0:
+                if sr.bits(1) and (abs(c) & p1) == 0:
+                    coef[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """Progressive (SOF2) JPEG: multiple scans refine per-component
+    DCT coefficient arrays — DC first/refinement, AC spectral bands
+    with EOB runs, successive-approximation refinement — then one
+    dequantize+IDCT reconstruction."""
+    qts: dict[int, list[int]] = {}
+    dc_trees: dict[int, dict] = {}
+    ac_trees: dict[int, dict] = {}
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []
+    coefs: list = []
+    cdims: list[tuple[int, int]] = []  # per-comp (block_h, block_w)
+    hmax = vmax = 1
+    mx = my = 0
+    dri = 0
+    pos = 2
+    n = len(b)
+    saw_eoi = False
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            saw_eoi = True
+            break
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+            pos += 2
+            continue
+        ln = int.from_bytes(b[pos + 2:pos + 4], "big")
+        body = b[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    return None
+                tbl = list(body[i + 1:i + 65])
+                inv = [0] * 64
+                for k, z in enumerate(ZIGZAG):
+                    inv[z] = tbl[k]
+                qts[tq] = inv
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17:i + 17 + cnt])
+                (ac_trees if tc else dc_trees)[th] = _decode_tree(bits, vals)
+                i += 17 + cnt
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[0:2], "big")
+        elif marker == 0xC2:
+            if comps:
+                return None  # one frame only
+            prec = body[0]
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if prec != 8 or ncomp not in (1, 3):
+                return None
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                samp = body[7 + 3 * c]
+                comps.append(
+                    (cid, samp >> 4, samp & 0x0F, body[8 + 3 * c])
+                )
+            if ncomp == 1:
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax < 1 or vmax < 1:
+                return None
+            mx = (w + 8 * hmax - 1) // (8 * hmax)
+            my = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hs, vs, tq in comps:
+                # interleaved coverage (mx*hs) always ≥ the
+                # non-interleaved ceil(cw/8); allocate the larger
+                coefs.append(
+                    [[[0] * 64 for _ in range(mx * hs)]
+                     for _ in range(my * vs)]
+                )
+                cw = (w * hs + hmax - 1) // hmax
+                ch = (h * vs + vmax - 1) // vmax
+                cdims.append(((ch + 7) // 8, (cw + 7) // 8))
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # mixed/other frame types
+        elif marker == 0xDA:
+            if not comps:
+                return None
+            ns = body[0]
+            scomps = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                td, ta = body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F
+                ci = next(
+                    (i for i, cc in enumerate(comps) if cc[0] == cid), None
+                )
+                if ci is None:
+                    return None
+                scomps.append((ci, td, ta))
+            Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+            Ah = body[3 + 2 * ns] >> 4
+            Al = body[3 + 2 * ns] & 0x0F
+            data_start = pos + 2 + ln
+            data_end = _entropy_end(b, data_start)
+            _prog_scan(
+                b[data_start:data_end], scomps, Ss, Se, Ah, Al,
+                comps, coefs, cdims, dc_trees, ac_trees, mx, my, dri,
+            )
+            pos = data_end
+            continue
+        pos += 2 + ln
+    if w is None or not comps or not saw_eoi:
+        return None
+    # reconstruct: dequantize + IDCT every block
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        qt = qts.get(tq)
+        if qt is None:
+            return None
+        qarr = np.array(qt, dtype=np.float64).reshape(8, 8)
+        plane = np.empty((my * vs * 8, mx * hs * 8), dtype=np.uint8)
+        for by in range(my * vs):
+            for bx in range(mx * hs):
+                zz = coefs[ci][by][bx]
+                coef = np.zeros(64, dtype=np.float64)
+                for kk, z in enumerate(ZIGZAG):
+                    coef[z] = zz[kk]
+                block = _idct(coef.reshape(8, 8) * qarr) + 128.0
+                plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                    np.rint(block), 0, 255
+                ).astype(np.uint8)
+        planes.append(plane)
+    return _finish_planes(comps, planes, w, h, hmax, vmax)
+
+
+def _prog_scan(
+    data, scomps, Ss, Se, Ah, Al, comps, coefs, cdims,
+    dc_trees, ac_trees, mx, my, dri,
+):
+    """Decode one progressive scan into the coefficient arrays."""
+    sr = _ScanReader(data)
+    is_dc = Ss == 0
+    if is_dc and Se != 0:
+        raise ValueError("DC scan with Se != 0")
+    if not is_dc and len(scomps) != 1:
+        raise ValueError("AC scan must be single-component")
+    preds = [0] * len(scomps)
+    eobrun = 0
+    unit = 0  # MCUs (interleaved) or blocks (non-interleaved)
+
+    def maybe_restart():
+        nonlocal eobrun, preds, unit
+        if dri and unit and unit % dri == 0:
+            sr.restart()
+            preds = [0] * len(scomps)
+            eobrun = 0
+
+    if is_dc and len(scomps) > 1:
+        # interleaved DC scan over the full MCU grid
+        for myy in range(my):
+            for mxx in range(mx):
+                maybe_restart()
+                for si, (ci, td, _) in enumerate(scomps):
+                    _, hs, vs, _ = comps[ci]
+                    for v in range(vs):
+                        for hh in range(hs):
+                            coef = coefs[ci][myy * vs + v][mxx * hs + hh]
+                            if Ah == 0:
+                                s = sr.huff(dc_trees[td])
+                                preds[si] += _receive_extend(sr.r, s)
+                                coef[0] = preds[si] << Al
+                            else:
+                                coef[0] |= sr.bits(1) << Al
+                unit += 1
+        return
+    # non-interleaved: one component, block-raster over its own dims
+    ci, td, ta = scomps[0]
+    cbh, cbw = cdims[ci]
+    for by in range(cbh):
+        for bx in range(cbw):
+            maybe_restart()
+            coef = coefs[ci][by][bx]
+            if is_dc:
+                if Ah == 0:
+                    s = sr.huff(dc_trees[td])
+                    preds[0] += _receive_extend(sr.r, s)
+                    coef[0] = preds[0] << Al
+                else:
+                    coef[0] |= sr.bits(1) << Al
+            elif Ah == 0:
+                eobrun = _prog_ac_first(
+                    sr, ac_trees[ta], coef, Ss, Se, Al, eobrun
+                )
+            else:
+                eobrun = _prog_ac_refine(
+                    sr, ac_trees[ta], coef, Ss, Se, Al, eobrun
+                )
+            unit += 1
+
+
+# ---------------------------------------------------------------------
+# Progressive encoder (fixture generator): the libjpeg-style script —
+# DC first/refine + per-component AC spectral bands with successive
+# approximation, including the AC-refinement correction-bit emitter.
+# ---------------------------------------------------------------------
+
+
+# progressive AC scans need EOBn (n ≥ 1) symbols the baseline Annex-K
+# tables do not define; emit a flat custom table (every (run, size)
+# with size ≤ 10 at code length 8 — canonical and Kraft-valid) like
+# real progressive encoders ship per-scan optimized tables
+_PROG_AC_SYMS = [(r << 4) | s for r in range(16) for s in range(11)]
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC = _canonical_codes(_PROG_AC_BITS, _PROG_AC_SYMS)
+
+
+class _ProgAcState:
+    """Per-scan EOB-run accumulator with buffered correction bits."""
+
+    def __init__(self, out: _BitWriter, ac_codes) -> None:
+        self.out = out
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            c, l = self.ac[nbits << 4]
+            self.out.write(c, l)
+            if nbits:
+                self.out.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.out.write(bit, 1)
+        self.pending = []
+
+
+def _quantized_blocks(plane: np.ndarray, qt: np.ndarray, bh: int, bw: int):
+    """Zigzag-order int coefficient lists for every 8×8 block."""
+    padded = _pad_plane(plane, bh, bw)
+    out = []
+    for by in range(bh):
+        row = []
+        for bx in range(bw):
+            q = np.rint(
+                _fdct(padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0)
+                / qt
+            ).astype(int).reshape(64)
+            row.append([int(q[i]) for i in ZIGZAG])
+        out.append(row)
+    return out
+
+
+def _enc_dc_first(out, blocks_iter, dc_codes, Al):
+    pred = 0
+    for zz in blocks_iter:
+        v = zz[0] >> Al  # DC point transform is an arithmetic shift
+        diff = v - pred
+        pred = v
+        s = _category(diff)
+        c, l = dc_codes[s]
+        out.write(c, l)
+        if s:
+            out.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _enc_dc_refine(out, blocks_iter, Al):
+    for zz in blocks_iter:
+        out.write((zz[0] >> Al) & 1, 1)
+
+
+def _pt_ac(v: int, Al: int) -> int:
+    """AC point transform: magnitude shift (truncation toward zero)."""
+    return (abs(v) >> Al) * (1 if v >= 0 else -1)
+
+
+def _enc_ac_first(out, blocks_iter, ac_codes, Ss, Se, Al):
+    st = _ProgAcState(out, ac_codes)
+    for zz in blocks_iter:
+        vals = [_pt_ac(zz[k], Al) for k in range(Ss, Se + 1)]
+        if not any(vals):
+            st.eobrun += 1
+            if st.eobrun == 0x7FFF:
+                st.flush_eob()
+            continue
+        st.flush_eob()
+        run = 0
+        last_nz = max(i for i, v in enumerate(vals) if v)
+        for i in range(last_nz + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, l = ac_codes[0xF0]
+                out.write(c, l)
+                run -= 16
+            s = _category(v)
+            c, l = ac_codes[(run << 4) | s]
+            out.write(c, l)
+            out.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < len(vals) - 1:
+            st.eobrun += 1
+            if st.eobrun == 0x7FFF:
+                st.flush_eob()
+    st.flush_eob()
+
+
+def _enc_ac_refine(out, blocks_iter, ac_codes, Ss, Se, Al):
+    """The correction-bit emitter, written as an explicit simulation of
+    the DECODER's crossing semantics (T.81 G.1.2.3): every emitted
+    symbol advances the decoder across a positional range, and the
+    correction bits for already-nonzero coefficients inside exactly
+    that range follow the symbol; trailing content folds into the
+    accumulated EOB run with its bits pending."""
+    st = _ProgAcState(out, ac_codes)
+    band = range(Ss, Se + 1)
+    for zz in blocks_iter:
+        temp = [abs(zz[k]) >> Al for k in band]
+        # last position that JUST becomes visible at this precision
+        eob = -1
+        for i, t in enumerate(temp):
+            if t == 1:
+                eob = i
+        if eob < 0:
+            # no symbols for this block: whole band rides the EOB run;
+            # the decoder will read one bit per nonzero-history coef
+            st.eobrun += 1
+            st.pending.extend(t & 1 for t in temp if t > 1)
+            if st.eobrun == 0x7FFF:
+                st.flush_eob()
+            continue
+        cursor = 0  # first band index the decoder has not yet crossed
+        run = 0     # unconsumed zero-history positions before the target
+        for i, t in enumerate(temp[: eob + 1]):
+            if t == 0:
+                run += 1
+                continue
+            if t > 1:
+                continue  # crossed (and bit-emitted) when consumed below
+            # newly-nonzero at i: emit ZRLs while >15 zeros remain,
+            # each consuming 16 zero-history positions from the cursor
+            while run > 15:
+                st.flush_eob()
+                c, l = ac_codes[0xF0]
+                out.write(c, l)
+                z = 0
+                j = cursor
+                while z < 16:
+                    if temp[j] > 1:
+                        out.write(temp[j] & 1, 1)
+                    else:
+                        z += 1
+                    j += 1
+                cursor = j
+                run -= 16
+            st.flush_eob()
+            c, l = ac_codes[(run << 4) | 1]
+            out.write(c, l)
+            out.write(1 if zz[Ss + i] >= 0 else 0, 1)
+            for j in range(cursor, i):
+                if temp[j] > 1:
+                    out.write(temp[j] & 1, 1)
+            cursor = i + 1
+            run = 0
+        if cursor < len(temp):
+            # decoder needs an EOB to finish this block; its bits cover
+            # the nonzero-history coefs from the cursor to the band end
+            st.eobrun += 1
+            st.pending.extend(
+                temp[j] & 1 for j in range(cursor, len(temp)) if temp[j] > 1
+            )
+            if st.eobrun == 0x7FFF:
+                st.flush_eob()
+    st.flush_eob()
+
+
+def encode_progressive_jpeg(
+    px: bytes, w: int, h: int, color: bool = False
+) -> bytes:
+    """Progressive JFIF JPEG (SOF2) with a libjpeg-style scan script —
+    DC first (Al=1) → per-component AC bands 1-5 and 6-63 at Al=2 →
+    two AC refinement passes (Al=1 then 0) → DC refinement — so a
+    decoder must exercise spectral selection AND successive
+    approximation in both directions.  Same quantized coefficients as
+    the baseline encoder, so progressive decode must equal baseline
+    decode exactly."""
+    qt_l = np.array(QT_LUM, dtype=np.float64).reshape(8, 8)
+    qt_c = np.array(QT_CHROM, dtype=np.float64).reshape(8, 8)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    if color:
+        y, cb, cr = _rgb_to_ycbcr(px, w, h)
+        planes = [
+            _quantized_blocks(y, qt_l, bh, bw),
+            _quantized_blocks(cb, qt_c, bh, bw),
+            _quantized_blocks(cr, qt_c, bh, bw),
+        ]
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        dc_tabs = [_LUM_DC, _CHR_DC, _CHR_DC]
+        ac_tabs = [_LUM_AC, _CHR_AC, _CHR_AC]
+        dc_sel = [0, 1, 1]
+        ac_sel = [0, 1, 1]
+    else:
+        img = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(
+            np.float64
+        )
+        planes = [_quantized_blocks(img, qt_l, bh, bw)]
+        comps = [(1, 1, 1, 0)]
+        dc_tabs = [_LUM_DC]
+        ac_tabs = [_LUM_AC]
+        dc_sel = [0]
+        ac_sel = [0]
+
+    def blocks(ci):
+        for by in range(bh):
+            for bx in range(bw):
+                yield planes[ci][by][bx]
+
+    def mcu_blocks():
+        # 4:4:4 interleaved MCU order: one block per component
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(len(comps)):
+                    yield ci, planes[ci][by][bx]
+
+    def sos(scomp_sel, Ss, Se, Ah, Al):
+        body = bytes([len(scomp_sel)])
+        for cid, td, ta in scomp_sel:
+            body += bytes([cid, (td << 4) | ta])
+        return _seg(0xDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
+
+    out = bytearray()
+    # headers: reuse _headers but swap SOF0 for SOF2 (same layout)
+    hdr = _headers(w, h, comps)
+    hdr = hdr.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    sos_at = hdr.rfind(b"\xff\xda")
+    out += hdr[:sos_at]  # keep everything up to (not incl.) the
+    # baseline SOS; progressive emits its own scans
+    # redefine the AC tables with the EOBn-capable flat table
+    out += _seg(
+        0xC4, bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_SYMS)
+    )
+    if color:
+        out += _seg(
+            0xC4, bytes([0x11]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_SYMS)
+        )
+
+    # scan 1: DC first, interleaved over all components, Al=1
+    bw_, preds = _BitWriter(), [0] * len(comps)
+    if len(comps) > 1:
+        for ci, zz in mcu_blocks():
+            v = zz[0] >> 1
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _category(diff)
+            c, l = dc_tabs[ci][s]
+            bw_.write(c, l)
+            if s:
+                bw_.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        out += sos([(comps[ci][0], dc_sel[ci], 0) for ci in range(len(comps))],
+                   0, 0, 0, 1)
+        out += bw_.flush()
+    else:
+        _enc_dc_first(bw_, blocks(0), dc_tabs[0], 1)
+        out += sos([(comps[0][0], dc_sel[0], 0)], 0, 0, 0, 1)
+        out += bw_.flush()
+    # per-component AC first scans: bands 1-5 then 6-63 at Al=2
+    for ci in range(len(comps)):
+        for (ss, se) in ((1, 5), (6, 63)):
+            bw_ = _BitWriter()
+            _enc_ac_first(bw_, blocks(ci), _PROG_AC, ss, se, 2)
+            out += sos([(comps[ci][0], 0, ac_sel[ci])], ss, se, 0, 2)
+            out += bw_.flush()
+    # AC refinement passes: Ah=2→Al=1, then Ah=1→Al=0
+    for (ah, al) in ((2, 1), (1, 0)):
+        for ci in range(len(comps)):
+            bw_ = _BitWriter()
+            _enc_ac_refine(bw_, blocks(ci), _PROG_AC, 1, 63, al)
+            out += sos([(comps[ci][0], 0, ac_sel[ci])], 1, 63, ah, al)
+            out += bw_.flush()
+    # DC refinement: Ah=1, Al=0 (interleaved; no Huffman, pure bits)
+    bw_ = _BitWriter()
+    if len(comps) > 1:
+        for ci, zz in mcu_blocks():
+            bw_.write(zz[0] & 1, 1)
+    else:
+        _enc_dc_refine(bw_, blocks(0), 0)
+    out += sos([(comps[ci][0], dc_sel[ci], 0) for ci in range(len(comps))],
+               0, 0, 1, 0)
+    out += bw_.flush()
+    return bytes(out) + b"\xff\xd9"

@@ -6,11 +6,12 @@ sniffing, Arrow batch shape, partition behavior — is real and tested.
 Header metadata (PNG/GIF/JPEG/BMP dims, WAV chunks) is REAL stdlib
 parsing; ``decode_image_pixels`` REALLY decodes uncompressed 24-bit
 BMP, 8-bit PNG (grey/RGB/paletted; zlib IDAT + filter reversal + PLTE
-lookup) and baseline JPEG (grey + YCbCr colour at any sampling, see
-``operators.jpeg``) with stdlib+numpy alone, and flips to Pillow for
+lookup) and JPEG — baseline AND progressive (SOF2, spectral selection +
+successive approximation), grey + YCbCr colour at any sampling, see
+``operators.jpeg`` — with stdlib+numpy alone, and flips to Pillow for
 everything else when importable (import-try gate); Adam7-interlaced
 and 16-bit PNG (high-byte reduction) decode for real too.  Only
-formats beyond all paths (progressive/arithmetic JPEG,
+formats beyond all paths (arithmetic-coded/lossless JPEG,
 video/audio sample decode) remain the loudly-marked
 ``NotImplementedError``/deterministic-fake stub — the one concession
 to this container having no image/audio libs.
@@ -741,13 +742,14 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     truecolour-RGB, or paletted form (zlib IDAT + filter reversal +
     PLTE lookup) — then Pillow when importable.
     Returns (width, height, mode, pixel_bytes row-major top-down);
-    baseline JPEG decodes for real too — greyscale AND 3-component
-    YCbCr at 4:4:4 / 4:2:2 / 4:2:0, restart markers included
-    (``operators.jpeg``: marker parse, canonical Huffman entropy
-    decode, dequantize, IDCT, chroma upsample); raises
-    NotImplementedError only for formats none of those paths cover
-    (progressive/arithmetic JPEG, video …),
-    which is the remaining loudly-marked stub surface."""
+    JPEG decodes for real too — baseline AND progressive (SOF2),
+    greyscale and 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0, restart
+    markers included (``operators.jpeg``: marker parse, canonical
+    Huffman entropy decode incl. progressive first/refinement scans,
+    dequantize, IDCT, chroma upsample); raises NotImplementedError
+    only for formats none of those paths cover (arithmetic-coded/
+    lossless JPEG, video …), which is the remaining loudly-marked
+    stub surface."""
     b = bytes(payload)
     out = _decode_bmp(b) or _decode_png(b)
     if out is None:
@@ -768,9 +770,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             # through to the documented contract below
             pass
     raise NotImplementedError(
-        "pixel decode beyond BMP/PNG/baseline-JPEG requires Pillow/cv2 "
-        "(progressive JPEG, video); install on the cluster and this "
-        "same call decodes every format"
+        "pixel decode beyond BMP/PNG/JPEG requires Pillow/cv2 "
+        "(arithmetic-coded JPEG, video); install on the cluster and "
+        "this same call decodes every format"
     )
 
 

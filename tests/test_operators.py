@@ -1211,3 +1211,76 @@ def test_decoder_contract_on_crafted_payloads():
     assert enc[sof + 11] == 0x11
     patched = enc[: sof + 11] + b"\x22" + enc[sof + 12:]
     assert jpeg.decode_jpeg(patched) == want
+
+
+def test_jpeg_progressive_equals_baseline():
+    """r4: PROGRESSIVE JPEG (SOF2) — spectral selection AND successive
+    approximation in both DC and AC directions (first + refinement
+    scans, EOB runs with buffered correction bits).  The progressive
+    fixture carries the SAME quantized coefficients as the baseline
+    encoding, so progressive decode must equal baseline decode
+    byte-for-byte — a format-level check independent of DCT math."""
+    from ocr_document_recognition_service_spark.operators import jpeg
+
+    for (i, w, h) in ((3, 16, 16), (5, 13, 9), (9, 24, 17), (4, 64, 48)):
+        px = multimodal._px_stream(i, w * h)
+        base = jpeg.decode_jpeg(jpeg.encode_gray_jpeg(px, w, h))
+        prog = jpeg.decode_jpeg(jpeg.encode_progressive_jpeg(px, w, h))
+        assert prog == base
+    for (i, w, h) in ((7, 16, 16), (13, 32, 24)):
+        px = multimodal._px_stream(i, w * h * 3)
+        base = jpeg.decode_jpeg(jpeg.encode_rgb_jpeg(px, w, h))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_progressive_jpeg(px, w, h, color=True)
+        )
+        assert prog == base
+    # long-EOB-run shapes: flat and smooth-gradient rasters
+    flat = bytes([128]) * (32 * 32)
+    assert jpeg.decode_jpeg(
+        jpeg.encode_progressive_jpeg(flat, 32, 32)
+    ) == jpeg.decode_jpeg(jpeg.encode_gray_jpeg(flat, 32, 32))
+    # the progressive path rides decode_image_pixels too
+    out = multimodal.decode_image_pixels(
+        jpeg.encode_progressive_jpeg(multimodal._px_stream(2, 256), 16, 16)
+    )
+    assert out[:3] == (16, 16, "L")
+
+
+def test_jpeg_ac_refine_random_coefficient_roundtrips():
+    """The AC-refinement scan pair (encoder = decoder-crossing
+    simulation, decoder = T.81 G.1.2.3) round-trips random coefficient
+    blocks at several successive-approximation levels."""
+    import random as _random
+
+    from ocr_document_recognition_service_spark.operators import jpeg
+
+    rng = _random.Random(1)
+    tree = jpeg._decode_tree(jpeg._PROG_AC_BITS, jpeg._PROG_AC_SYMS)
+
+    def truncate(v, al):
+        return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+    for _ in range(120):
+        blocks = []
+        for _b in range(rng.randrange(1, 9)):
+            b = [0] * 64
+            for _c in range(rng.randrange(0, 12)):
+                b[rng.randrange(1, 64)] = rng.randrange(-31, 32)
+            blocks.append(b)
+        for ah, al in ((2, 1), (1, 0), (3, 2)):
+            hist = [
+                [truncate(v, ah) << ah if k else 0 for k, v in enumerate(b)]
+                for b in blocks
+            ]
+            want = [
+                [truncate(v, al) << al if k else 0 for k, v in enumerate(b)]
+                for b in blocks
+            ]
+            out = jpeg._BitWriter()
+            jpeg._enc_ac_refine(out, iter(blocks), jpeg._PROG_AC, 1, 63, al)
+            sr = jpeg._ScanReader(out.flush())
+            eobrun = 0
+            decoded = [list(b) for b in hist]
+            for coef in decoded:
+                eobrun = jpeg._prog_ac_refine(sr, tree, coef, 1, 63, al, eobrun)
+            assert decoded == want
