@@ -2701,7 +2701,7 @@ def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
     "x_image_pixels",
     None,
     "REAL pixel decode through the Spark plumbing: BMP + PNG (grey/RGB/"
-    "palette/interlaced) + baseline JPEG (grey and colour) payloads "
+    "palette/interlaced) + JPEG (baseline grey/colour AND progressive) "
     "decoded inside an Arrow-batched pandas UDF, pixels md5-hashed "
     "per row (narrow exchange); undecodable payloads report "
     "decoder='stub' instead of failing the batch",
@@ -2720,9 +2720,12 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
         if kind == 3:
             return multimodal.synthetic_interlaced_png_payload(i)
         if kind == 4:
-            return jpeg.encode_gray_jpeg(
-                multimodal._px_stream(i, 16 * 16), 16, 16
+            enc = (
+                jpeg.encode_progressive_jpeg
+                if (i // 6) % 2
+                else jpeg.encode_gray_jpeg
             )
+            return enc(multimodal._px_stream(i, 16 * 16), 16, 16)
         return jpeg.encode_rgb_jpeg(
             multimodal._px_stream(i, 16 * 16 * 3), 16, 16,
             # kind-5 rows have i ≡ 5 (mod 6), always odd — alternate on
