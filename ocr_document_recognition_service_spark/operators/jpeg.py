@@ -182,10 +182,14 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
+        """Pad to a byte boundary with 1-bits (pre-restart-marker)."""
         if self.n:
             pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+            self.write((1 << pad) - 1, pad)
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.buf)
 
 
@@ -292,9 +296,15 @@ def _pad_plane(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
 
 
 def _headers(
-    w: int, h: int, comps: list[tuple[int, int, int, int]]
+    w: int,
+    h: int,
+    comps: list[tuple[int, int, int, int]],
+    sof_marker: int = 0xC0,
+    with_sos: bool = True,
 ) -> bytes:
-    """SOI..SOS header bytes for *comps* = [(cid, h_samp, v_samp, tq)]."""
+    """SOI..(SOS) header bytes for *comps* = [(cid, h_samp, v_samp,
+    tq)]; *sof_marker* picks the frame type (0xC0 baseline, 0xC2
+    progressive), *with_sos* appends the baseline single-scan SOS."""
     ncomp = len(comps)
     app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dqt = _seg(0xDB, bytes([0x00]) + bytes(QT_LUM[i] for i in ZIGZAG))
@@ -313,23 +323,36 @@ def _headers(
     sof_body = struct.pack(">BHHB", 8, h, w, ncomp) + b"".join(
         bytes([cid, (hs << 4) | vs, tq]) for cid, hs, vs, tq in comps
     )
-    sof0 = _seg(0xC0, sof_body)
-    sos = _seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
-    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos
+    sof0 = _seg(sof_marker, sof_body)
+    out = b"\xff\xd8" + app0 + dqt + sof0 + dht
+    if with_sos:
+        out += _seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return out
 
 
-def encode_gray_jpeg(px: bytes, w: int, h: int) -> bytes:
+def encode_gray_jpeg(
+    px: bytes, w: int, h: int, restart_interval: int = 0
+) -> bytes:
     """8-bit greyscale pixels (row-major) → baseline JFIF JPEG using
     the Annex K luminance tables.  Deterministic: float64 DCT + round
-    half-to-even quantization."""
+    half-to-even quantization.  *restart_interval* > 0 emits DRI and
+    an RSTn marker (cycling 0-7) every that many MCUs, resetting the
+    DC predictor — the layout real encoders use for error resilience."""
     img = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(np.float64)
     bw, bh = (w + 7) // 8, (h + 7) // 8
     padded = _pad_plane(img, bh, bw)
     qt = np.array(QT_LUM, dtype=np.float64).reshape(8, 8)
     out = _BitWriter()
     prev_dc = 0
+    unit = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and unit and unit % restart_interval == 0:
+                out.byte_align()
+                out.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev_dc = 0
             prev_dc = _encode_block(
                 out,
                 padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8],
@@ -338,9 +361,12 @@ def encode_gray_jpeg(px: bytes, w: int, h: int) -> bytes:
                 _LUM_DC,
                 _LUM_AC,
             )
-    return (
-        _headers(w, h, [(1, 1, 1, 0)]) + out.flush() + b"\xff\xd9"
-    )
+            unit += 1
+    hdr = _headers(w, h, [(1, 1, 1, 0)], with_sos=False)
+    if restart_interval:
+        hdr += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    hdr += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return hdr + out.flush() + b"\xff\xd9"
 
 
 def _rgb_to_ycbcr(px: bytes, w: int, h: int):
@@ -629,24 +655,7 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
     except (IndexError, ValueError):
         return None
 
-    if len(comps) == 1:
-        return w, h, "L", planes[0][:h, :w].tobytes()
-    # upsample chroma by replication to full resolution, YCbCr → RGB
-    full = []
-    for ci, (_, hs, vs, _) in enumerate(comps):
-        p = planes[ci].astype(np.float64)
-        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        full.append(p[:h, :w])
-    y, cb, cr = full
-    rr = y + 1.402 * (cr - 128.0)
-    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bb = y + 1.772 * (cb - 128.0)
-    rgb = np.stack(
-        [np.clip(np.rint(rr), 0, 255), np.clip(np.rint(gg), 0, 255),
-         np.clip(np.rint(bb), 0, 255)],
-        axis=-1,
-    ).astype(np.uint8)
-    return w, h, "RGB", rgb.tobytes()
+    return _finish_planes(comps, planes, w, h, hmax, vmax)
 
 
 # name kept from the grey-only first cut; now the general entry point
@@ -788,7 +797,9 @@ def _prog_ac_refine(sr, tree, coef, Ss, Se, Al, eobrun):
                         break
                     rr -= 1
                 k += 1
-            if newval and k <= Se:
+            if newval:
+                if k > Se:
+                    raise ValueError("refinement run past band end")
                 coef[k] = newval
             k += 1
     if eobrun > 0:
@@ -1186,52 +1197,83 @@ def _enc_ac_refine(out, blocks_iter, ac_codes, Ss, Se, Al):
 
 
 def encode_progressive_jpeg(
-    px: bytes, w: int, h: int, color: bool = False
+    px: bytes,
+    w: int,
+    h: int,
+    color: bool = False,
+    subsample: bool = False,
+    dc_restart: int = 0,
 ) -> bytes:
     """Progressive JFIF JPEG (SOF2) with a libjpeg-style scan script —
     DC first (Al=1) → per-component AC bands 1-5 and 6-63 at Al=2 →
     two AC refinement passes (Al=1 then 0) → DC refinement — so a
     decoder must exercise spectral selection AND successive
-    approximation in both directions.  Same quantized coefficients as
-    the baseline encoder, so progressive decode must equal baseline
-    decode exactly."""
+    approximation in both directions.  *subsample* = colour 4:2:0
+    (2×2-box-mean chroma, 4-Y-block MCUs).  *dc_restart* > 0 emits
+    DRI + RSTn markers every that many MCUs in the DC-first scan
+    (redefining DRI to 0 afterwards, per-scan DRI being legal).  Same
+    quantized coefficients as the matching baseline encoder, so
+    progressive decode must equal baseline decode exactly (modulo
+    padding blocks outside the raster, which the crop removes)."""
     qt_l = np.array(QT_LUM, dtype=np.float64).reshape(8, 8)
     qt_c = np.array(QT_CHROM, dtype=np.float64).reshape(8, 8)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    if color:
+    if color and subsample:
+        mx, my = (w + 15) // 16, (h + 15) // 16
+        y, cb, cr = _rgb_to_ycbcr(px, w, h)
+
+        def down(p):
+            p = _pad_plane(p, my * 2, mx * 2)
+            return (
+                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+            ) / 4.0
+
+        planes = [
+            _quantized_blocks(_pad_plane(y, my * 2, mx * 2), qt_l, my * 2, mx * 2),
+            _quantized_blocks(down(cb), qt_c, my, mx),
+            _quantized_blocks(down(cr), qt_c, my, mx),
+        ]
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        dc_tabs = [_LUM_DC, _CHR_DC, _CHR_DC]
+        dc_sel = [0, 1, 1]
+        ac_sel = [0, 1, 1]
+        # true component dims (non-interleaved AC-scan coverage)
+        cdims = [
+            ((h + 7) // 8, (w + 7) // 8),
+            (((h + 1) // 2 + 7) // 8, ((w + 1) // 2 + 7) // 8),
+            (((h + 1) // 2 + 7) // 8, ((w + 1) // 2 + 7) // 8),
+        ]
+    elif color:
+        bw0, bh0 = (w + 7) // 8, (h + 7) // 8
+        mx, my = bw0, bh0
         y, cb, cr = _rgb_to_ycbcr(px, w, h)
         planes = [
-            _quantized_blocks(y, qt_l, bh, bw),
-            _quantized_blocks(cb, qt_c, bh, bw),
-            _quantized_blocks(cr, qt_c, bh, bw),
+            _quantized_blocks(y, qt_l, bh0, bw0),
+            _quantized_blocks(cb, qt_c, bh0, bw0),
+            _quantized_blocks(cr, qt_c, bh0, bw0),
         ]
         comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
         dc_tabs = [_LUM_DC, _CHR_DC, _CHR_DC]
-        ac_tabs = [_LUM_AC, _CHR_AC, _CHR_AC]
         dc_sel = [0, 1, 1]
         ac_sel = [0, 1, 1]
+        cdims = [(bh0, bw0)] * 3
     else:
+        bw0, bh0 = (w + 7) // 8, (h + 7) // 8
+        mx, my = bw0, bh0
         img = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(
             np.float64
         )
-        planes = [_quantized_blocks(img, qt_l, bh, bw)]
+        planes = [_quantized_blocks(img, qt_l, bh0, bw0)]
         comps = [(1, 1, 1, 0)]
         dc_tabs = [_LUM_DC]
-        ac_tabs = [_LUM_AC]
         dc_sel = [0]
         ac_sel = [0]
+        cdims = [(bh0, bw0)]
 
-    def blocks(ci):
-        for by in range(bh):
-            for bx in range(bw):
+    def ac_blocks(ci):
+        cbh, cbw = cdims[ci]
+        for by in range(cbh):
+            for bx in range(cbw):
                 yield planes[ci][by][bx]
-
-    def mcu_blocks():
-        # 4:4:4 interleaved MCU order: one block per component
-        for by in range(bh):
-            for bx in range(bw):
-                for ci in range(len(comps)):
-                    yield ci, planes[ci][by][bx]
 
     def sos(scomp_sel, Ss, Se, Ah, Al):
         body = bytes([len(scomp_sel)])
@@ -1240,12 +1282,7 @@ def encode_progressive_jpeg(
         return _seg(0xDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
 
     out = bytearray()
-    # headers: reuse _headers but swap SOF0 for SOF2 (same layout)
-    hdr = _headers(w, h, comps)
-    hdr = hdr.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    sos_at = hdr.rfind(b"\xff\xda")
-    out += hdr[:sos_at]  # keep everything up to (not incl.) the
-    # baseline SOS; progressive emits its own scans
+    out += _headers(w, h, comps, sof_marker=0xC2, with_sos=False)
     # redefine the AC tables with the EOBn-capable flat table
     out += _seg(
         0xC4, bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_SYMS)
@@ -1255,47 +1292,72 @@ def encode_progressive_jpeg(
             0xC4, bytes([0x11]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_SYMS)
         )
 
-    # scan 1: DC first, interleaved over all components, Al=1
-    bw_, preds = _BitWriter(), [0] * len(comps)
-    if len(comps) > 1:
-        for ci, zz in mcu_blocks():
-            v = zz[0] >> 1
-            diff = v - preds[ci]
-            preds[ci] = v
-            s = _category(diff)
-            c, l = dc_tabs[ci][s]
-            bw_.write(c, l)
-            if s:
-                bw_.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-        out += sos([(comps[ci][0], dc_sel[ci], 0) for ci in range(len(comps))],
-                   0, 0, 0, 1)
-        out += bw_.flush()
-    else:
-        _enc_dc_first(bw_, blocks(0), dc_tabs[0], 1)
-        out += sos([(comps[0][0], dc_sel[0], 0)], 0, 0, 0, 1)
-        out += bw_.flush()
+    # scan 1: DC first, interleaved over the MCU grid, Al=1, optional
+    # restart markers (DRI applies to this scan, then redefined to 0)
+    if dc_restart:
+        out += _seg(0xDD, dc_restart.to_bytes(2, "big"))
+    bw_ = _BitWriter()
+    preds = [0] * len(comps)
+    unit = 0
+    rst = 0
+    for myy in range(my):
+        for mxx in range(mx):
+            if dc_restart and unit and unit % dc_restart == 0:
+                bw_.byte_align()
+                bw_.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            for ci in range(len(comps)):
+                _, hs, vs, _ = comps[ci]
+                for v in range(vs):
+                    for hh in range(hs):
+                        zz = planes[ci][myy * vs + v][mxx * hs + hh]
+                        val = zz[0] >> 1
+                        diff = val - preds[ci]
+                        preds[ci] = val
+                        scat = _category(diff)
+                        c, l = dc_tabs[ci][scat]
+                        bw_.write(c, l)
+                        if scat:
+                            bw_.write(
+                                diff if diff > 0
+                                else diff + (1 << scat) - 1,
+                                scat,
+                            )
+            unit += 1
+    out += sos(
+        [(comps[ci][0], dc_sel[ci], 0) for ci in range(len(comps))],
+        0, 0, 0, 1,
+    )
+    out += bw_.flush()
+    if dc_restart:
+        out += _seg(0xDD, (0).to_bytes(2, "big"))  # no restarts below
     # per-component AC first scans: bands 1-5 then 6-63 at Al=2
     for ci in range(len(comps)):
         for (ss, se) in ((1, 5), (6, 63)):
             bw_ = _BitWriter()
-            _enc_ac_first(bw_, blocks(ci), _PROG_AC, ss, se, 2)
+            _enc_ac_first(bw_, ac_blocks(ci), _PROG_AC, ss, se, 2)
             out += sos([(comps[ci][0], 0, ac_sel[ci])], ss, se, 0, 2)
             out += bw_.flush()
     # AC refinement passes: Ah=2→Al=1, then Ah=1→Al=0
     for (ah, al) in ((2, 1), (1, 0)):
         for ci in range(len(comps)):
             bw_ = _BitWriter()
-            _enc_ac_refine(bw_, blocks(ci), _PROG_AC, 1, 63, al)
+            _enc_ac_refine(bw_, ac_blocks(ci), _PROG_AC, 1, 63, al)
             out += sos([(comps[ci][0], 0, ac_sel[ci])], 1, 63, ah, al)
             out += bw_.flush()
     # DC refinement: Ah=1, Al=0 (interleaved; no Huffman, pure bits)
     bw_ = _BitWriter()
-    if len(comps) > 1:
-        for ci, zz in mcu_blocks():
-            bw_.write(zz[0] & 1, 1)
-    else:
-        _enc_dc_refine(bw_, blocks(0), 0)
-    out += sos([(comps[ci][0], dc_sel[ci], 0) for ci in range(len(comps))],
-               0, 0, 1, 0)
+    for myy in range(my):
+        for mxx in range(mx):
+            for ci in range(len(comps)):
+                _, hs, vs, _ = comps[ci]
+                for v in range(vs):
+                    for hh in range(hs):
+                        bw_.write(planes[ci][myy * vs + v][mxx * hs + hh][0] & 1, 1)
+    out += sos(
+        [(comps[ci][0], dc_sel[ci], 0) for ci in range(len(comps))],
+        0, 0, 1, 0,
+    )
     out += bw_.flush()
     return bytes(out) + b"\xff\xd9"

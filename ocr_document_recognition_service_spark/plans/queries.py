@@ -2675,14 +2675,16 @@ def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
     from ..pipeline import extract_pages
     from ..sources import warc
 
-    d = os.path.join(tempfile.gettempdir(), "spark_graft_warc_q")
-    os.makedirs(d, exist_ok=True)
+    # fresh private dir per invocation (the repo's mkdtemp convention —
+    # a fixed shared /tmp name risks permission clashes and stale-file
+    # sweep on a multi-tenant host); read the exact file, not a glob
+    d = tempfile.mkdtemp(prefix="spark_graft_warc_")
     rows = list(gen_pages.gen_rows(120))
+    warc_path = os.path.join(d, "seg0.warc")
     warc.write_warc(
-        os.path.join(d, "seg0.warc"),
-        [(r["url"], r["warc_ts"], r["html"]) for r in rows],
+        warc_path, [(r["url"], r["warc_ts"], r["html"]) for r in rows]
     )
-    pages = warc.read_warc(spark, os.path.join(d, "*.warc"))
+    pages = warc.read_warc(spark, warc_path)
     out = extract_pages(pages, num_partitions=8)
     return (
         out.groupBy("lang")

@@ -1234,6 +1234,26 @@ def test_jpeg_progressive_equals_baseline():
             jpeg.encode_progressive_jpeg(px, w, h, color=True)
         )
         assert prog == base
+    # 4:2:0 progressive (4-Y-block MCUs, chroma at half res) equals
+    # the 4:2:0 baseline of the same coefficients, odd dims included
+    for (i, w, h) in ((7, 16, 16), (13, 34, 23)):
+        px = multimodal._px_stream(i, w * h * 3)
+        assert jpeg.decode_jpeg(
+            jpeg.encode_progressive_jpeg(px, w, h, color=True, subsample=True)
+        ) == jpeg.decode_jpeg(jpeg.encode_rgb_jpeg(px, w, h, subsample=True))
+    # restart markers: baseline RSTn every N MCUs and the progressive
+    # DC-scan DRI path both reproduce the unrestarted decode
+    px = multimodal._px_stream(5, 40 * 33)
+    plain_b = jpeg.decode_jpeg(jpeg.encode_gray_jpeg(px, 40, 33))
+    for ri in (1, 3, 7):
+        assert jpeg.decode_jpeg(
+            jpeg.encode_gray_jpeg(px, 40, 33, restart_interval=ri)
+        ) == plain_b
+    plain_p = jpeg.decode_jpeg(jpeg.encode_progressive_jpeg(px, 40, 33))
+    for ri in (1, 3):
+        assert jpeg.decode_jpeg(
+            jpeg.encode_progressive_jpeg(px, 40, 33, dc_restart=ri)
+        ) == plain_p
     # long-EOB-run shapes: flat and smooth-gradient rasters
     flat = bytes([128]) * (32 * 32)
     assert jpeg.decode_jpeg(
