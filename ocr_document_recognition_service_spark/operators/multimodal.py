@@ -6,9 +6,10 @@ sniffing, Arrow batch shape, partition behavior — is real and tested.
 Header metadata (PNG/GIF/JPEG/BMP dims, WAV chunks) is REAL stdlib
 parsing; ``decode_image_pixels`` REALLY decodes uncompressed 24-bit
 BMP, 8-bit PNG (grey/RGB/paletted; zlib IDAT + filter reversal + PLTE
-lookup) and JPEG — baseline AND progressive (SOF2, spectral selection +
+lookup) JPEG — baseline AND progressive (SOF2, spectral selection +
 successive approximation), grey + YCbCr colour at any sampling, see
-``operators.jpeg`` — with stdlib+numpy alone, and flips to Pillow for
+``operators.jpeg`` — and GIF (LZW + palette, interlace) with
+stdlib+numpy alone, and flips to Pillow for
 everything else when importable (import-try gate); Adam7-interlaced
 and 16-bit PNG (high-byte reduction) decode for real too.  Only
 formats beyond all paths (arithmetic-coded/lossless JPEG,
@@ -742,7 +743,8 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     truecolour-RGB, or paletted form (zlib IDAT + filter reversal +
     PLTE lookup) — then Pillow when importable.
     Returns (width, height, mode, pixel_bytes row-major top-down);
-    JPEG decodes for real too — baseline AND progressive (SOF2),
+    GIF decodes for real (LZW + colour table, 4-pass interlace);
+    JPEG too — baseline AND progressive (SOF2),
     greyscale and 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0, restart
     markers included (``operators.jpeg``: marker parse, canonical
     Huffman entropy decode incl. progressive first/refinement scans,
@@ -751,7 +753,7 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     lossless JPEG, video …), which is the remaining loudly-marked
     stub surface."""
     b = bytes(payload)
-    out = _decode_bmp(b) or _decode_png(b)
+    out = _decode_bmp(b) or _decode_png(b) or _decode_gif(b)
     if out is None:
         from . import jpeg as _jpeg
 
@@ -825,3 +827,230 @@ def decode_pixel_stats(df: DataFrame, col: str = "payload") -> DataFrame:
             )
 
     return df.withColumn("pixel_stats", decode(F.col(col)))
+
+
+# ---------------------------------------------------------------------
+# GIF pixel decode: LZW + palette (87a/89a, first frame, interlace)
+# ---------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, limit: int) -> bytes:
+    """GIF-flavour LZW: variable-width codes, CLEAR/EOI, early code-
+    width growth; stops after *limit* output bytes (the raster size)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit stream, LSB-first within each byte (GIF convention)
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def init_table():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = init_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while len(out) < limit:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: best effort
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = init_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("bad LZW code")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:limit])
+
+
+_GIF_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _decode_gif(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """First frame of an 87a/89a GIF → (w, h, 'RGB', pixels): LZW
+    decompression + colour-table lookup, 4-pass interlace reassembly.
+    Same no-raise contract as the other decoders."""
+    try:
+        return _decode_gif_checked(b)
+    except (IndexError, KeyError, ValueError):
+        return None
+
+
+def _decode_gif_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = b[10]
+    gct = b""
+    pos = 13
+    if flags & 0x80:
+        n = 2 ** ((flags & 0x07) + 1)
+        gct = b[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x3B:  # trailer
+            return None  # no image block seen
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            return None
+        # image descriptor
+        iw = int.from_bytes(b[pos + 5:pos + 7], "little")
+        ih = int.from_bytes(b[pos + 7:pos + 9], "little")
+        iflags = b[pos + 9]
+        pos += 10
+        ct = gct
+        if iflags & 0x80:  # local colour table
+            n = 2 ** ((iflags & 0x07) + 1)
+            ct = b[pos:pos + 3 * n]
+            pos += 3 * n
+        if not ct or iw == 0 or ih == 0:
+            return None
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        lzw = bytearray()
+        while b[pos] != 0:
+            ln = b[pos]
+            lzw += b[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
+        if len(idx) < iw * ih:
+            idx = idx + bytes(iw * ih - len(idx))
+        n_colors = len(ct) // 3
+        if any(i >= n_colors for i in idx):
+            return None
+        if iflags & 0x40:  # interlaced: reorder rows via the 4 passes
+            rows = [idx[r * iw:(r + 1) * iw] for r in range(ih)]
+            out_rows: list[bytes | None] = [None] * ih
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for r in range(start, ih, step):
+                    out_rows[r] = rows[src]
+                    src += 1
+            idx = b"".join(out_rows)  # type: ignore[arg-type]
+        px = bytearray(iw * ih * 3)
+        for k, i in enumerate(idx):
+            px[3 * k:3 * k + 3] = ct[3 * i:3 * i + 3]
+        return iw, ih, "RGB", bytes(px)
+    return None
+
+
+def _gif_lzw_encode(idx: bytes, min_code_size: int) -> bytes:
+    """Real GIF LZW compression (string table, early width growth)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    run = b""
+    for byte in idx:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # the decoder's FIRST code after a clear assigns nothing,
+            # so its table lags the encoder's by one: grow the emit
+            # width one assignment later than the decoder grows its
+            # read width (i.e. when next_code passes 2^width)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([byte])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def synthetic_gif_payload(
+    i: int, w: int = 14, h: int = 11, n_colors: int = 16,
+    interlaced: bool = False,
+) -> tuple[bytes, bytes]:
+    """Valid GIF89a with a deterministic palette + LZW-compressed index
+    raster (optionally interlaced); returns (payload, expected_rgb)."""
+    plte = _px_stream(20_000 + i, 3 * n_colors)
+    idx = bytes(x % n_colors for x in _px_stream(i, w * h))
+    expected = b"".join(plte[3 * k:3 * k + 3] for k in idx)
+    store = idx
+    if interlaced:
+        order = []
+        for start, step in _GIF_INTERLACE_PASSES:
+            order.extend(range(start, h, step))
+        store = b"".join(idx[r * w:(r + 1) * w] for r in order)
+    min_code = max(2, (n_colors - 1).bit_length())
+    lzw = _gif_lzw_encode(store, min_code)
+    ctbits = max(1, (n_colors - 1).bit_length()) - 1
+    ct_n = 2 ** (ctbits + 1)
+    ct = plte + b"\x00" * (3 * ct_n - len(plte))
+    hdr = (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | ctbits, 0, 0])
+        + ct
+    )
+    desc = (
+        b"\x2c" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40 if interlaced else 0x00])
+        + bytes([min_code])
+    )
+    body = b""
+    for k in range(0, len(lzw), 255):
+        chunk = lzw[k:k + 255]
+        body += bytes([len(chunk)]) + chunk
+    return hdr + desc + body + b"\x00" + b"\x3b", expected

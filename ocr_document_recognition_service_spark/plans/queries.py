@@ -2702,7 +2702,7 @@ def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
 @_reg(
     "x_image_pixels",
     None,
-    "REAL pixel decode through the Spark plumbing: BMP + PNG (grey/RGB/"
+    "REAL pixel decode through the Spark plumbing: BMP + GIF + PNG (grey/RGB/"
     "palette/interlaced) + JPEG (baseline grey/colour AND progressive) "
     "decoded inside an Arrow-batched pandas UDF, pixels md5-hashed "
     "per row (narrow exchange); undecodable payloads report "
@@ -2714,6 +2714,8 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
     def mk(i: int) -> bytes:
         kind = i % 6
         if kind == 0:
+            if (i // 6) % 2:
+                return multimodal.synthetic_gif_payload(i)[0]
             return multimodal.synthetic_bmp_payload(i)
         if kind == 1:
             return multimodal.synthetic_gray_png_payload(i)

@@ -1304,3 +1304,26 @@ def test_jpeg_ac_refine_random_coefficient_roundtrips():
             for coef in decoded:
                 eobrun = jpeg._prog_ac_refine(sr, tree, coef, 1, 63, al, eobrun)
             assert decoded == want
+
+
+def test_decode_gif_lzw_and_interlace():
+    """r4: GIF pixel decode — real LZW decompression (variable-width
+    codes, clear/EOI, early growth, 4096-entry resets) + colour-table
+    lookup + 4-pass interlace reassembly; round-trips the real-LZW
+    encoder byte-exact across palette sizes, incl. a raster big enough
+    to force table resets."""
+    for interlaced in (False, True):
+        for (i, w, h, nc) in (
+            (1, 14, 11, 16), (2, 7, 9, 4), (4, 1, 1, 2),
+            (5, 16, 16, 256), (6, 120, 90, 32),
+        ):
+            pay, exp = multimodal.synthetic_gif_payload(
+                i, w, h, nc, interlaced
+            )
+            got = multimodal.decode_image_pixels(pay)
+            assert got[:3] == (w, h, "RGB")
+            assert got[3] == exp
+    # header-only GIF (no image descriptor) rejects to the stub path
+    trunc = multimodal.synthetic_gif_payload(1)[0][:13]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels(trunc)
