@@ -8,8 +8,10 @@ parsing; ``decode_image_pixels`` REALLY decodes uncompressed 24-bit
 BMP, 8-bit PNG (grey/RGB/paletted; zlib IDAT + filter reversal + PLTE
 lookup) JPEG — baseline AND progressive (SOF2, spectral selection +
 successive approximation), grey + YCbCr colour at any sampling, see
-``operators.jpeg`` — and GIF (LZW + palette, interlace) with
-stdlib+numpy alone, and flips to Pillow for
+``operators.jpeg`` — GIF (LZW + palette, interlace) and TIFF
+(``operators.tiff``: strips, PackBits/TIFF-LZW, predictor 2, all four
+photometrics — the scanned-document format the reference's OCR
+loaders ingest) with stdlib+numpy alone, and flips to Pillow for
 everything else when importable (import-try gate); Adam7-interlaced
 and 16-bit PNG (high-byte reduction) decode for real too.  Only
 formats beyond all paths (arithmetic-coded/lossless JPEG,
@@ -41,6 +43,8 @@ _MAGICS = [
     ("52494646", "riff"),  # wav/avi container
     ("494433", "mp3"),
     ("424d", "bmp"),
+    ("49492a00", "tiff"),
+    ("4d4d002a", "tiff"),
 ]
 
 
@@ -743,7 +747,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     truecolour-RGB, or paletted form (zlib IDAT + filter reversal +
     PLTE lookup) — then Pillow when importable.
     Returns (width, height, mode, pixel_bytes row-major top-down);
-    GIF decodes for real (LZW + colour table, 4-pass interlace);
+    GIF decodes for real (LZW + colour table, 4-pass interlace), and
+    TIFF too (strips, none/PackBits/TIFF-LZW compression, predictor,
+    WhiteIsZero/grey/RGB/palette — ``operators.tiff``);
     JPEG too — baseline AND progressive (SOF2),
     greyscale and 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0, restart
     markers included (``operators.jpeg``: marker parse, canonical
@@ -756,8 +762,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     out = _decode_bmp(b) or _decode_png(b) or _decode_gif(b)
     if out is None:
         from . import jpeg as _jpeg
+        from . import tiff as _tiff
 
-        out = _jpeg.decode_jpeg(b)
+        out = _jpeg.decode_jpeg(b) or _tiff.decode_tiff(b)
     if out is not None:
         return out
     pil = _try_pillow()
@@ -772,9 +779,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             # through to the documented contract below
             pass
     raise NotImplementedError(
-        "pixel decode beyond BMP/PNG/JPEG requires Pillow/cv2 "
-        "(arithmetic-coded JPEG, video); install on the cluster and "
-        "this same call decodes every format"
+        "pixel decode beyond BMP/PNG/GIF/TIFF/JPEG requires Pillow/"
+        "cv2 (arithmetic-coded JPEG, G4-fax TIFF, video); install on "
+        "the cluster and this same call decodes every format"
     )
 
 

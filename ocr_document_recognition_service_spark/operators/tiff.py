@@ -1,0 +1,467 @@
+"""Baseline TIFF codec — pure stdlib, no image libs.
+
+TIFF is the classic scanned-document interchange format — exactly the
+payload class the reference's OCR loaders ingest via cv2
+(core/pipelines/loaders/image_loader.py:20-31).  This decodes the
+shapes that cover uncompressed and losslessly-compressed document
+scans:
+
+- both byte orders (II little / MM big), single or multi IFD (first
+  image used);
+- strip organisation (StripOffsets/StripByteCounts/RowsPerStrip);
+- Compression 1 (none), 32773 (PackBits) and 5 (TIFF-flavour LZW:
+  MSB-first codes, EARLY code-width change — one code sooner than
+  GIF's — clear 256 / EOI 257);
+- Predictor 2 (horizontal differencing, the usual LZW companion);
+- PhotometricInterpretation 0 (WhiteIsZero → inverted to 'L'),
+  1 ('L'), 2 ('RGB'), 3 (palette via ColorMap → 'RGB');
+- 8 bits per sample, 1 or 3 samples per pixel, chunky planar config.
+
+JPEG-in-TIFF, G3/G4 fax and 16-bit samples fall through to the loud
+stub path (``multimodal.decode_image_pixels`` contract).  A matching
+deterministic encoder generates fixtures for every supported
+combination, so round-trips are byte-exact and checksum-pinned.
+"""
+
+from __future__ import annotations
+
+
+def _rd(b: bytes, off: int, n: int, le: bool) -> int:
+    return int.from_bytes(b[off:off + n], "little" if le else "big")
+
+
+def packbits_decode(data: bytes, limit: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < limit:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out[:limit])
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Simple valid PackBits: repeat runs ≥3 as replicate, else
+    literals (max 128 per op)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i = j + 1
+            continue
+        # literal: collect until a ≥3 run starts or 128 bytes
+        k = i
+        while k < n and k - i < 128:
+            if (
+                k < n - 2
+                and data[k] == data[k + 1] == data[k + 2]
+            ):
+                break
+            k += 1
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    return bytes(out)
+
+
+def tiff_lzw_decode(data: bytes, limit: int) -> bytes:
+    """TIFF-flavour LZW: MSB-first bit packing and the EARLY width
+    change (width grows when the next code to assign is 2^width − 1,
+    one code sooner than GIF)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = 9
+    table: dict[int, bytes] = {}
+    next_code = 258
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, next_code, width, prev
+        table = {i: bytes([i]) for i in range(256)}
+        next_code = 258
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < limit:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("bad TIFF-LZW code")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # EARLY CHANGE: readers switch width when the NEXT
+            # assignable code is 2^width - 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:limit])
+
+
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW writer matching ``tiff_lzw_decode``'s early-change
+    reader (the encoder's width grows one assignment LATER than the
+    reader's — the reader's first post-clear code assigns nothing)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        if next_code < 4094:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        run = bytes([byte])
+    if run:
+        emit(table[run])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor(rows: bytearray, w: int, h: int, spp: int) -> None:
+    """Predictor 2: each sample stored as delta from the previous
+    pixel's same sample; accumulate in place."""
+    stride = w * spp
+    for r in range(h):
+        base = r * stride
+        for i in range(spp, stride):
+            rows[base + i] = (rows[base + i] + rows[base + i - spp]) & 0xFF
+
+
+def _apply_predictor(rows: bytes, w: int, h: int, spp: int) -> bytes:
+    stride = w * spp
+    out = bytearray(rows)
+    for r in range(h):
+        base = r * stride
+        for i in range(stride - 1, spp - 1, -1):
+            out[base + i] = (rows[base + i] - rows[base + i - spp]) & 0xFF
+    return bytes(out)
+
+
+def decode_tiff(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """First image of a TIFF → (w, h, 'L'|'RGB', pixels), or None for
+    anything outside the supported shapes (same no-raise contract as
+    the other decoders)."""
+    try:
+        return _decode_tiff_checked(b)
+    except (IndexError, KeyError, TypeError, ValueError,
+            ZeroDivisionError):
+        return None
+
+
+def _decode_tiff_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
+    if b[:4] == b"II*\x00":
+        le = True
+    elif b[:4] == b"MM\x00*":
+        le = False
+    else:
+        return None
+    ifd_off = _rd(b, 4, 4, le)
+    n_entries = _rd(b, ifd_off, 2, le)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag = _rd(b, e, 2, le)
+        typ = _rd(b, e + 2, 2, le)
+        cnt = _rd(b, e + 4, 4, le)
+        tags[tag] = (typ, cnt, e + 8)
+
+    _SZ = {1: 1, 3: 2, 4: 4}
+
+    def values(tag: int, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, voff = tags[tag]
+        sz = _SZ.get(typ)
+        if sz is None:
+            return None
+        total = sz * cnt
+        # corrupt counts can claim ~2^32 values: a value array can
+        # never exceed the file, so reject before materializing
+        if total > len(b):
+            return None
+        off = voff if total <= 4 else _rd(b, voff, 4, le)
+        if off + total > len(b):
+            return None
+        return [_rd(b, off + k * sz, sz, le) for k in range(cnt)]
+
+    def value(tag: int, default=None):
+        v = values(tag)
+        return v[0] if v else default
+
+    w = value(256)
+    h = value(257)
+    if not w or not h:
+        return None
+    bps = values(258, [8])
+    if bps is None:
+        return None  # corrupt BitsPerSample array
+    spp = value(277, 1)
+    if spp not in (1, 3) or any(x != 8 for x in bps[:spp]):
+        return None
+    comp = value(259, 1)
+    photo = value(262, 1)
+    if comp not in (1, 5, 32773) or photo not in (0, 1, 2, 3):
+        return None
+    if value(284, 1) != 1:  # planar config: chunky only
+        return None
+    offsets = values(273)
+    counts = values(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        return None
+    rows_per_strip = value(278, h)
+    predictor = value(317, 1)
+    if predictor not in (1, 2):
+        return None
+
+    raster = bytearray()
+    remaining_rows = h
+    stride = w * spp
+    for off, cnt in zip(offsets, counts):
+        strip_rows = min(rows_per_strip, remaining_rows)
+        want = strip_rows * stride
+        raw = b[off:off + cnt]
+        if comp == 1:
+            data = raw[:want]
+        elif comp == 32773:
+            data = packbits_decode(raw, want)
+        else:
+            data = tiff_lzw_decode(raw, want)
+        if len(data) < want:
+            return None
+        part = bytearray(data)
+        if predictor == 2:
+            _undo_predictor(part, w, strip_rows, spp)
+        raster += part
+        remaining_rows -= strip_rows
+    if remaining_rows > 0:
+        return None
+
+    if photo == 2:
+        if spp != 3:
+            return None
+        return w, h, "RGB", bytes(raster)
+    if spp != 1:
+        return None
+    if photo == 0:  # WhiteIsZero scans: invert to ordinary greyscale
+        return w, h, "L", bytes(255 - v for v in raster)
+    if photo == 1:
+        return w, h, "L", bytes(raster)
+    # palette: ColorMap is 3×2^bps 16-bit values, R then G then B
+    cmap = values(320)
+    if not cmap or len(cmap) < 3 * 256:
+        return None
+    out = bytearray(w * h * 3)
+    for k, i in enumerate(raster):
+        out[3 * k] = cmap[i] >> 8
+        out[3 * k + 1] = cmap[256 + i] >> 8
+        out[3 * k + 2] = cmap[512 + i] >> 8
+    return w, h, "RGB", bytes(out)
+
+
+def encode_tiff(
+    px: bytes,
+    w: int,
+    h: int,
+    mode: str = "L",
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+    big_endian: bool = False,
+) -> bytes:
+    """Deterministic TIFF writer for fixtures: II or MM order, strip
+    layout, Compression 1/5/32773, Predictor 1/2, Photometric 0/1/2/3
+    (mode 'P' expects *px* to be palette indices and writes a
+    deterministic ColorMap derived from them — decode returns the
+    mapped RGB)."""
+    le = not big_endian
+
+    def wr(v: int, n: int) -> bytes:
+        return v.to_bytes(n, "little" if le else "big")
+
+    spp = 3 if mode == "RGB" else 1
+    if photometric is None:
+        photometric = {"L": 1, "RGB": 2, "P": 3}[mode]
+    stride = w * spp
+    rps = rows_per_strip or h
+    strips = []
+    r = 0
+    while r < h:
+        rows = min(rps, h - r)
+        chunk = px[r * stride:(r + rows) * stride]
+        if predictor == 2:
+            chunk = _apply_predictor(chunk, w, rows, spp)
+        if compression == 32773:
+            chunk = packbits_encode(chunk)
+        elif compression == 5:
+            chunk = tiff_lzw_encode(chunk)
+        strips.append(chunk)
+        r += rows
+
+    entries: list[tuple[int, int, int, int | bytes]] = []
+
+    def entry(tag, typ, cnt, val):
+        entries.append((tag, typ, cnt, val))
+
+    n_strips = len(strips)
+    # layout: header(8) + IFD + data
+    extra: list[bytes] = []
+
+    hdr = (b"II*\x00" if le else b"MM\x00*") + wr(8, 4)
+    # provisional IFD size; BitsPerSample >2 values and strip arrays
+    # land in the data area after the IFD
+    tag_list = [256, 257, 258, 259, 262, 273, 277, 278, 279, 284]
+    if predictor == 2:
+        tag_list.append(317)
+    if photometric == 3:
+        tag_list.append(320)
+    tag_list.sort()
+    n_tags = len(tag_list)
+    ifd_size = 2 + 12 * n_tags + 4
+    data_off = 8 + ifd_size
+
+    def alloc(data: bytes) -> int:
+        nonlocal data_off
+        off = data_off
+        extra.append(data)
+        data_off += len(data)
+        return off
+
+    vals: dict[int, tuple[int, int, int | bytes]] = {}
+    vals[256] = (4, 1, w)
+    vals[257] = (4, 1, h)
+    if spp == 1:
+        vals[258] = (3, 1, 8)
+    else:
+        vals[258] = (3, 3, alloc(b"".join(wr(8, 2) for _ in range(3))))
+    vals[259] = (3, 1, compression)
+    vals[262] = (3, 1, photometric)
+    vals[277] = (3, 1, spp)
+    vals[278] = (4, 1, rps)
+    vals[284] = (3, 1, 1)  # chunky planar configuration
+    if predictor == 2:
+        vals[317] = (3, 1, predictor)
+    if photometric == 3:
+        cmap = b"".join(
+            wr((_pal16(c, i)), 2)
+            for c in range(3)
+            for i in range(256)
+        )
+        vals[320] = (3, 3 * 256, alloc(cmap))
+    # strips last: offsets depend on data_off growth
+    if n_strips == 1:
+        counts_val: int | bytes = len(strips[0])
+        vals[279] = (4, 1, counts_val)
+    else:
+        vals[279] = (
+            4, n_strips,
+            alloc(b"".join(wr(len(s), 4) for s in strips)),
+        )
+    strip_offsets = []
+    if n_strips == 1:
+        off0 = None  # fill after all allocs
+    else:
+        arr_off = alloc(b"\x00" * (4 * n_strips))  # patched below
+    strip_data_offs = []
+    for sdata in strips:
+        strip_data_offs.append(alloc(sdata))
+    if n_strips == 1:
+        vals[273] = (4, 1, strip_data_offs[0])
+    else:
+        vals[273] = (4, n_strips, arr_off)
+        # patch the offsets array in `extra`
+        arr_idx = next(
+            i for i, d in enumerate(extra)
+            if len(d) == 4 * n_strips and d == b"\x00" * (4 * n_strips)
+        )
+        extra[arr_idx] = b"".join(wr(o, 4) for o in strip_data_offs)
+
+    body = wr(n_tags, 2)
+    for tag in tag_list:
+        typ, cnt, val = vals[tag]
+        body += wr(tag, 2) + wr(typ, 2) + wr(cnt, 4)
+        if isinstance(val, int) and (
+            (typ == 3 and cnt == 1) or (typ == 4 and cnt == 1)
+        ):
+            if typ == 3:
+                body += wr(val, 2) + wr(0, 2)
+            else:
+                body += wr(val, 4)
+        else:
+            body += wr(val, 4)  # offset
+    body += wr(0, 4)  # no next IFD
+    return hdr + body + b"".join(extra)
+
+
+def _pal16(channel: int, index: int) -> int:
+    """Deterministic 16-bit ColorMap entry (high byte carries the
+    visible value, as real writers do)."""
+    import hashlib
+
+    v = hashlib.md5(f"tiffpal:{channel}:{index}".encode()).digest()[0]
+    return v << 8
