@@ -412,6 +412,12 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes:
     return bytes(out)
 
 
+# decode-size guard: one crafted header (or an LZW/zlib bomb) must not
+# OOM an executor — 2^26 pixels (= 192 MB RGB) is far beyond any sane
+# web/scan image and far below the harm threshold
+_MAX_PIXELS = 1 << 26
+
+
 # Adam7 interlace passes: (x0, y0, dx, dy)
 _ADAM7 = [
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -490,23 +496,29 @@ def _decode_png_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
         pos += 12 + ln  # len + type + body + crc
     if not (ok and w and h and idat):
         return None
+    if w * h > _MAX_PIXELS:
+        return None
     if ctype == 3 and (not plte or len(plte) % 3):
         return None
+    bpp = _PNG_CHANNELS[ctype] * (depth // 8)
+    expected = (
+        h * (w * bpp + 1)
+        if interlace == 0
+        else sum(hp * (wp * bpp + 1) for _, wp, hp in _adam7_dims(w, h))
+    )
     try:
-        raw = zlib.decompress(bytes(idat))
+        # bounded inflate: a zlib bomb cannot expand past the raster
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except zlib.error:
         return None
-    bpp = _PNG_CHANNELS[ctype] * (depth // 8)
+    if len(raw) != expected:
+        return None
     if interlace == 0:
-        if len(raw) != h * (w * bpp + 1):
-            return None
         px = _png_unfilter(raw, w, h, bpp)
     else:
         # Adam7: seven independently-filtered sub-images, scattered
         # back onto the full raster
         passes = _adam7_dims(w, h)
-        if len(raw) != sum(hp * (wp * bpp + 1) for _, wp, hp in passes):
-            return None
         full = bytearray(w * h * bpp)
         off = 0
         for p, wp, hp in passes:
@@ -551,6 +563,8 @@ def _decode_bmp(b: bytes) -> tuple[int, int, str, bytes] | None:
     bpp = int.from_bytes(b[28:30], "little")
     comp = int.from_bytes(b[30:34], "little")
     if comp != 0 or bpp != 24 or w <= 0 or h == 0:
+        return None
+    if w * abs(h) > _MAX_PIXELS:
         return None
     top_down, hh = h < 0, abs(h)
     stride = (w * 3 + 3) & ~3
@@ -911,6 +925,8 @@ def _decode_gif(b: bytes) -> tuple[int, int, str, bytes] | None:
 def _decode_gif_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         return None
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
     flags = b[10]
     gct = b""
     pos = 13
@@ -930,11 +946,20 @@ def _decode_gif_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
             continue
         if blk != 0x2C:
             return None
-        # image descriptor
+        # image descriptor: only frames covering the whole logical
+        # screen are claimed (sub-rectangle/composited animation
+        # frames would need screen placement — stub path instead, so
+        # dims always agree with parse_image_header)
+        left = int.from_bytes(b[pos + 1:pos + 3], "little")
+        top = int.from_bytes(b[pos + 3:pos + 5], "little")
         iw = int.from_bytes(b[pos + 5:pos + 7], "little")
         ih = int.from_bytes(b[pos + 7:pos + 9], "little")
         iflags = b[pos + 9]
         pos += 10
+        if (left, top) != (0, 0) or (iw, ih) != (sw, sh):
+            return None
+        if iw * ih > _MAX_PIXELS:
+            return None
         ct = gct
         if iflags & 0x80:  # local colour table
             n = 2 ** ((iflags & 0x07) + 1)
@@ -953,7 +978,7 @@ def _decode_gif_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
             pos += 1 + ln
         idx = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
         if len(idx) < iw * ih:
-            idx = idx + bytes(iw * ih - len(idx))
+            return None  # truncated stream: reject, never fabricate
         n_colors = len(ct) // 3
         if any(i >= n_colors for i in idx):
             return None

@@ -25,6 +25,10 @@ combination, so round-trips are byte-exact and checksum-pinned.
 
 from __future__ import annotations
 
+import hashlib
+
+_MAX_PIXELS = 1 << 26  # decode-size guard, mirrors multimodal
+
 
 def _rd(b: bytes, off: int, n: int, le: bool) -> int:
     return int.from_bytes(b[off:off + n], "little" if le else "big")
@@ -255,7 +259,7 @@ def _decode_tiff_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
 
     w = value(256)
     h = value(257)
-    if not w or not h:
+    if not w or not h or w * h > _MAX_PIXELS:
         return None
     bps = values(258, [8])
     if bps is None:
@@ -363,11 +367,6 @@ def encode_tiff(
         strips.append(chunk)
         r += rows
 
-    entries: list[tuple[int, int, int, int | bytes]] = []
-
-    def entry(tag, typ, cnt, val):
-        entries.append((tag, typ, cnt, val))
-
     n_strips = len(strips)
     # layout: header(8) + IFD + data
     extra: list[bytes] = []
@@ -422,24 +421,15 @@ def encode_tiff(
             4, n_strips,
             alloc(b"".join(wr(len(s), 4) for s in strips)),
         )
-    strip_offsets = []
-    if n_strips == 1:
-        off0 = None  # fill after all allocs
-    else:
+    if n_strips > 1:
+        placeholder_idx = len(extra)
         arr_off = alloc(b"\x00" * (4 * n_strips))  # patched below
-    strip_data_offs = []
-    for sdata in strips:
-        strip_data_offs.append(alloc(sdata))
+    strip_data_offs = [alloc(sdata) for sdata in strips]
     if n_strips == 1:
         vals[273] = (4, 1, strip_data_offs[0])
     else:
         vals[273] = (4, n_strips, arr_off)
-        # patch the offsets array in `extra`
-        arr_idx = next(
-            i for i, d in enumerate(extra)
-            if len(d) == 4 * n_strips and d == b"\x00" * (4 * n_strips)
-        )
-        extra[arr_idx] = b"".join(wr(o, 4) for o in strip_data_offs)
+        extra[placeholder_idx] = b"".join(wr(o, 4) for o in strip_data_offs)
 
     body = wr(n_tags, 2)
     for tag in tag_list:
@@ -461,7 +451,5 @@ def encode_tiff(
 def _pal16(channel: int, index: int) -> int:
     """Deterministic 16-bit ColorMap entry (high byte carries the
     visible value, as real writers do)."""
-    import hashlib
-
     v = hashlib.md5(f"tiffpal:{channel}:{index}".encode()).digest()[0]
     return v << 8

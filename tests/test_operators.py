@@ -1372,3 +1372,44 @@ def test_decode_tiff_all_supported_shapes():
         n = rng.randrange(1, 9000)
         data = bytes(rng.randrange(256) for _ in range(n))
         assert tiff.tiff_lzw_decode(tiff.tiff_lzw_encode(data), n) == data
+
+
+def test_decoders_reject_bombs_and_truncation():
+    """Review fixes pinned: (a) a GIF claiming absurd dimensions or
+    carrying a truncated LZW stream rejects instead of fabricating
+    pixels or allocating gigabytes; (b) PNG inflate is bounded so a
+    zlib bomb cannot expand past the declared raster; (c) sub-
+    rectangle GIF frames reject so dims always agree with the header
+    parse."""
+    import zlib
+
+    # dimension bomb: 60000x60000 header, empty LZW
+    pay, _ = multimodal.synthetic_gif_payload(1, 14, 11, 16)
+    bomb = bytearray(pay)
+    bomb[6:8] = (60000).to_bytes(2, "little")
+    bomb[8:10] = (60000).to_bytes(2, "little")
+    # image descriptor dims live right after the 13-byte header + GCT
+    d = 13 + 3 * 16 + 5
+    bomb[d:d + 2] = (60000).to_bytes(2, "little")
+    bomb[d + 2:d + 4] = (60000).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_pixels(bytes(bomb))
+    # truncated LZW: cut the data sub-blocks in half -> reject
+    cut = pay[: len(pay) // 2] + b"\x00\x3b"
+    assert multimodal._decode_gif(cut) is None
+    # sub-rectangle frame: 6x4 image on a 10x8 screen -> reject
+    sub, _ = multimodal.synthetic_gif_payload(2, 6, 4, 4)
+    sr = bytearray(sub)
+    sr[6:8] = (10).to_bytes(2, "little")
+    sr[8:10] = (8).to_bytes(2, "little")
+    assert multimodal._decode_gif(bytes(sr)) is None
+    # PNG zlib bomb: deflate of 100 MB of zeros behind a small header
+    w, h = 11, 10
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    bombpng = (
+        multimodal._PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * (100 << 20)))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    assert multimodal._decode_png(bombpng) is None  # wrong length, bounded
