@@ -432,9 +432,14 @@ def simhash_near_pairs(
     n_bits: int = 32,
     n_bands: int = 4,
     max_hamming: int = 3,
-    bucket_cap: int | None = LSH_BUCKET_CAP,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded Hamming-LSH + exact verify.
+
+    Default is UNCAPPED — the documented pigeonhole exact-recall
+    contract holds out of the box (equals brute force).  At scale,
+    pass ``bucket_cap`` (the registry uses 64) to bound mega-bucket
+    fan-out, accepting the recall caveat below.
 
     Signature split into *n_bands* equal bit-bands; candidates = pairs
     sharing ANY band value (one keyed join per the banded-bucket shape —

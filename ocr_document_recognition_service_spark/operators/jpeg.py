@@ -33,6 +33,12 @@ import struct
 
 import numpy as np
 
+# Decode-size guard (mirrors multimodal/tiff): a ~150-byte crafted SOF
+# declaring 65500×65500 must return None BEFORE the per-block coef lists
+# / uint8 planes are allocated, not MemoryError after — the allocation
+# itself can trip the OS OOM killer and take down an executor.
+_MAX_PIXELS = 1 << 26
+
 # ---------------------------------------------------------------------
 # Constants: zigzag order + ITU-T T.81 Annex K luminance tables
 # ---------------------------------------------------------------------
@@ -521,6 +527,8 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
             ncomp = body[5]
             if prec != 8 or ncomp not in (1, 3):
                 return None  # 12-bit / CMYK → stub path
+            if not w or not h or w * h > _MAX_PIXELS:
+                return None  # dimension bomb / degenerate frame
             for c in range(ncomp):
                 cid = body[6 + 3 * c]
                 samp = body[7 + 3 * c]
@@ -555,6 +563,9 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
         return None
     mx = (w + 8 * hmax - 1) // (8 * hmax)
     my = (h + 8 * vmax - 1) // (8 * vmax)
+    # sampling factors run to 15: bound the PADDED plane, not just w*h
+    if (mx * hmax * 8) * (my * vmax * 8) > (_MAX_PIXELS << 2):
+        return None
     end = b.rfind(b"\xff\xd9")
     if end < scan_off:
         return None
@@ -887,8 +898,13 @@ def _decode_progressive(b: bytes) -> tuple[int, int, str, bytes] | None:
             vmax = max(c[2] for c in comps)
             if hmax < 1 or vmax < 1:
                 return None
+            if not w or not h or w * h > _MAX_PIXELS:
+                return None  # dimension bomb / degenerate frame
             mx = (w + 8 * hmax - 1) // (8 * hmax)
             my = (h + 8 * vmax - 1) // (8 * vmax)
+            # padded coef grid (15× samp factors) must stay bounded too
+            if (mx * hmax * 8) * (my * vmax * 8) > (_MAX_PIXELS << 2):
+                return None
             for cid, hs, vs, tq in comps:
                 # interleaved coverage (mx*hs) always ≥ the
                 # non-interleaved ceil(cw/8); allocate the larger

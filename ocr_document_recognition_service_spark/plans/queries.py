@@ -2677,8 +2677,14 @@ def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
 
     # fresh private dir per invocation (the repo's mkdtemp convention —
     # a fixed shared /tmp name risks permission clashes and stale-file
-    # sweep on a multi-tenant host); read the exact file, not a glob
+    # sweep on a multi-tenant host); read the exact file, not a glob.
+    # The plan is lazy so the file must outlive this function — clean
+    # up at interpreter exit instead of leaking a dir per bench run.
+    import atexit
+    import shutil
+
     d = tempfile.mkdtemp(prefix="spark_graft_warc_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     rows = list(gen_pages.gen_rows(120))
     warc_path = os.path.join(d, "seg0.warc")
     warc.write_warc(

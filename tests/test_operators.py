@@ -3,6 +3,7 @@ streaming — semantics checked against plain-Python references."""
 
 import hashlib
 import math
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -1413,3 +1414,33 @@ def test_decoders_reject_bombs_and_truncation():
         + multimodal._png_chunk(b"IEND", b"")
     )
     assert multimodal._decode_png(bombpng) is None  # wrong length, bounded
+
+    # JPEG dimension bomb: a real encoded fixture with SOF dims patched
+    # to 65500x65500 must return None from the header guard, not build
+    # ~4.3B coefficient entries / multi-GB planes first (ADVICE r4)
+    from ocr_document_recognition_service_spark.operators import jpeg
+
+    for maker in (jpeg.encode_gray_jpeg, jpeg.encode_progressive_jpeg):
+        px = bytes(range(64)) * 4  # 16x16 grey
+        pay = maker(px, 16, 16)
+        sof = pay.find(b"\xff\xc0")
+        if sof < 0:
+            sof = pay.find(b"\xff\xc2")
+        assert sof > 0
+        jb = bytearray(pay)
+        jb[sof + 5:sof + 7] = (65500).to_bytes(2, "big")  # h
+        jb[sof + 7:sof + 9] = (65500).to_bytes(2, "big")  # w
+        t0 = time.time()
+        assert jpeg.decode_jpeg(bytes(jb)) is None
+        assert time.time() - t0 < 5.0  # guard fires pre-allocation
+
+    # samp-factor padding bomb: legal w*h but 15x15 sampling on a
+    # 3-component frame inflates the padded plane ~225x -> reject
+    body = (
+        bytes([8]) + (2048).to_bytes(2, "big") + (32000).to_bytes(2, "big")
+        + bytes([3, 1, 0xFF, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    pad_bomb = (
+        b"\xff\xd8\xff\xc0" + (len(body) + 2).to_bytes(2, "big") + body
+    )
+    assert jpeg.decode_jpeg(pad_bomb) is None
