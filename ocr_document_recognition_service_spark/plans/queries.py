@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
 from ..operators import dedup, metrics, similarity, text_analysis, windows
 from ..sources.tables import load
+from . import pinned_oracles
 
 
 @dataclass(frozen=True)
@@ -2538,7 +2539,8 @@ def _synthetic_pages_df(spark: SparkSession, n: int = 150):
 
 @_reg(
     "x_extract_pages",
-    None,
+    # deterministic end-to-end: oracle = pinned expected values
+    pinned_oracles.sql_for("x_extract_pages"),
     "full extraction pipeline over the synthetic pages corpus "
     "(boilerplate strip + PDF layout parse + normalization + salting)",
 )
@@ -2558,7 +2560,8 @@ def x_extract_pages(spark: SparkSession, sf: str) -> DataFrame:
 
 @_reg(
     "x_extract_lang_rollup",
-    None,
+    # deterministic end-to-end: oracle = pinned expected values
+    pinned_oracles.sql_for("x_extract_lang_rollup"),
     "extraction + per-language rollup (flagship summary shape)",
 )
 def x_extract_lang_rollup(spark: SparkSession, sf: str) -> DataFrame:
@@ -2578,7 +2581,8 @@ def x_extract_lang_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 @_reg(
     "x_curate_corpus",
-    None,
+    # deterministic end-to-end: oracle = pinned expected values
+    pinned_oracles.sql_for("x_curate_corpus"),
     "end-to-end curation: extract → quality gate → exact dedup → "
     "MinHash-LSH near-dup removal → balanced sample → stats",
 )
@@ -2598,7 +2602,8 @@ def x_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
 @_reg(
     "x_media_meta",
-    None,
+    # deterministic end-to-end: oracle = pinned expected values
+    pinned_oracles.sql_for("x_media_meta"),
     "multimodal binary plumbing: magic-byte format sniff + Arrow-batched "
     "metadata decode over page payloads AND real PNG/GIF/JPEG headers "
     "(stdlib header parse; pixel backend stays the marked stub)",
@@ -2631,7 +2636,8 @@ def x_media_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 @_reg(
     "x_audio_meta",
-    None,
+    # deterministic end-to-end: oracle = pinned expected values
+    pinned_oracles.sql_for("x_audio_meta"),
     "audio binary plumbing: real RIFF/WAVE header decode (stdlib) over "
     "synthetic WAV payloads + stub fallback for other formats",
 )
@@ -2658,39 +2664,67 @@ def x_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_reg(
-    "x_warc_extract",
-    None,
-    "WARC ingestion end-to-end: Common-Crawl-style WARC file (real "
-    "WARC/1.0 response envelopes) -> binaryFile scan -> Arrow-batched "
-    "record parse -> the SAME extraction plan as the parquet path -> "
-    "per-lang summary; pinned byte-identical to extracting the "
-    "original rows directly",
-)
-def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
+_WARC_CORPUS_DIR: str | None = None
+
+
+def _warc_corpus(n_rows: int = 600, n_files: int = 3) -> str:
+    """Deterministic Common-Crawl-layout ``.warc.gz`` corpus on local
+    disk, built once per process (the plan is lazy, so the files must
+    outlive the builder; an atexit hook removes the dir — no /tmp
+    litter across repeated driver/bench runs)."""
+    global _WARC_CORPUS_DIR
+    if _WARC_CORPUS_DIR is not None:
+        return _WARC_CORPUS_DIR
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from .. import gen_pages
-    from ..pipeline import extract_pages
     from ..sources import warc
-
-    # fresh private dir per invocation (the repo's mkdtemp convention —
-    # a fixed shared /tmp name risks permission clashes and stale-file
-    # sweep on a multi-tenant host); read the exact file, not a glob.
-    # The plan is lazy so the file must outlive this function — clean
-    # up at interpreter exit instead of leaking a dir per bench run.
-    import atexit
-    import shutil
 
     d = tempfile.mkdtemp(prefix="spark_graft_warc_")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
-    rows = list(gen_pages.gen_rows(120))
-    warc_path = os.path.join(d, "seg0.warc")
-    warc.write_warc(
-        warc_path, [(r["url"], r["warc_ts"], r["html"]) for r in rows]
-    )
-    pages = warc.read_warc(spark, warc_path)
+    rows = list(gen_pages.gen_rows(n_rows))
+    per = (n_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        warc.write_warc_gz(
+            os.path.join(d, f"seg{i}.warc.gz"),
+            [(r["url"], r["warc_ts"], r["html"]) for r in chunk],
+        )
+    _WARC_CORPUS_DIR = d
+    return d
+
+
+@_reg(
+    "x_warc_extract",
+    # the WARC corpus is generator-deterministic and extraction is
+    # byte-pinned, so the oracle is the expected summary itself —
+    # giving this showcase a full rows+schema+hash certification
+    """
+    SELECT * FROM (VALUES
+        ('en', 242::BIGINT, 297525::BIGINT, 0::BIGINT),
+        ('kk', 110::BIGINT, 238665::BIGINT, 0::BIGINT),
+        ('ru', 248::BIGINT, 529910::BIGINT, 0::BIGINT)
+    ) AS t(lang, n_docs, total_chars, n_errors)
+    ORDER BY lang
+    """,
+    "WARC ingestion end-to-end at corpus scale: Common-Crawl-layout "
+    ".warc.gz files (one gzip member per record) -> distributed "
+    "record-STREAMING parse with bounded memory (read_warc_stream) -> "
+    "the SAME extraction plan as the parquet path -> per-lang summary; "
+    "the whole chain is deterministic, so the oracle is the pinned "
+    "expected summary",
+)
+def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from ..pipeline import extract_pages
+    from ..sources import warc
+
+    d = _warc_corpus()
+    pages = warc.read_warc_stream(spark, os.path.join(d, "*.warc.gz"))
     out = extract_pages(pages, num_partitions=8)
     return (
         out.groupBy("lang")
@@ -2707,7 +2741,8 @@ def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 @_reg(
     "x_image_pixels",
-    None,
+    # deterministic end-to-end: oracle = pinned expected values
+    pinned_oracles.sql_for("x_image_pixels"),
     "REAL pixel decode through the Spark plumbing: BMP + GIF + PNG (grey/RGB/"
     "palette/interlaced) + JPEG (baseline grey/colour AND progressive) "
     "decoded inside an Arrow-batched pandas UDF, pixels md5-hashed "
@@ -2762,9 +2797,12 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
 
 @_reg(
     "x_video_frames",
-    None,
+    # deterministic end-to-end: oracle = pinned expected values
+    pinned_oracles.sql_for("x_video_frames"),
     "video frame-sample plumbing: mapInPandas fan-out to one row per "
-    "sampled frame (deterministic stub decode, real Spark shape)",
+    "sampled frame (deterministic stub decode, real Spark shape); "
+    "frames leave as md5 digests — the narrow per-row fingerprint a "
+    "100 TB pipeline ships instead of raw frame bytes",
 )
 def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import multimodal
@@ -2772,7 +2810,14 @@ def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     pages = _synthetic_pages_df(spark, 50).select(
         "url", F.col("html").alias("payload")
     )
-    return multimodal.sample_video_frames(pages, n_frames=4)
+    frames = multimodal.sample_video_frames(pages, n_frames=4)
+    return frames.select(
+        "url",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        "n_bytes",
+        "decoder",
+    )
 
 
 # ---------------------------------------------------------------------
@@ -2782,40 +2827,50 @@ def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
 # The overflow holds (a) pipeline-stage subsets of an in-window query
 # (dd0⊂dd1, dd4⊂dd7, sim2⊂sim3, sim4⊂sim5), (b) plan shapes already
 # covered (ev1 = date_trunc agg ~ q1, w8 = frame window ~ w1, q4/q6/
-# q12 ~ q1/q18, f4/f6 ~ f5), (c) the redundant TPC-H variants, and
-# (d) the six rows-only showcases.  Every operator family has at least
-# one in-window representative; r3's five new operators (dd8, ta7/ta8/
-# ta9, lab1) rotated IN for round 4 so each gets a driver-green row.
+# q12/q18 ~ q1/q3, f4/f6 ~ f5, ev2/ev3/ev6 ~ ev7, ta1/ta3/ta5 ~
+# ta2/ta4, a1 ⊂ a2), and (c) the redundant TPC-H variants.  Every
+# operator family keeps at least one in-window representative.  Round-5
+# rotation: the whole showcase family (extraction, curation, WARC
+# streaming ingest, image/audio/video decode) gained pinned
+# expected-value oracles this round and rotates IN for first-time
+# driver hash certification; 8 queries with r4 driver-green rows
+# rotate to overflow (q18, ta1/ta3/ta5, ev2/ev3/ev6, a1).
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # relational core (q4/q6/q12 rotated to overflow r4 — the scan→
-    # filter→agg family stays covered by q1/q6-shape q18/q3/q5)
+    # relational core (q4/q6/q12 rotated out r4, q18 out r5 — family
+    # stays covered by q1/q3/q5 + f9's top-k)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q18_large_orders",
-    # text analysis (+ r3's ta7/ta8/ta9, first driver certification r4)
-    "ta1_script_counts", "ta2_quality_score", "ta3_fingerprints",
-    "ta4_token_stats", "ta5_kmv_distinct", "ta6_redact",
+    # extraction + curation + multimodal showcases (pinned-oracle
+    # certification, first driver window appearance r5)
+    "x_extract_pages", "x_extract_lang_rollup", "x_curate_corpus",
+    "x_warc_extract", "x_media_meta", "x_audio_meta", "x_image_pixels",
+    "x_video_frames",
+    # text analysis (ta1/ta3/ta5 rotated out r5 — family covered by
+    # ta2/ta4/ta6/ta7/ta8/ta9)
+    "ta2_quality_score",
+    "ta4_token_stats", "ta6_redact",
     "ta7_repetition", "ta8_tfidf_topk", "ta9_unigram_logprob",
-    # label sources (r3's YOLO parser, first driver certification r4)
+    # label sources
     "lab1_yolo_boxes",
-    # events / advanced relational
-    "ev0_json_props", "ev2_rollup", "ev3_pivot", "ev4_asof_join",
-    "ev5_range_join", "ev6_value_quantiles", "ev7_grouping_sets",
-    # filters & scalar functions (f4/f6 rotated to overflow r4 — the
-    # scalar-function family stays covered by f5/f8)
+    # events / advanced relational (ev2/ev3/ev6 out r5 — grouping-sets
+    # ev7 subsumes the rollup shape; quantiles/pivot keep historical
+    # driver rows)
+    "ev0_json_props", "ev4_asof_join",
+    "ev5_range_join", "ev7_grouping_sets",
+    # filters & scalar functions
     "f1_vocab_filter", "f2_dim_filter", "f3_token_len_filter",
     "f5_homoglyph_translate",
     "f8_base64_roundtrip", "f9_top_orders",
-    # accuracy metrics
-    "a1_iou", "a2_best_match", "a3_eval_report", "a9_match_report",
+    # accuracy metrics (a1 out r5 — IoU is a2's building block)
+    "a2_best_match", "a3_eval_report", "a9_match_report",
     "a10_ap_report",
     # window operators
     "w1_event_rank", "w2_chunk_ids", "w4_balanced_sample",
     "w6_sessionize", "w7_sorted_zip",
     # set operations
     "s1_customers_no_urgent", "s2_building_and_urgent",
-    # dedup family (+ r3's dd8 cluster assembly, first driver cert r4)
+    # dedup family
     "dd1_exact", "dd2_word_jaccard", "dd3_minhash_lsh",
     "dd5_embedding_dup", "dd6_ngram_jaccard", "dd7_simhash_near",
     "dd8_components",

@@ -2,20 +2,41 @@
 table shape (url, warc_ts, html, text, lang).
 
 The engine's canonical input is an Iceberg/parquet pages table, but the
-raw upstream format for web corpora is WARC.  This adapter reads WARC
-files distributively: ``binaryFile`` scan (one file per task — WARC
-files are the natural parallel unit, typically ~1 GB each in Common
-Crawl) → Arrow-batched record parser → pages rows.  A deterministic
-writer exists for tests/fixtures.
+raw upstream format for web corpora is WARC — the format 100 TB
+actually arrives in.  Two read paths:
+
+- ``read_warc_stream`` (the scale path): distributed file listing →
+  one task per WARC file (files are the natural parallel unit,
+  typically ~1 GB each in Common Crawl, so a 100 TB crawl is ~100k
+  independent tasks) → RECORD-STREAMING parse with O(record) peak
+  memory: gzip members are decompressed incrementally in fixed-size
+  chunks (``gzip.GzipFile`` walks Common Crawl's
+  one-member-per-record layout transparently), records are cut out of
+  a bounded rolling buffer, any single record is retained only up to
+  ``max_payload_bytes`` + a small envelope allowance (the rest is
+  consumed and discarded, and the kept prefix is guaranteed to stay
+  LONGER than the extraction kernel's cap so the row surfaces as the
+  standard ``PayloadTooLarge`` error row rather than silently
+  truncated content), and rows leave the worker as byte-bounded Arrow
+  batches.  The whole file is NEVER materialized — this is the analog
+  of the reference's streaming directory loaders
+  (core/pipelines/loaders/image_loader.py:14-31) on the web-corpus
+  input format.
+
+- ``read_warc`` (small-file/test path): ``binaryFile`` whole-blob scan
+  + ``parse_warc_bytes``.  Simple and fine under the binaryFile 2 GB
+  cap; tests pin it byte-identical to the streaming path.
 
 Only ``WARC-Type: response`` records with an HTTP payload become rows;
 everything else (warcinfo, request, metadata) is skipped — the standard
-extraction-pipeline behavior.
+extraction-pipeline behavior.  Deterministic writers (plain and
+per-record-gzip-member) exist for tests/fixtures.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import gzip
 import hashlib
 import re
 from typing import Iterable, Iterator
@@ -24,38 +45,76 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..charsets import LANGS
+from ..extract_one import MAX_PAYLOAD_BYTES
 from ..pipeline import PAGES_SCHEMA
 
 _CRLF = b"\r\n"
 _WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
 _HOST_LANG_RE = re.compile(r"^https?://([a-z]{2})\.")
 
+# streaming-parse bounds
+_CHUNK_BYTES = 1 << 20          # decompressed read granularity
+_MAX_HEADER_BYTES = 1 << 20     # a WARC header block larger than this
+                                # is hostile: resync past it
+_ENVELOPE_ALLOWANCE = 64 << 10  # HTTP response headers budget; kept
+                                # payload stays > kernel cap even after
+                                # the envelope is stripped
+_BATCH_ROWS = 256               # Arrow batch flush thresholds
+_BATCH_BYTES = 32 << 20
+
+
+def _record_bytes(url: str, ts: dt.datetime, payload: bytes) -> bytes:
+    """One WARC/1.0 response record with an HTTP envelope
+    (deterministic record id)."""
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: text/html\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + _CRLF
+        + _CRLF
+        + payload
+    )
+    rid = hashlib.md5(url.encode()).hexdigest()
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: response",
+        b"WARC-Target-URI: " + url.encode(),
+        b"WARC-Date: " + ts.strftime(_WARC_DATE_FMT).encode(),
+        b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">",
+        b"Content-Type: application/http; msgtype=response",
+        b"Content-Length: " + str(len(http)).encode(),
+    ]
+    return _CRLF.join(headers) + _CRLF + _CRLF + http + _CRLF + _CRLF
+
 
 def write_warc(
     path: str, records: Iterable[tuple[str, dt.datetime, bytes]]
 ) -> None:
-    """Serialize (url, ts, payload) records as a WARC/1.0 file with
-    HTTP response envelopes (deterministic record ids)."""
+    """Serialize (url, ts, payload) records as a plain WARC/1.0 file."""
     with open(path, "wb") as f:
         for url, ts, payload in records:
-            http = (
-                b"HTTP/1.1 200 OK\r\n"
-                b"Content-Type: text/html\r\n"
-                b"Content-Length: " + str(len(payload)).encode() + _CRLF
-                + _CRLF
-                + payload
-            )
-            rid = hashlib.md5(url.encode()).hexdigest()
-            headers = [
-                b"WARC/1.0",
-                b"WARC-Type: response",
-                b"WARC-Target-URI: " + url.encode(),
-                b"WARC-Date: " + ts.strftime(_WARC_DATE_FMT).encode(),
-                b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">",
-                b"Content-Type: application/http; msgtype=response",
-                b"Content-Length: " + str(len(http)).encode(),
-            ]
-            f.write(_CRLF.join(headers) + _CRLF + _CRLF + http + _CRLF + _CRLF)
+            f.write(_record_bytes(url, ts, payload))
+
+
+def write_warc_gz(
+    path: str,
+    records: Iterable[tuple[str, dt.datetime, bytes]],
+    per_record_members: bool = True,
+) -> None:
+    """Serialize records as ``.warc.gz`` — by default one gzip MEMBER
+    per record, the Common Crawl layout that makes archives seekable
+    and record-streamable; ``per_record_members=False`` writes one
+    member for the whole file (also legal WARC, also handled by the
+    streaming reader)."""
+    with open(path, "wb") as f:
+        if per_record_members:
+            for url, ts, payload in records:
+                f.write(gzip.compress(_record_bytes(url, ts, payload),
+                                      mtime=0))
+        else:
+            f.write(gzip.compress(
+                b"".join(_record_bytes(u, t, p) for u, t, p in records),
+                mtime=0,
+            ))
 
 
 def parse_warc_bytes(
@@ -108,17 +167,223 @@ def parse_warc_bytes(
             yield url, ts, payload
 
 
+def iter_warc_chunks(
+    chunks: Iterable[bytes],
+    max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
+    """Incremental WARC parse over a stream of (decompressed) chunks.
+
+    Peak memory is O(chunk + min(record, cap)) — the input is never
+    concatenated.  A record whose body exceeds
+    ``max_payload_bytes + 64 KiB`` is retained only up to that prefix;
+    the remainder is consumed and DISCARDED, and because the kept
+    prefix exceeds the extraction kernel's ``max_bytes`` even after
+    the HTTP envelope is stripped, the row flows through extraction as
+    the standard ``PayloadTooLarge`` error row instead of masquerading
+    as truncated-but-valid content.  Malformed header blocks (no
+    terminator within 1 MiB) are resynced past rather than ballooning
+    the buffer.
+
+    Yields the same (url, ts, payload) tuples as ``parse_warc_bytes``
+    and is pinned byte-identical to it on well-formed input.
+    """
+    keep_cap = max_payload_bytes + _ENVELOPE_ALLOWANCE
+    buf = bytearray()
+    it = iter(chunks)
+
+    def fill() -> bool:
+        try:
+            c = next(it)
+        except StopIteration:
+            return False
+        buf.extend(c)
+        return True
+
+    while True:
+        # ---- locate a terminated "WARC/…\r\n\r\n" header block ----
+        while True:
+            start = buf.find(b"WARC/")
+            if start >= 0:
+                head_end = buf.find(_CRLF + _CRLF, start)
+                if head_end >= 0:
+                    break
+                if len(buf) - start > _MAX_HEADER_BYTES:
+                    del buf[: start + 5]  # hostile header: resync
+                    continue
+                if start > 0:
+                    del buf[:start]
+            elif len(buf) > 8:
+                # nothing useful; keep a tail in case "WARC/" straddles
+                # the chunk boundary
+                del buf[: len(buf) - 8]
+            if not fill():
+                return
+        if start > 0:
+            del buf[:start]
+            head_end -= start
+        headers: dict[str, str] = {}
+        for line in bytes(buf[:head_end]).split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("ascii", "replace").lower()] = (
+                v.strip().decode("ascii", "replace")
+            )
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            length = 0
+        length = max(length, 0)
+        del buf[: head_end + 4]
+
+        # ---- consume exactly `length` body bytes, keep ≤ keep_cap ----
+        kept = bytearray()
+        remaining = length
+        truncated_file = False
+        while remaining > 0:
+            if not buf and not fill():
+                truncated_file = True
+                break
+            take = min(len(buf), remaining)
+            short = keep_cap - len(kept)
+            if short > 0:
+                kept.extend(buf[: min(take, short)])
+            del buf[:take]
+            remaining -= take
+        if truncated_file:
+            return  # partial trailing record: drop, like a torn page
+
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts: dt.datetime | None = None
+        if "warc-date" in headers:
+            try:
+                ts = dt.datetime.strptime(headers["warc-date"], _WARC_DATE_FMT)
+            except ValueError:
+                ts = None
+        body = bytes(kept)
+        # strip the HTTP envelope; search window bounded so giant
+        # hostile headers cannot force a full-body scan — if the split
+        # isn't found the whole kept body (> kernel cap) flows on and
+        # is flagged downstream
+        http_split = body.find(_CRLF + _CRLF, 0, _ENVELOPE_ALLOWANCE)
+        payload = body[http_split + 4:] if http_split != -1 else body
+        if url:
+            yield url, ts, payload
+
+
+def _open_chunks(path: str) -> Iterator[bytes]:
+    """Fixed-size decompressed chunks from a local ``.warc`` /
+    ``.warc.gz`` file.  ``gzip.GzipFile`` walks multi-member streams
+    (Common Crawl's member-per-record layout) incrementally — memory
+    stays O(chunk) regardless of file size."""
+    f = open(path, "rb")
+    try:
+        magic = f.read(2)
+        f.seek(0)
+        src = gzip.GzipFile(fileobj=f) if magic == b"\x1f\x8b" else f
+        while True:
+            c = src.read(_CHUNK_BYTES)
+            if not c:
+                return
+            yield c
+    finally:
+        f.close()
+
+
+def iter_warc_records(
+    path: str, max_payload_bytes: int = MAX_PAYLOAD_BYTES
+) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
+    """Record-stream one WARC file from disk with bounded memory."""
+    return iter_warc_chunks(_open_chunks(path), max_payload_bytes)
+
+
+def _uri_to_path(uri: str) -> str:
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(uri).path)
+    return uri
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path_glob: str,
+    infer_lang_from_host: bool = True,
+    max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Distributed record-streaming WARC → pages DataFrame (scale path).
+
+    The ``binaryFile`` source supplies only the distributed file
+    LISTING (selecting just ``path`` prunes the content column, so no
+    blob is read and the 2 GB binaryFile cap never applies); each task
+    then streams its files record-by-record via ``iter_warc_records``
+    and emits byte-bounded Arrow batches.  Peak task memory is
+    O(batch) ≈ 32 MiB + one capped record, independent of file size —
+    a 1 GB ``.warc.gz`` (≈4-5 GB decompressed) streams through the
+    same footprint as a 1 MB one.
+
+    Parallelism is per-file (the Common Crawl contract: ~1 GB files,
+    100k of them for a full crawl → plenty of tasks for any cluster);
+    ``num_tasks`` overrides the spread when a few large files should
+    not hash-collide onto one executor.
+    """
+    from ..pydeps import ensure_py_deps
+
+    ensure_py_deps(spark)
+    files = (
+        spark.read.format("binaryFile").load(path_glob).select("path")
+    )
+    files = files.repartition(
+        num_tasks or spark.sparkContext.defaultParallelism, "path"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_document_recognition_service_spark.sources.warc import (
+            _BATCH_BYTES,
+            _BATCH_ROWS,
+            _HOST_LANG_RE,
+            _uri_to_path,
+            iter_warc_records,
+        )
+
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        rows: list[tuple] = []
+        pend = 0
+        for pdf in batches:
+            for uri in pdf["path"]:
+                for url, ts, payload in iter_warc_records(
+                    _uri_to_path(uri), max_payload_bytes
+                ):
+                    lang = None
+                    if infer_lang_from_host:
+                        m = _HOST_LANG_RE.match(url)
+                        if m and m.group(1) in LANGS:
+                            lang = m.group(1)
+                    rows.append((url, ts, payload, None, lang))
+                    pend += len(payload)
+                    if len(rows) >= _BATCH_ROWS or pend >= _BATCH_BYTES:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, pend = [], 0
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
 def read_warc(
     spark: SparkSession,
     path_glob: str,
     infer_lang_from_host: bool = True,
 ) -> DataFrame:
-    """Distributed WARC → pages DataFrame.
+    """Whole-blob WARC → pages DataFrame (small-file/test path).
 
-    One task per WARC file (binaryFile scan); records parsed inside an
-    Arrow batch.  ``lang`` is inferred from a two-letter host prefix
-    (our corpus convention) when requested, else left null for the
-    pipeline's language-vote branch.
+    One task per WARC file (binaryFile scan, 2 GB/file cap); the blob
+    is materialized and parsed in memory — fine for fixtures, WRONG
+    for real crawls: use ``read_warc_stream`` for anything sized.
+    ``lang`` is inferred from a two-letter host prefix (our corpus
+    convention) when requested, else left null for the pipeline's
+    language-vote branch.  Pinned row-identical to the streaming path.
     """
     from ..pydeps import ensure_py_deps
 

@@ -61,6 +61,140 @@ def test_gzipped_warc_supported(spark, tmp_path, corpus_rows):
         assert got[r["url"]] == r["html"]
 
 
+def test_stream_parse_matches_blob_parse(tmp_path, corpus_rows):
+    """iter_warc_records == parse_warc_bytes on every layout the wild
+    ships: plain .warc, single-member .warc.gz, per-record-member
+    .warc.gz (Common Crawl)."""
+    rows = corpus_rows[:40]
+    recs = [(r["url"], r["warc_ts"], r["html"]) for r in rows]
+    plain = tmp_path / "a.warc"
+    warc.write_warc(str(plain), recs)
+    one_member = tmp_path / "b.warc.gz"
+    warc.write_warc_gz(str(one_member), recs, per_record_members=False)
+    per_record = tmp_path / "c.warc.gz"
+    warc.write_warc_gz(str(per_record), recs)
+
+    want = list(warc.parse_warc_bytes(plain.read_bytes()))
+    assert len(want) == 40
+    for p in (plain, one_member, per_record):
+        got = list(warc.iter_warc_records(str(p)))
+        assert got == want, p.name
+
+
+def test_stream_parse_bounded_memory(tmp_path):
+    """The scale contract: a 400 MB (decompressed) .warc.gz and a
+    single 256 MB record both stream through O(cap) memory.  tracemalloc
+    gives a baseline-free peak over exactly the parse (gzip buffers,
+    bytearrays and yielded payloads are all Python allocations)."""
+    import gzip
+    import tracemalloc
+    from datetime import datetime
+
+    # (a) many-record file: 4000 x 100 KB = 400 MB decompressed
+    ts = datetime(2024, 1, 1)
+    payload = (b"<html><body>" + b"repetitive filler " * 5000)[:100_000]
+    big = tmp_path / "big.warc.gz"
+    with open(big, "wb") as f:
+        for i in range(4000):
+            rec = warc._record_bytes(
+                f"https://en.site{i % 7}.org/p{i}", ts, payload
+            )
+            f.write(gzip.compress(rec, compresslevel=1, mtime=0))
+
+    tracemalloc.start()
+    n = 0
+    last = None
+    for url, _, pay in warc.iter_warc_records(str(big)):
+        n += 1
+        last = (url, pay)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 4000 and last[1] == payload
+    assert peak < 64 << 20, f"peak {peak / 1e6:.0f} MB — not streaming"
+
+    # (b) one oversized record, synthesized by a chunk generator so the
+    # test itself never holds it: 256 MB body against a 1 MB cap must
+    # keep only cap + envelope-allowance bytes and still surface as a
+    # too-long payload (PayloadTooLarge downstream), with the records
+    # around it parsed intact
+    cap = 1 << 20
+    chunk = bytes(1024) * 1024  # 1 MiB
+
+    def chunks():
+        yield warc._record_bytes("https://en.ok.org/before", ts, b"fine")
+        env = b"HTTP/1.1 200 OK\r\nA: b\r\n\r\nstart!"
+        head = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://en.big.org/huge\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Length: "
+            + str(len(env) + 256 * len(chunk)).encode()
+            + b"\r\n\r\n"
+        )
+        yield head + env
+        for _ in range(256):
+            yield chunk
+        yield b"\r\n\r\n"
+        yield warc._record_bytes("https://en.ok.org/after", ts, b"also fine")
+
+    tracemalloc.start()
+    got = list(warc.iter_warc_chunks(chunks(), max_payload_bytes=cap))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert [g[0] for g in got] == [
+        "https://en.ok.org/before",
+        "https://en.big.org/huge",
+        "https://en.ok.org/after",
+    ]
+    assert got[0][2] == b"fine" and got[2][2] == b"also fine"
+    assert cap < len(got[1][2]) <= cap + (64 << 10)  # kept > kernel cap
+    assert peak < 16 << 20, f"peak {peak / 1e6:.0f} MB for capped record"
+
+
+def test_stream_parse_resyncs_past_hostile_header(tmp_path):
+    """A header block with no terminator must not balloon the buffer or
+    swallow the rest of the file: the parser resyncs and still yields
+    the following well-formed record."""
+    from datetime import datetime
+
+    good = warc._record_bytes(
+        "https://en.good.org/x", datetime(2024, 1, 1), b"payload"
+    )
+    hostile = b"WARC/1.0\r\nWARC-Type: response\r\nX: " + b"y" * (2 << 20)
+    p = tmp_path / "hostile.warc"
+    p.write_bytes(hostile + b"\r\n\r\n-not-a-length-\r\n" + good)
+    got = list(warc.iter_warc_records(str(p)))
+    assert [g[0] for g in got] == ["https://en.good.org/x"]
+    assert got[0][2] == b"payload"
+
+
+def test_read_warc_stream_matches_blob_reader(spark, tmp_path, corpus_rows):
+    """The distributed streaming reader returns the same rows as the
+    binaryFile path over a mixed plain/.gz directory, and feeds the
+    same byte-identical extraction."""
+    rows = corpus_rows[:60]
+    recs = [(r["url"], r["warc_ts"], r["html"]) for r in rows]
+    warc.write_warc(str(tmp_path / "p0.warc"), recs[:30])
+    warc.write_warc_gz(str(tmp_path / "p1.warc.gz"), recs[30:])
+
+    stream = warc.read_warc_stream(spark, str(tmp_path / "p*.warc*"))
+    blob = warc.read_warc(spark, str(tmp_path / "p*.warc*"))
+    key = lambda r: (r["url"], bytes(r["html"]), r["warc_ts"], r["lang"])
+    assert sorted(map(key, stream.collect())) == sorted(
+        map(key, blob.collect())
+    )
+
+    out = {
+        r["url"]: r["text"]
+        for r in extract_pages(stream, num_partitions=4).collect()
+    }
+    for r in rows[:10]:
+        lang = r["url"].split("//")[1][:2]
+        assert out[r["url"]] == extract_one.extract_document(
+            r["html"], lang
+        ).text
+
+
 def test_parse_skips_non_response_records(tmp_path):
     p = tmp_path / "mixed.warc"
     body = b"HTTP/1.1 200 OK\r\n\r\nhello"
