@@ -541,12 +541,24 @@ def char_ngram_jaccard_pairs(
 def embedding_dup_pairs(
     emb: DataFrame,
     planes: list[list[float]] | None = None,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     threshold: float = 0.99,
     bucket_cap: int | None = LSH_BUCKET_CAP,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding cosine near-dup pairs over random-hyperplane LSH
     bucket candidates (generate-then-verify; no label/source blocking).
+
+    Scale-safe bucketing is the DEFAULT: when neither *planes* nor
+    *n_planes* is given, the hyperplane count is auto-derived as
+    ``planes_for_corpus(n_vectors)`` — from the explicit *n_vectors*
+    when the caller already knows the corpus size (a catalog row
+    count; free), else from one cheap ``emb.count()`` (a count-star
+    scan, the price of not guessing).  Expected bucket population then
+    stays ≈64 as N grows instead of N/2^6.  Callers that need a
+    REPRODUCIBLE plan across corpus sizes (the dd5 registry query,
+    whose SQL oracle inlines the plane literals) pass *n_planes*
+    explicitly.
 
     Candidates = same-bucket pairs from ``similarity.lsh_buckets`` — at
     100 TB the bucket id is the partition key.  With *n_planes* fixed
@@ -567,7 +579,12 @@ def embedding_dup_pairs(
     in codegen — no posexplode, no norms shuffle); per-element products
     in double + 4dp rounding keep parity with the flat SQL oracle.
     """
-    planes = planes or similarity.hyperplanes(n_planes)
+    if planes is None:
+        if n_planes is None:
+            if n_vectors is None:
+                n_vectors = emb.count()
+            n_planes = similarity.planes_for_corpus(n_vectors)
+        planes = similarity.hyperplanes(n_planes)
     b = similarity.lsh_buckets(emb, planes)
     idx = similarity.capped_index(b, ["bucket"], "vec_id", bucket_cap)
     # the index is downward-closed by vec_id within a bucket (the cap

@@ -338,22 +338,35 @@ CELL_CAP = 64
 
 
 def _cell_probe_topk(
-    cells: DataFrame, emb: DataFrame, k: int, cell_cap: int | None = CELL_CAP
+    cells: DataFrame,
+    emb: DataFrame,
+    k: int,
+    cell_cap: int | None = CELL_CAP,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared IVF probe tail: same-cell candidate pairs → exact cosine
-    → rank-filtered top-k (probe=1: a query reads only its cell).
+    """Shared IVF probe tail: candidate pairs from the query's probed
+    cell(s) → exact cosine → rank-filtered top-k.
+
+    *cells* is the primary assignment (each vector in exactly one
+    cell) and forms the INDEX side; *probes* (default: the primary
+    assignment, probe=1) is the QUERY side — multi-probe passes the
+    rn ≤ P nearest-cell assignment here, so a query also reads its
+    runner-up cells and boundary neighbors become reachable.  Because
+    every neighbor has exactly ONE primary cell, a (query, neighbor)
+    pair arises from at most one probed cell — no distinct needed.
 
     *cell_cap* bounds the worst-case cell population on the INDEX side
     (the lsh_probe_candidates pattern): with n_cells fixed a cell holds
     ~N/n_cells vectors and an uncapped same-cell join is O(N²/n_cells).
     Every vector still probes as a query; only the *cell_cap* smallest
     vec_ids per cell serve as neighbors, so per-query work is ≤
-    cell_cap candidates.  Recall trade: neighbors truncated out of an
-    over-full cell are unreachable (probe=1) — at scale also grow
+    n_probe × cell_cap candidates.  Recall trade: neighbors truncated
+    out of an over-full cell are unreachable — at scale also grow
     n_cells ≈ N/target_cell so cells stay small (the real IVF knob)."""
     idx = capped_index(cells, ["cell"], "vec_id", cell_cap)
+    q = probes if probes is not None else cells
     cand = (
-        cells.alias("qa")
+        q.alias("qa")
         .join(
             idx.alias("qb"),
             (F.col("qa.cell") == F.col("qb.cell"))
@@ -372,17 +385,29 @@ def ivf_topk(
     n_cells: int = 8,
     k: int = 1,
     cell_cap: int | None = CELL_CAP,
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF-probed ANN: top-k by cosine among vectors sharing the
-    query's cell (probe=1).  The inverted-file twin of lsh_topk — at
-    scale the cell id is the partition key and a probe reads one cell."""
-    cells = ivf_assign(emb, n_cells).select("vec_id", "cell")
-    return _cell_probe_topk(cells, emb, k, cell_cap)
+    """IVF-probed ANN: top-k by cosine among vectors in the query's
+    *n_probe* nearest cells.  The inverted-file twin of lsh_topk — at
+    scale the cell id is the partition key, a probe reads n_probe
+    cells, and the index side stays the single primary assignment.
+    probe=1 is the cheapest/lowest-recall point; P=2-4 recovers the
+    boundary misses (a neighbor just across the bisector) for P× probe
+    cost — the standard IVF recall knob."""
+    cents = _first_k_centroid_arrays(emb, n_cells)
+    cells = _assign_to(emb, cents)
+    probes = (
+        _assign_to(emb, cents, n_probe) if n_probe > 1 else None
+    )
+    return _cell_probe_topk(cells, emb, k, cell_cap, probes)
 
 
-def _assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell): nearest broadcast centroid array by L2, dist2
-    rounded 6dp, ties by cell asc — deterministic, engine-agnostic."""
+def _assign_to(
+    emb: DataFrame, cents: DataFrame, n_probe: int = 1
+) -> DataFrame:
+    """(vec_id, cell): the *n_probe* nearest broadcast centroid arrays
+    by L2 (default 1 = primary assignment), dist2 rounded 6dp, ties by
+    cell asc — deterministic, engine-agnostic."""
     d2 = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cell",
@@ -393,7 +418,7 @@ def _assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
     return (
         d2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= n_probe)
         .select("vec_id", "cell")
     )
 
@@ -401,13 +426,21 @@ def _assign_to(emb: DataFrame, cents: DataFrame) -> DataFrame:
 def kmeans_cells(
     emb: DataFrame, n_cells: int = 8, iters: int = 2, dim: int = EMB_DIM
 ) -> DataFrame:
-    """Lloyd-trained IVF assignment: *iters* rounds of assign → mean
+    """Lloyd-trained IVF assignment: final (vec_id, cell) under the
+    trained centroids (see ``_kmeans_centroids``)."""
+    return _assign_to(emb, _kmeans_centroids(emb, n_cells, iters, dim))
+
+
+def _kmeans_centroids(
+    emb: DataFrame, n_cells: int = 8, iters: int = 2, dim: int = EMB_DIM
+) -> DataFrame:
+    """Lloyd-trained centroids: *iters* rounds of assign → mean
     recentering (centroid coordinates rounded 6dp each round so any
     engine reproduces the trajectory), deterministic first-k init.
     Each round is one broadcast-assign projection + ONE wide
     aggregation (dim per-position avg columns, map-side combine — the
     MinHash wide-agg trick; no ×dim posexplode of the corpus).
-    Returns the final (vec_id, cell)."""
+    Returns (cell, carr)."""
     cents = _first_k_centroid_arrays(emb, n_cells)
     for _ in range(iters):
         assign = _assign_to(emb, cents)
@@ -430,7 +463,7 @@ def kmeans_cells(
                 F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("carr"),
             )
         )
-    return _assign_to(emb, cents)
+    return cents
 
 
 def ivf_kmeans_topk(
@@ -439,11 +472,17 @@ def ivf_kmeans_topk(
     iters: int = 2,
     k: int = 1,
     cell_cap: int | None = CELL_CAP,
+    n_probe: int = 1,
 ) -> DataFrame:
     """IVF probe over Lloyd-trained cells — sim4's probe with trained
-    centroids instead of the first-k quantizer."""
-    cells = kmeans_cells(emb, n_cells, iters)
-    return _cell_probe_topk(cells, emb, k, cell_cap)
+    centroids instead of the first-k quantizer; *n_probe* > 1 probes
+    the P nearest trained cells (multi-probe recall knob)."""
+    cents = _kmeans_centroids(emb, n_cells, iters)
+    cells = _assign_to(emb, cents)
+    probes = (
+        _assign_to(emb, cents, n_probe) if n_probe > 1 else None
+    )
+    return _cell_probe_topk(cells, emb, k, cell_cap, probes)
 
 
 def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:

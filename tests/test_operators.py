@@ -880,6 +880,81 @@ def test_planes_for_corpus_scaling():
     assert similarity.planes_for_corpus(10**12) == 30  # max_planes cap
 
 
+def test_embedding_dup_pairs_auto_planes(spark, monkeypatch):
+    """r4 verdict: scale-safe bucketing is the DEFAULT — with no
+    planes/n_planes given, embedding_dup_pairs derives the hyperplane
+    count via planes_for_corpus from emb.count(), or from an explicit
+    n_vectors with no count scan; the derived count grows with N."""
+    seen = []
+    real = similarity.planes_for_corpus
+
+    def spy(n, **kw):
+        seen.append(n)
+        return real(n, **kw)
+
+    monkeypatch.setattr(similarity, "planes_for_corpus", spy)
+    import random as _r
+
+    rng = _r.Random(5)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)])
+        for i in range(150)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = dedup.embedding_dup_pairs(emb, threshold=0.99)
+    assert seen == [150]  # derived from one count()
+    out.count()  # plan executes
+    seen.clear()
+    dedup.embedding_dup_pairs(emb, n_vectors=10**6, threshold=0.99)
+    assert seen == [10**6]  # caller-supplied size: no count scan
+    assert real(1_000) < real(10**6) < real(10**9)
+
+
+def test_ivf_multiprobe_recovers_boundary_misses(spark):
+    """r4 verdict: probe=1 IVF misses a true nearest neighbor that sits
+    just across a cell bisector; n_probe=2 probes the runner-up cell
+    and recovers it, matching brute force.  Constructed geometry: cells
+    are the 8 axis units e0..e7 (first-k quantizer); query 8 =
+    0.6*e0 + 0.55*e1 lands in cell 0, its true NN vector 9 =
+    0.55*e0 + 0.6*e1 lands in cell 1."""
+
+    def axis(i, a=1.0):
+        v = [0.0] * 64
+        v[i] = a
+        return v
+
+    def mix(i, j, a, b):
+        v = [0.0] * 64
+        v[i], v[j] = a, b
+        return v
+
+    rows = [(i, axis(i)) for i in range(8)]
+    rows.append((8, mix(0, 1, 0.6, 0.55)))   # query: cell 0, near bisector
+    rows.append((9, mix(0, 1, 0.55, 0.6)))   # its true NN: cell 1
+    # filler clearly inside cells 2..7 so they don't perturb the top-1
+    for i in range(10, 22):
+        rows.append((i, axis(2 + i % 6, 0.9)))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    def top1(df):
+        return {
+            r["query_id"]: r["neighbor_id"]
+            for r in df.filter(F.col("rank") == 1).collect()
+        }
+
+    brute = top1(similarity.cosine_topk_arrays(emb, emb, k=1))
+    p1 = top1(similarity.ivf_topk(emb, n_cells=8, k=1, n_probe=1))
+    p2 = top1(similarity.ivf_topk(emb, n_cells=8, k=1, n_probe=2))
+
+    assert brute[8] == 9          # the true neighbor
+    assert p1[8] != 9             # probe=1 is blind across the bisector
+    assert p2[8] == 9             # multi-probe recovers it
+    # and multi-probe never loses recall vs probe=1
+    r1 = sum(p1.get(q) == n for q, n in brute.items())
+    r2 = sum(p2.get(q) == n for q, n in brute.items())
+    assert r2 >= r1 and r2 > r1
+
+
 def test_jpeg_baseline_gray_codec_roundtrip():
     """r4: REAL baseline greyscale JPEG entropy decode (pure
     stdlib+numpy — canonical Annex-K Huffman, DC prediction, AC RLE,
