@@ -109,6 +109,43 @@ def main() -> int:
     times["extract_pages"] = round(t_ex, 3)
     shutil.rmtree(corpus_dir, ignore_errors=True)
 
+    # WARC ingest throughput: the on-ramp format for a real web corpus.
+    # Same docs, Common-Crawl layout (.warc.gz, one gzip member per
+    # record, one file per core) → record-streaming distributed parse →
+    # the same extraction plan. Setup (serializing the archives) is
+    # untimed; the timed path is read_warc_stream → extract → noop.
+    from ocr_document_recognition_service_spark.sources import warc as W
+
+    warc_docs = int(os.environ.get("SPARK_GRAFT_WARC_DOCS", "20000"))
+    warc_dir = tempfile.mkdtemp(prefix="bench_warc_")
+    t0 = time.time()
+    rows_iter = gen_pages.gen_rows(warc_docs)
+    n_files = cpus
+    per = (warc_docs + n_files - 1) // n_files
+    buf: list[tuple] = []
+    fidx = 0
+    for r in rows_iter:
+        buf.append((r["url"], r["warc_ts"], r["html"]))
+        if len(buf) >= per:
+            W.write_warc_gz(
+                os.path.join(warc_dir, f"seg{fidx:03d}.warc.gz"),
+                buf, compresslevel=1,
+            )
+            buf, fidx = [], fidx + 1
+    if buf:
+        W.write_warc_gz(
+            os.path.join(warc_dir, f"seg{fidx:03d}.warc.gz"),
+            buf, compresslevel=1,
+        )
+    t_warc_setup = time.time() - t0
+    warc_out = extract_pages(
+        W.read_warc_stream(spark, warc_dir + "/*.warc.gz"),
+        num_partitions=2 * cpus,
+    ).select("url", "lang", "n_blocks", "text", "error")
+    t_warc_cold = _time_noop_write(warc_out)
+    t_warc = min(_time_noop_write(warc_out) for _ in range(3))
+    shutil.rmtree(warc_dir, ignore_errors=True)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -123,6 +160,11 @@ def main() -> int:
                     "extract_docs_per_sec": round(EXTRACT_DOCS / t_ex, 1),
                     "extract_cold_sec": round(t_cold, 3),
                     "corpus_setup_sec": round(t_setup, 3),
+                    "warc_docs": warc_docs,
+                    "warc_docs_per_sec": round(warc_docs / t_warc, 1),
+                    "warc_ingest_sec": round(t_warc, 3),
+                    "warc_cold_sec": round(t_warc_cold, 3),
+                    "warc_setup_sec": round(t_warc_setup, 3),
                     "cold_sec": cold,
                     "cold_total_sec": round(sum(cold.values()), 3),
                     "cpus": cpus,

@@ -99,21 +99,23 @@ def write_warc_gz(
     path: str,
     records: Iterable[tuple[str, dt.datetime, bytes]],
     per_record_members: bool = True,
+    compresslevel: int = 9,
 ) -> None:
     """Serialize records as ``.warc.gz`` — by default one gzip MEMBER
     per record, the Common Crawl layout that makes archives seekable
     and record-streamable; ``per_record_members=False`` writes one
     member for the whole file (also legal WARC, also handled by the
-    streaming reader)."""
+    streaming reader).  *compresslevel* trades fixture-write speed for
+    size (bench setup uses 1)."""
     with open(path, "wb") as f:
         if per_record_members:
             for url, ts, payload in records:
                 f.write(gzip.compress(_record_bytes(url, ts, payload),
-                                      mtime=0))
+                                      compresslevel=compresslevel, mtime=0))
         else:
             f.write(gzip.compress(
                 b"".join(_record_bytes(u, t, p) for u, t, p in records),
-                mtime=0,
+                compresslevel=compresslevel, mtime=0,
             ))
 
 
