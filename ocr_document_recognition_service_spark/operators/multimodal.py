@@ -10,8 +10,9 @@ lookup) JPEG — baseline AND progressive (SOF2, spectral selection +
 successive approximation), grey + YCbCr colour at any sampling, see
 ``operators.jpeg`` — GIF (LZW + palette, interlace) and TIFF
 (``operators.tiff``: strips, PackBits/TIFF-LZW, predictor 2, all four
-photometrics — the scanned-document format the reference's OCR
-loaders ingest) with stdlib+numpy alone, and flips to Pillow for
+photometrics, bilevel packed-bits AND CCITT G4/T.6 MMR fax
+(``operators.g4fax``) — the scanned-document formats the reference's
+OCR loaders ingest) with stdlib+numpy alone, and flips to Pillow for
 everything else when importable (import-try gate); Adam7-interlaced
 and 16-bit PNG (high-byte reduction) decode for real too.  Only
 formats beyond all paths (arithmetic-coded/lossless JPEG,
@@ -763,7 +764,8 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     Returns (width, height, mode, pixel_bytes row-major top-down);
     GIF decodes for real (LZW + colour table, 4-pass interlace), and
     TIFF too (strips, none/PackBits/TIFF-LZW compression, predictor,
-    WhiteIsZero/grey/RGB/palette — ``operators.tiff``);
+    WhiteIsZero/grey/RGB/palette, AND bilevel scans — packed bits and
+    CCITT G4/T.6 MMR fax via ``operators.g4fax`` — ``operators.tiff``);
     JPEG too — baseline AND progressive (SOF2),
     greyscale and 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0, restart
     markers included (``operators.jpeg``: marker parse, canonical
@@ -793,9 +795,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             # through to the documented contract below
             pass
     raise NotImplementedError(
-        "pixel decode beyond BMP/PNG/GIF/TIFF/JPEG requires Pillow/"
-        "cv2 (arithmetic-coded JPEG, G4-fax TIFF, video); install on "
-        "the cluster and this same call decodes every format"
+        "pixel decode beyond BMP/PNG/GIF/TIFF (incl. G4 fax)/JPEG "
+        "requires Pillow/cv2 (arithmetic-coded JPEG, video); install "
+        "on the cluster and this same call decodes every format"
     )
 
 

@@ -15,10 +15,15 @@ scans:
 - Predictor 2 (horizontal differencing, the usual LZW companion);
 - PhotometricInterpretation 0 (WhiteIsZero → inverted to 'L'),
   1 ('L'), 2 ('RGB'), 3 (palette via ColorMap → 'RGB');
-- 8 bits per sample, 1 or 3 samples per pixel, chunky planar config.
+- 8 bits per sample, 1 or 3 samples per pixel, chunky planar config;
+- BILEVEL (BitsPerSample=1) document scans: Compression 1 (packed
+  bits, rows byte-aligned) and Compression 4 — CCITT Group 4 / T.6
+  MMR, the fax compression scanned documents actually ship in —
+  decoded for real by ``operators.g4fax`` (r4 verdict item 3), each
+  strip an independent T.6 block per the TIFF spec.
 
-JPEG-in-TIFF, G3/G4 fax and 16-bit samples fall through to the loud
-stub path (``multimodal.decode_image_pixels`` contract).  A matching
+JPEG-in-TIFF and 16-bit samples fall through to the loud stub path
+(``multimodal.decode_image_pixels`` contract).  A matching
 deterministic encoder generates fixtures for every supported
 combination, so round-trips are byte-exact and checksum-pinned.
 """
@@ -26,6 +31,8 @@ combination, so round-trips are byte-exact and checksum-pinned.
 from __future__ import annotations
 
 import hashlib
+
+from .g4fax import g4_decode, g4_encode
 
 _MAX_PIXELS = 1 << 26  # decode-size guard, mirrors multimodal
 
@@ -265,12 +272,20 @@ def _decode_tiff_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
     if bps is None:
         return None  # corrupt BitsPerSample array
     spp = value(277, 1)
-    if spp not in (1, 3) or any(x != 8 for x in bps[:spp]):
-        return None
     comp = value(259, 1)
     photo = value(262, 1)
-    if comp not in (1, 5, 32773) or photo not in (0, 1, 2, 3):
-        return None
+    bilevel = spp == 1 and bps[:1] == [1]
+    if bilevel:
+        # scanned-document shapes: packed bits or CCITT G4 fax
+        if comp not in (1, 4) or photo not in (0, 1):
+            return None
+        if comp == 4 and photo != 0:
+            return None  # G4 is defined over MINISWHITE scans
+    else:
+        if spp not in (1, 3) or any(x != 8 for x in bps[:spp]):
+            return None
+        if comp not in (1, 5, 32773) or photo not in (0, 1, 2, 3):
+            return None
     if value(284, 1) != 1:  # planar config: chunky only
         return None
     offsets = values(273)
@@ -279,8 +294,16 @@ def _decode_tiff_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
         return None
     rows_per_strip = value(278, h)
     predictor = value(317, 1)
-    if predictor not in (1, 2):
+    if predictor != 1 and (bilevel or predictor != 2):
         return None
+
+    if bilevel:
+        grey = _decode_bilevel_strips(
+            b, offsets, counts, w, h, rows_per_strip, comp, photo
+        )
+        if grey is None:
+            return None
+        return w, h, "L", grey
 
     raster = bytearray()
     remaining_rows = h
@@ -327,6 +350,50 @@ def _decode_tiff_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
     return w, h, "RGB", bytes(out)
 
 
+def _decode_bilevel_strips(
+    b: bytes,
+    offsets: list[int],
+    counts: list[int],
+    w: int,
+    h: int,
+    rows_per_strip: int,
+    comp: int,
+    photo: int,
+) -> bytes | None:
+    """Bilevel strips → greyscale bytes (black=0, white=255).
+
+    Compression 1: rows packed MSB-first, each row padded to a byte
+    boundary.  Compression 4: each strip is an independent T.6 (MMR)
+    block — fresh imaginary-white reference line per strip, as the
+    TIFF spec requires.  Sample semantics: photometric 0 stores
+    white as 0 (the fax convention), 1 stores black as 0."""
+    out = bytearray()
+    remaining = h
+    for off, cnt in zip(offsets, counts):
+        strip_rows = min(rows_per_strip, remaining)
+        raw = b[off:off + cnt]
+        if comp == 4:
+            black = g4_decode(raw, w, strip_rows)  # 1 = black
+            if black is None:
+                return None
+            out += bytes(0 if v else 255 for v in black)
+        else:
+            stride = (w + 7) // 8
+            if len(raw) < stride * strip_rows:
+                return None
+            for r in range(strip_rows):
+                base = r * stride
+                for x in range(w):
+                    bit = (raw[base + (x >> 3)] >> (7 - (x & 7))) & 1
+                    # photo 0: bit 1 = black; photo 1: bit 0 = black
+                    black_px = bit if photo == 0 else 1 - bit
+                    out.append(0 if black_px else 255)
+        remaining -= strip_rows
+    if remaining > 0:
+        return None
+    return bytes(out)
+
+
 def encode_tiff(
     px: bytes,
     w: int,
@@ -342,7 +409,10 @@ def encode_tiff(
     layout, Compression 1/5/32773, Predictor 1/2, Photometric 0/1/2/3
     (mode 'P' expects *px* to be palette indices and writes a
     deterministic ColorMap derived from them — decode returns the
-    mapped RGB)."""
+    mapped RGB).  Mode '1' = bilevel scan: *px* is one grey byte per
+    pixel (0 = black, nonzero = white), stored as BitsPerSample 1
+    with Compression 1 (packed rows, byte-aligned) or 4 (CCITT G4 /
+    T.6 MMR — the fax fixture path)."""
     le = not big_endian
 
     def wr(v: int, n: int) -> bytes:
@@ -350,20 +420,46 @@ def encode_tiff(
 
     spp = 3 if mode == "RGB" else 1
     if photometric is None:
-        photometric = {"L": 1, "RGB": 2, "P": 3}[mode]
+        photometric = {"L": 1, "RGB": 2, "P": 3, "1": 0}[mode]
     stride = w * spp
     rps = rows_per_strip or h
     strips = []
     r = 0
     while r < h:
         rows = min(rps, h - r)
-        chunk = px[r * stride:(r + rows) * stride]
-        if predictor == 2:
-            chunk = _apply_predictor(chunk, w, rows, spp)
-        if compression == 32773:
-            chunk = packbits_encode(chunk)
-        elif compression == 5:
-            chunk = tiff_lzw_encode(chunk)
+        if mode == "1":
+            band = px[r * w:(r + rows) * w]
+            if compression == 4:
+                # G4 codes black runs; px 0 = black
+                chunk = g4_encode(
+                    bytes(1 if v == 0 else 0 for v in band), w, rows
+                )
+            else:
+                # packed bits, MSB-first, rows byte-aligned;
+                # photometric 0: bit 1 = black
+                rb = bytearray()
+                for rr in range(rows):
+                    acc = cur_bits = 0
+                    for x in range(w):
+                        bit = 1 if band[rr * w + x] == 0 else 0
+                        if photometric == 1:
+                            bit ^= 1
+                        acc = (acc << 1) | bit
+                        cur_bits += 1
+                        if cur_bits == 8:
+                            rb.append(acc)
+                            acc = cur_bits = 0
+                    if cur_bits:
+                        rb.append(acc << (8 - cur_bits))
+                chunk = bytes(rb)
+        else:
+            chunk = px[r * stride:(r + rows) * stride]
+            if predictor == 2:
+                chunk = _apply_predictor(chunk, w, rows, spp)
+            if compression == 32773:
+                chunk = packbits_encode(chunk)
+            elif compression == 5:
+                chunk = tiff_lzw_encode(chunk)
         strips.append(chunk)
         r += rows
 
@@ -394,7 +490,9 @@ def encode_tiff(
     vals: dict[int, tuple[int, int, int | bytes]] = {}
     vals[256] = (4, 1, w)
     vals[257] = (4, 1, h)
-    if spp == 1:
+    if mode == "1":
+        vals[258] = (3, 1, 1)
+    elif spp == 1:
         vals[258] = (3, 1, 8)
     else:
         vals[258] = (3, 3, alloc(b"".join(wr(8, 2) for _ in range(3))))

@@ -2813,17 +2813,18 @@ def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
     pinned_oracles.sql_for("x_image_pixels"),
     "REAL pixel decode through the Spark plumbing: BMP + GIF + PNG (grey/RGB/"
     "palette/interlaced) + JPEG (baseline grey/colour AND progressive) "
+    "+ bilevel TIFF scans (packed bits AND CCITT G4/T.6 MMR fax, r5) "
     "decoded inside an Arrow-batched pandas UDF, pixels md5-hashed "
     "per row (narrow exchange); undecodable payloads report "
     "decoder='stub' instead of failing the batch",
 )
 def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators import jpeg, multimodal
+    from ..operators import jpeg, multimodal, tiff
 
     def mk(i: int) -> bytes:
-        kind = i % 6
+        kind = i % 7
         if kind == 0:
-            if (i // 6) % 2:
+            if (i // 7) % 2:
                 return multimodal.synthetic_gif_payload(i)[0]
             return multimodal.synthetic_bmp_payload(i)
         if kind == 1:
@@ -2835,19 +2836,27 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
         if kind == 4:
             enc = (
                 jpeg.encode_progressive_jpeg
-                if (i // 6) % 2
+                if (i // 7) % 2
                 else jpeg.encode_gray_jpeg
             )
             return enc(multimodal._px_stream(i, 16 * 16), 16, 16)
-        return jpeg.encode_rgb_jpeg(
-            multimodal._px_stream(i, 16 * 16 * 3), 16, 16,
-            # kind-5 rows have i ≡ 5 (mod 6), always odd — alternate on
-            # the row index within the kind instead
-            subsample=bool((i // 6) % 2),
+        if kind == 5:
+            return jpeg.encode_rgb_jpeg(
+                multimodal._px_stream(i, 16 * 16 * 3), 16, 16,
+                subsample=bool((i // 7) % 2),
+            )
+        # kind 6: bilevel document scan — alternate packed-bit rows
+        # and G4-fax compression, the r5 decoder addition
+        scan = bytes(
+            0 if v < 96 else 255 for v in multimodal._px_stream(i, 24 * 18)
+        )
+        return tiff.encode_tiff(
+            scan, 24, 18, mode="1",
+            compression=4 if (i // 7) % 2 else 1,
         )
 
     imgs = spark.createDataFrame(
-        [(f"img://{i:04d}", mk(i)) for i in range(36)]
+        [(f"img://{i:04d}", mk(i)) for i in range(42)]
         + [("not-image://0", b"<html>bytes</html>")],
         "url: string, payload: binary",
     )

@@ -1450,6 +1450,126 @@ def test_decode_tiff_all_supported_shapes():
         assert tiff.tiff_lzw_decode(tiff.tiff_lzw_encode(data), n) == data
 
 
+def test_g4_fax_codec_roundtrips():
+    """r5 (r4 verdict #3): CCITT Group 4 / T.6 MMR — THE fax
+    compression scanned documents ship in — implemented as a pure bit
+    algorithm from the public spec.  Round-trips exercise every mode
+    (pass / all 7 verticals / horizontal), every terminating code
+    0-63 and every make-up boundary incl. the extended 1792-2560 table
+    and chained >2624 runs.  Conformance caveat: no external G4 reader
+    exists in this container, so encoder and decoder are validated
+    against each other plus structural fuzz (the same footing as the
+    LZW/JPEG codecs' fixture encoders)."""
+    import random as _r
+
+    from ocr_document_recognition_service_spark.operators import g4fax
+
+    rng = _r.Random(77)
+
+    def rt(px, w, h, label):
+        enc = g4fax.g4_encode(bytes(px), w, h)
+        assert g4fax.g4_decode(enc, w, h) == bytes(px), label
+        return enc
+
+    rt([0] * 200, 20, 10, "all white")
+    rt([1] * 200, 20, 10, "all black")
+    rt([(x // 3 + y) % 2 for y in range(10) for x in range(20)], 20, 10,
+       "stripes")
+    # every terminating code + every make-up boundary, both colours
+    for run in list(range(64)) + [64, 127, 128, 191, 1664, 1728, 1729,
+                                  1792, 2559, 2560, 2561, 2624, 5000]:
+        rt([1] * run + [0] * 7, run + 7, 1, f"black run {run}")
+        rt([0] * run + [1] * 7, run + 7, 1, f"white run {run}")
+    # vertical/pass interplay: drifting shapes across lines
+    for shift in range(-3, 4):
+        w, h = 60, 12
+        px = []
+        for y in range(h):
+            s = 10 + shift * y % 7
+            row = [0] * w
+            for x in range(max(0, s), min(w, s + 15)):
+                row[x] = 1
+            px += row
+        rt(px, w, h, f"shift {shift}")
+    # text-like random documents at several ink densities
+    for trial in range(30):
+        w, hh = rng.randint(1, 200), rng.randint(1, 40)
+        dens = rng.choice([0.05, 0.3, 0.5, 0.9])
+        px = [1 if rng.random() < dens else 0 for _ in range(w * hh)]
+        rt(px, w, hh, f"rand {trial}")
+
+
+def test_g4_fax_rejects_malformed():
+    """Truncations, bit flips, wrong geometry and dimension bombs all
+    return None (never raise, never loop) — corpus no-raise contract."""
+    import random as _r
+
+    from ocr_document_recognition_service_spark.operators import g4fax
+
+    rng = _r.Random(9)
+    px = bytes(1 if rng.random() < 0.3 else 0 for _ in range(40 * 20))
+    enc = g4fax.g4_encode(px, 40, 20)
+    assert g4fax.g4_decode(enc, 40, 20) == px
+    for i in range(0, len(enc), 3):
+        r = g4fax.g4_decode(enc[:i], 40, 20)
+        assert r is None or len(r) == 800
+    rejected = 0
+    for _ in range(200):
+        ba = bytearray(enc)
+        for _ in range(rng.randint(1, 4)):
+            ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+        r = g4fax.g4_decode(bytes(ba), 40, 20)
+        assert r is None or len(r) == 800
+        if r is None:
+            rejected += 1
+    assert rejected > 100  # flips overwhelmingly reject, silently
+    # wrong declared geometry: same stream, different dims
+    assert g4fax.g4_decode(enc, 41, 20) is None
+    assert g4fax.g4_decode(enc, 40, 21) is None
+    assert g4fax.g4_decode(b"", 10, 10) is None
+    assert g4fax.g4_decode(enc, 0, 5) is None
+
+
+def test_tiff_bilevel_and_g4_shapes():
+    """Bilevel TIFF — packed-bit rows (Compression 1, photo 0/1) and
+    CCITT G4 strips (Compression 4), single- and multi-strip, both
+    byte orders — decodes through the same decode_image_pixels door
+    with a pinned checksum."""
+    from ocr_document_recognition_service_spark.operators import tiff
+
+    import random as _r
+
+    rng = _r.Random(13)
+    w, h = 53, 22
+    px = bytes(0 if rng.random() < 0.4 else 255 for _ in range(w * h))
+    for comp in (1, 4):
+        for rps in (None, 7):
+            for be in (False, True):
+                enc = tiff.encode_tiff(
+                    px, w, h, mode="1", compression=comp,
+                    rows_per_strip=rps, big_endian=be,
+                )
+                assert multimodal.decode_image_pixels(enc) == (
+                    w, h, "L", px
+                ), (comp, rps, be)
+    # photometric 1 packed bits (BlackIsZero) round-trips too
+    enc = tiff.encode_tiff(px, w, h, mode="1", compression=1,
+                           photometric=1)
+    assert multimodal.decode_image_pixels(enc) == (w, h, "L", px)
+    # deterministic fixture pin: any codec change must be deliberate
+    doc = bytes(
+        0 if (x // 4 + y // 3) % 2 == 0 and 8 < x < 120 else 255
+        for y in range(40)
+        for x in range(128)
+    )
+    enc = tiff.encode_tiff(doc, 128, 40, mode="1", compression=4)
+    got = multimodal.decode_image_pixels(enc)
+    assert got[:3] == (128, 40, "L") and got[3] == doc
+    assert hashlib.md5(enc).hexdigest() == (
+        "2cf9676b95e8f361301e8e5de8b9367a"
+    )
+
+
 def test_decoders_reject_bombs_and_truncation():
     """Review fixes pinned: (a) a GIF claiming absurd dimensions or
     carrying a truncated LZW stream rejects instead of fabricating
