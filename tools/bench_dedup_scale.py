@@ -62,7 +62,10 @@ def synth_docs(spark, n: int):
 
 def synth_embeddings(spark, n: int):
     """(vec_id, embedding[64]): cluster members share a base vector
-    with 1e-4-scale jitter (cosine ~ 1), others pseudo-random."""
+    with 1e-4-scale jitter (cosine ~ 1), others pseudo-random.
+    Entries are CENTERED in [-0.5, 0.5): all-positive vectors would
+    collapse into one hyperplane sign-bucket (sign(dot) ~ sign of the
+    plane's weight sum) and measure the cap, not the operator."""
     from pyspark.sql import functions as F
 
     df = spark.range(n).withColumnRenamed("id", "vec_id")
@@ -74,6 +77,7 @@ def synth_embeddings(spark, n: int):
         lambda j: (
             F.pmod(F.hash(seed * 977 + j), F.lit(1000)).cast("double")
             / 1000.0
+            - 0.5
             + (F.col("vec_id") % 20).cast("double") * 0.0001
         ).cast("float"),
     )
