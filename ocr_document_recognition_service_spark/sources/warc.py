@@ -336,8 +336,11 @@ def read_warc_stream(
     files = (
         spark.read.format("binaryFile").load(path_glob).select("path")
     )
+    # column-less repartition = ROUND-ROBIN: files spread evenly over
+    # tasks (hashing by path leaves ~1/e of tasks empty and doubles up
+    # others — the stragglers gate the wall)
     files = files.repartition(
-        num_tasks or spark.sparkContext.defaultParallelism, "path"
+        num_tasks or spark.sparkContext.defaultParallelism
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

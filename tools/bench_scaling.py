@@ -16,7 +16,7 @@ Method
   (Spark scaling ÷ same-box pure-process scaling), the latter being
   the sandbox's faithful proxy for executor scaling.
 
-Writes BENCH/BASELINE.md.  Usage:
+Rewrites ONLY its own BENCH/BASELINE.md section.  Usage:
     python3 tools/bench_scaling.py [n_docs]
 """
 
@@ -85,6 +85,9 @@ def kernel_rate(procs: int, n: int = N_KERNEL) -> float:
         p.map(_kernel_work, chunks)
         dt = time.time() - t0
     return n / dt
+
+
+SECTION = "## Latest scaling re-run (tools/bench_scaling.py)"
 
 
 def main() -> int:
@@ -171,15 +174,12 @@ def main() -> int:
     )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = f"""# BENCH — measured throughput & scaling evidence
+    md = f"""{SECTION}
 
-Common method: full pipeline (lang routing, salting, normalization,
-reassembly) over lang-partitioned parquet, fresh JVM per leg,
-**taskset-pinned to exactly N cores** (with pandas UDFs an un-pinned
-local[N] silently borrows extra physical cores for its Python worker
-processes), steady-state (min of warm runs) timed, 16 MB scan splits.
+Freshest run of the method above (fresh pinned JVM per leg, min of
+warm runs; fold into the per-session history table when coherent).
 
-## Strong scaling: same {N_DOCS:,}-doc input, local[8] vs local[32]
+### Strong scaling: same {N_DOCS:,}-doc input, local[8] vs local[32]
 
 {PARTITIONS} url-hash partitions.
 
@@ -201,7 +201,7 @@ processes), steady-state (min of warm runs) timed, 16 MB scan splits.
   pure-process scaling) = **{norm_eff:.2f}** — the sandbox's faithful
   proxy for executor-level scaling efficiency (target ≥ 0.8).
 
-## Weak scaling: fixed work PER CORE (the cluster-shaped story)
+### Weak scaling: fixed work PER CORE (the cluster-shaped story)
 
 local[8] on {n_small:,} docs vs local[32] on {N_DOCS:,} docs — 4× the
 cores get 4× the data, the shape an actual N → 4N cluster scale-out
@@ -231,8 +231,22 @@ count is the only scale knob — the property the 0.8 target encodes.
 
 Generated by `tools/bench_scaling.py {N_DOCS}`.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    cur = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            cur = f.read()
+    # idempotent section-replace: NEVER truncate other sections (the r4
+    # wholesale overwrite silently dropped endurance/A-B history)
+    if SECTION in cur:
+        start = cur.index(SECTION)
+        nxt = cur.find("\n## ", start + len(SECTION))
+        end = len(cur) if nxt == -1 else nxt + 1
+        cur = cur[:start] + md + cur[end:]
+    else:
+        cur = cur.rstrip() + "\n\n" + md
+    with open(path, "w") as f:
+        f.write(cur)
     print(md)
     return 0
 
