@@ -553,12 +553,15 @@ def embedding_dup_pairs(
     *n_planes* is given, the hyperplane count is auto-derived as
     ``planes_for_corpus(n_vectors)`` — from the explicit *n_vectors*
     when the caller already knows the corpus size (a catalog row
-    count; free), else from one cheap ``emb.count()`` (a count-star
-    scan, the price of not guessing).  Expected bucket population then
-    stays ≈64 as N grows instead of N/2^6.  Callers that need a
-    REPRODUCIBLE plan across corpus sizes (the dd5 registry query,
-    whose SQL oracle inlines the plane literals) pass *n_planes*
-    explicitly.
+    count; free), else from one ``emb.count()``.  NOTE: that count is
+    an EAGER Spark job at plan-construction time — if *emb* is derived
+    from an expensive (e.g. UDF-bearing) upstream plan, pass
+    *n_vectors* or persist the input first, or the upstream subtree
+    executes once for the count and again for the returned frame.
+    Expected bucket population then stays ≈64 as N grows instead of
+    N/2^6.  Callers that need a REPRODUCIBLE plan across corpus sizes
+    (the dd5 registry query, whose SQL oracle inlines the plane
+    literals) pass *n_planes* explicitly.
 
     Candidates = same-bucket pairs from ``similarity.lsh_buckets`` — at
     100 TB the bucket id is the partition key.  With *n_planes* fixed

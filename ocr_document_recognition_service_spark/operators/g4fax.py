@@ -231,11 +231,15 @@ def _read_mode(br: _BitReader):
     return "EOFB"
 
 
-def _read_run(br: _BitReader, color: int) -> int:
-    """One MH run: zero or more make-ups then a terminating code."""
+def _read_run(br: _BitReader, color: int, limit: int) -> int:
+    """One MH run: zero or more make-ups then a terminating code.
+    *limit* (the line width) bounds both the total and the number of
+    chained make-ups — a legal run can chain ~limit/2560 max-length
+    make-ups (wide ledger/panorama scans), while corrupt input that
+    never terminates is cut off."""
     tree = _RUN_TREES[color]
     total = 0
-    for _ in range(16):  # a legal run is at most a few chained codes
+    for _ in range(limit // 2560 + 2):
         code, n = 0, 0
         while n < 14:
             code = (code << 1) | br.bit()
@@ -246,6 +250,8 @@ def _read_run(br: _BitReader, color: int) -> int:
         else:
             raise ValueError("bad run code")
         total += run
+        if total > limit:
+            raise ValueError("run exceeds line width")
         if run < 64:  # terminating code ends the run
             return total
     raise ValueError("make-up chain too long")
@@ -309,8 +315,8 @@ def g4_decode(data: bytes, w: int, h: int) -> bytes | None:
                         return None
                     a0 = b2
                 elif m == "H":
-                    r1 = _read_run(br, color)
-                    r2 = _read_run(br, 1 - color)
+                    r1 = _read_run(br, color, w)
+                    r2 = _read_run(br, 1 - color, w)
                     a1 = (a0 if a0 > 0 else 0) + r1
                     a2 = a1 + r2
                     if a2 > w or (cur and a1 <= cur[-1]):

@@ -150,6 +150,10 @@ def parse_warc_bytes(
             length = int(headers.get("content-length", "0"))
         except ValueError:
             length = 0
+        # a crafted negative length would rewind pos BEFORE this record
+        # and re-find it forever (review-verified hang) — clamp, so pos
+        # always advances past the header block
+        length = max(length, 0)
         body_start = head_end + 4
         body = blob[body_start : body_start + length]
         pos = body_start + length
@@ -178,11 +182,12 @@ def iter_warc_chunks(
     Peak memory is O(chunk + min(record, cap)) — the input is never
     concatenated.  A record whose body exceeds
     ``max_payload_bytes + 64 KiB`` is retained only up to that prefix;
-    the remainder is consumed and DISCARDED, and because the kept
-    prefix exceeds the extraction kernel's ``max_bytes`` even after
-    the HTTP envelope is stripped, the row flows through extraction as
-    the standard ``PayloadTooLarge`` error row instead of masquerading
-    as truncated-but-valid content.  Malformed header blocks (no
+    the remainder is consumed and DISCARDED, and any truncated record
+    is GUARANTEED to leave with a payload longer than
+    ``max_payload_bytes`` (padded past the cap when envelope stripping
+    would dip under it), so it can only surface downstream as the
+    standard ``PayloadTooLarge`` error row — never as
+    truncated-but-valid content.  Malformed header blocks (no
     terminator within 1 MiB) are resynced past rather than ballooning
     the buffer.
 
@@ -263,12 +268,19 @@ def iter_warc_chunks(
             except ValueError:
                 ts = None
         body = bytes(kept)
-        # strip the HTTP envelope; search window bounded so giant
-        # hostile headers cannot force a full-body scan — if the split
-        # isn't found the whole kept body (> kernel cap) flows on and
-        # is flagged downstream
-        http_split = body.find(_CRLF + _CRLF, 0, _ENVELOPE_ALLOWANCE)
+        # strip the HTTP envelope over the WHOLE kept body (already
+        # memory-bounded by keep_cap) — an envelope search window
+        # smaller than the kept body diverged from parse_warc_bytes on
+        # well-formed records with large HTTP headers (review finding)
+        http_split = body.find(_CRLF + _CRLF)
         payload = body[http_split + 4:] if http_split != -1 else body
+        if length > keep_cap and len(payload) <= max_payload_bytes:
+            # the record WAS truncated but envelope stripping pulled the
+            # kept prefix back under the kernel cap (oversized envelope /
+            # boundary cases) — pad deterministically past the cap so
+            # the row can only surface as PayloadTooLarge, never as
+            # silently truncated content
+            payload += b"\x00" * (max_payload_bytes + 1 - len(payload))
         if url:
             yield url, ts, payload
 

@@ -1497,6 +1497,11 @@ def test_g4_fax_codec_roundtrips():
         dens = rng.choice([0.05, 0.3, 0.5, 0.9])
         px = [1 if rng.random() < dens else 0 for _ in range(w * hh)]
         rt(px, w, hh, f"rand {trial}")
+    # review regression: a wide-ledger line whose run chains MORE
+    # make-ups than the old fixed 16-code cap (40,000 px white run)
+    w = 40_100
+    px = [0] * 40_000 + [1] * 50 + [0] * 50
+    rt(px, w, 1, "wide ledger run")
 
 
 def test_g4_fax_rejects_malformed():

@@ -195,6 +195,68 @@ def test_read_warc_stream_matches_blob_reader(spark, tmp_path, corpus_rows):
         ).text
 
 
+def test_parse_negative_content_length_terminates():
+    """Review regression: a crafted 'Content-Length: -1000' rewound the
+    blob parser's cursor before the record it just read — infinite
+    loop.  Both paths must terminate and agree."""
+    from datetime import datetime
+
+    good = warc._record_bytes(
+        "https://en.ok.org/x", datetime(2024, 1, 1), b"payload"
+    )
+    evil = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://en.evil.org/y\r\n"
+        b"Content-Length: -1000\r\n\r\n" + good
+    )
+    blob_recs = list(warc.parse_warc_bytes(evil))  # must not hang
+    stream_recs = list(warc.iter_warc_chunks([evil]))
+    assert [r[0] for r in blob_recs] == [
+        "https://en.evil.org/y", "https://en.ok.org/x"
+    ]
+    assert blob_recs[-1][2] == b"payload"
+    assert stream_recs == blob_recs
+
+
+def test_stream_large_envelope_parity_and_truncation_flagging():
+    """Review regressions: (a) a well-formed record whose HTTP headers
+    exceed 64 KiB must still strip the envelope identically to the
+    blob path; (b) a TRUNCATED record whose oversized envelope pulls
+    the kept prefix back under the kernel cap must leave with a
+    payload > cap (PayloadTooLarge downstream), never as silently
+    truncated 'valid' content."""
+
+    def record(env_fill: int, payload: bytes, declared: int | None = None):
+        env = (
+            b"HTTP/1.1 200 OK\r\nX-Fill: " + b"a" * env_fill + b"\r\n\r\n"
+        )
+        body = env + payload
+        n = declared if declared is not None else len(body)
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: https://en.big.org/env\r\n"
+            b"Content-Length: " + str(n).encode() + b"\r\n\r\n"
+            + body
+        ), len(env)
+
+    # (a) 70 KiB envelope, small real payload — byte parity
+    raw, _ = record(70 << 10, b"<html>real content</html>")
+    want = list(warc.parse_warc_bytes(raw))
+    got = list(warc.iter_warc_chunks([raw]))
+    assert want[0][2] == b"<html>real content</html>"
+    assert got == want
+
+    # (b) cap-truncated record (full body present in the stream, body
+    # > keep_cap) whose 80 KiB envelope exceeds the 64 KiB allowance:
+    # kept-minus-envelope lands UNDER the cap — the parser must pad the
+    # emitted payload past the cap so it cannot pass as valid content
+    cap = 1 << 20
+    raw, env_len = record(80 << 10, b"x" * (4 << 20))
+    got = list(warc.iter_warc_chunks([raw], max_payload_bytes=cap))
+    assert len(got) == 1
+    assert len(got[0][2]) > cap  # guaranteed PayloadTooLarge downstream
+
+
 def test_parse_skips_non_response_records(tmp_path):
     p = tmp_path / "mixed.warc"
     body = b"HTTP/1.1 200 OK\r\n\r\nhello"

@@ -162,18 +162,11 @@ the corpus, not its square (asserted <= 2x drift):
 local[32]; wall is a single warm-session sample on a shared host —
 read the pairs/doc columns (deterministic), not absolute seconds.
 """
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _bench_md import replace_section
+
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(path) as f:
-        cur = f.read()
-    if SECTION in cur:
-        start = cur.index(SECTION)
-        nxt = cur.find("\n## ", start + len(SECTION))
-        end = len(cur) if nxt == -1 else nxt + 1
-        cur = cur[:start] + md + cur[end:]
-    else:
-        cur = cur.rstrip() + "\n\n" + md
-    with open(path, "w") as f:
-        f.write(cur)
+    replace_section(path, SECTION, md)
     print(f"updated {path} ({SECTION!r})")
     spark.stop()
     return 0

@@ -231,22 +231,10 @@ count is the only scale knob — the property the 0.8 target encodes.
 
 Generated by `tools/bench_scaling.py {N_DOCS}`.
 """
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    cur = ""
-    if os.path.exists(path):
-        with open(path) as f:
-            cur = f.read()
-    # idempotent section-replace: NEVER truncate other sections (the r4
-    # wholesale overwrite silently dropped endurance/A-B history)
-    if SECTION in cur:
-        start = cur.index(SECTION)
-        nxt = cur.find("\n## ", start + len(SECTION))
-        end = len(cur) if nxt == -1 else nxt + 1
-        cur = cur[:start] + md + cur[end:]
-    else:
-        cur = cur.rstrip() + "\n\n" + md
-    with open(path, "w") as f:
-        f.write(cur)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _bench_md import replace_section
+
+    replace_section(os.path.join(REPO, "BENCH", "BASELINE.md"), SECTION, md)
     print(md)
     return 0
 
