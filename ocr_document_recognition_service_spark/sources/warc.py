@@ -352,16 +352,32 @@ def read_warc_stream(
     ``num_tasks`` overrides the spread when a few large files should
     not hash-collide onto one executor.
     """
-    from ..pydeps import ensure_py_deps
-
-    ensure_py_deps(spark)
     files = (
         spark.read.format("binaryFile").load(path_glob).select("path")
     )
+    return pages_from_file_listing(
+        spark, files, infer_lang_from_host, max_payload_bytes, num_tasks
+    )
+
+
+def pages_from_file_listing(
+    spark: SparkSession,
+    files: DataFrame,
+    infer_lang_from_host: bool = True,
+    max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Record-stream the WARC files named by a ``path`` column into the
+    pages shape — the shared tail of ``read_warc_stream`` (batch glob)
+    and ``streaming.incremental.incremental_warc_extract`` (file-stream
+    micro-batches, which pass an explicit path list)."""
+    from ..pydeps import ensure_py_deps
+
+    ensure_py_deps(spark)
     # column-less repartition = ROUND-ROBIN: files spread evenly over
     # tasks (hashing by path leaves ~1/e of tasks empty and doubles up
     # others — the stragglers gate the wall)
-    files = files.repartition(
+    files = files.select("path").repartition(
         num_tasks or spark.sparkContext.defaultParallelism
     )
 

@@ -74,3 +74,70 @@ def incremental_extract(
         .start()
         .awaitTermination()
     )
+
+
+def incremental_warc_extract(
+    spark: SparkSession,
+    input_glob: str,
+    output_path: str,
+    stream_checkpoint: str,
+    *,
+    salt_threshold: int = 64 * 1024,
+    num_partitions: int = 32,
+    max_files_per_trigger: int = 8,
+    infer_lang_from_host: bool = True,
+) -> None:
+    """Continuous-crawl ingestion: drain newly-arrived ``.warc(.gz)``
+    archives through the record-streaming parse and the SAME batch
+    extraction plan, exactly once.
+
+    The file stream carries only the archive LISTING: each micro-batch
+    collects its (tiny — file paths, bounded by maxFilesPerTrigger)
+    new-path list on the driver and hands it to
+    ``warc.pages_from_file_listing``, so archive bytes are only ever
+    touched by the bounded-memory record parser in executors — never
+    by the streaming source itself (no 2 GB binaryFile materialization,
+    independent of streaming column-pruning behavior).  Offsets are
+    checkpointed per FILE (an archive is ingested once across
+    restarts) and the sink dynamically overwrites the batch's own
+    ``batch_id`` partition, so a replayed micro-batch replaces its
+    output instead of duplicating — the same exactly-once pattern as
+    ``incremental_extract``.
+    """
+    from ..sources import warc
+
+    # streaming sources demand an explicit schema; binaryFile's is
+    # fixed — and selecting only `path` keeps content unread
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(input_glob)
+        .select("path")
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        paths = [r["path"] for r in batch_df.collect()]  # listing only
+        if not paths:
+            return
+        files = spark.createDataFrame([(p,) for p in paths], "path string")
+        pages = warc.pages_from_file_listing(
+            spark, files, infer_lang_from_host=infer_lang_from_host
+        )
+        out = extract_pages(
+            pages,
+            salt_threshold=salt_threshold,
+            num_partitions=num_partitions,
+        ).withColumn("batch_id", F.lit(batch_id))
+        write_batch_idempotent(out, output_path)
+
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

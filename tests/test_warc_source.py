@@ -257,6 +257,61 @@ def test_stream_large_envelope_parity_and_truncation_flagging():
     assert len(got[0][2]) > cap  # guaranteed PayloadTooLarge downstream
 
 
+def test_incremental_warc_extract_exactly_once(spark, tmp_path):
+    """r5: continuous-crawl ingestion — .warc.gz archives arriving over
+    time drain through the record-streaming parse + the batch
+    extraction plan exactly once (checkpointed per file, idempotent
+    batch_id partitions), byte-identical to the oracle."""
+    from ocr_document_recognition_service_spark import gen_pages
+    from ocr_document_recognition_service_spark.streaming.incremental import (
+        incremental_warc_extract,
+    )
+
+    rows = list(gen_pages.gen_rows(80))
+    src = tmp_path / "crawl"
+    src.mkdir()
+    out = str(tmp_path / "warc_out")
+    ck = str(tmp_path / "warc_ck")
+
+    def drop(name, chunk):
+        warc.write_warc_gz(
+            str(src / name),
+            [(r["url"], r["warc_ts"], r["html"]) for r in chunk],
+        )
+
+    drop("seg0.warc.gz", rows[:30])
+    drop("seg1.warc.gz", rows[30:55])
+    incremental_warc_extract(
+        spark, str(src / "*.warc.gz"), out, ck, num_partitions=4
+    )
+    got = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert len(got) == 55
+    for r in rows[:55]:
+        lang = r["url"].split("//")[1][:2]
+        assert got[r["url"]] == extract_one.extract_document(
+            r["html"], lang
+        ).text
+
+    # drain with nothing new: exactly-once, nothing re-ingested
+    incremental_warc_extract(
+        spark, str(src / "*.warc.gz"), out, ck, num_partitions=4
+    )
+    assert spark.read.parquet(out).count() == 55
+
+    # a late archive arrives: only its records are processed
+    drop("seg2.warc.gz", rows[55:])
+    incremental_warc_extract(
+        spark, str(src / "*.warc.gz"), out, ck, num_partitions=4
+    )
+    got2 = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert len(got2) == 80
+    for r in rows:
+        lang = r["url"].split("//")[1][:2]
+        assert got2[r["url"]] == extract_one.extract_document(
+            r["html"], lang
+        ).text
+
+
 def test_parse_skips_non_response_records(tmp_path):
     p = tmp_path / "mixed.warc"
     body = b"HTTP/1.1 200 OK\r\n\r\nhello"
