@@ -69,11 +69,22 @@ def _parse_warc_date(s: str) -> dt.datetime | None:
     (profiled); anything else falls back to strptime, so behavior is
     unchanged."""
     try:
-        if len(s) == 20 and s[10] == "T" and s[19] == "Z":
-            return dt.datetime(
-                int(s[0:4]), int(s[5:7]), int(s[8:10]),
-                int(s[11:13]), int(s[14:16]), int(s[17:19]),
-            )
+        if (
+            len(s) == 20
+            and s[4] == s[7] == "-"
+            and s[10] == "T"
+            and s[13] == s[16] == ":"
+            and s[19] == "Z"
+            and s.isascii()
+        ):
+            # every remaining position must be a plain digit — int()
+            # alone would admit signs/padding that strptime rejects
+            digits = s[0:4] + s[5:7] + s[8:10] + s[11:13] + s[14:16] + s[17:19]
+            if digits.isdigit():
+                return dt.datetime(
+                    int(s[0:4]), int(s[5:7]), int(s[8:10]),
+                    int(s[11:13]), int(s[14:16]), int(s[17:19]),
+                )
         return dt.datetime.strptime(s, _WARC_DATE_FMT)
     except ValueError:
         return None

@@ -34,6 +34,37 @@ def write_batch_idempotent(out, output_path: str) -> None:
     )
 
 
+def _extract_and_sink(
+    pages_df,
+    batch_id: int,
+    output_path: str,
+    salt_threshold: int,
+    num_partitions: int,
+) -> None:
+    """Shared micro-batch tail of both ingestion paths: the batch
+    extraction plan + the idempotent batch_id-partition sink.  ONE
+    copy so the exactly-once contract cannot drift between the parquet
+    and WARC streams (review finding)."""
+    out = extract_pages(
+        pages_df,
+        salt_threshold=salt_threshold,
+        num_partitions=num_partitions,
+    ).withColumn("batch_id", F.lit(batch_id))
+    write_batch_idempotent(out, output_path)
+
+
+def _drain(stream, process_batch, stream_checkpoint: str) -> None:
+    """Shared foreachBatch drain: checkpointed offsets +
+    availableNow trigger (drain everything pending, then stop)."""
+    (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", stream_checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def incremental_extract(
     spark: SparkSession,
     input_dir: str,
@@ -60,20 +91,11 @@ def incremental_extract(
     )
 
     def process_batch(batch_df, batch_id: int) -> None:
-        out = extract_pages(
-            batch_df,
-            salt_threshold=salt_threshold,
-            num_partitions=num_partitions,
-        ).withColumn("batch_id", F.lit(batch_id))
-        write_batch_idempotent(out, output_path)
+        _extract_and_sink(
+            batch_df, batch_id, output_path, salt_threshold, num_partitions
+        )
 
-    (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", stream_checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _drain(stream, process_batch, stream_checkpoint)
 
 
 def incremental_warc_extract(
@@ -127,17 +149,8 @@ def incremental_warc_extract(
         pages = warc.pages_from_file_listing(
             spark, files, infer_lang_from_host=infer_lang_from_host
         )
-        out = extract_pages(
-            pages,
-            salt_threshold=salt_threshold,
-            num_partitions=num_partitions,
-        ).withColumn("batch_id", F.lit(batch_id))
-        write_batch_idempotent(out, output_path)
+        _extract_and_sink(
+            pages, batch_id, output_path, salt_threshold, num_partitions
+        )
 
-    (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", stream_checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    _drain(stream, process_batch, stream_checkpoint)

@@ -257,6 +257,42 @@ def test_stream_large_envelope_parity_and_truncation_flagging():
     assert len(got[0][2]) > cap  # guaranteed PayloadTooLarge downstream
 
 
+def test_warc_date_hand_parse_matches_strptime():
+    """The hand-cut canonical-layout fast path must be EXACTLY as
+    strict as the strptime it bypasses (review regression: separator
+    positions and sign/space-padded ints were admitted)."""
+    import datetime as _dt
+    import random as _r
+
+    def ref(s):
+        try:
+            return _dt.datetime.strptime(s, warc._WARC_DATE_FMT)
+        except ValueError:
+            return None
+
+    cases = [
+        "2024-01-02T03:04:05Z", "2024/01/02T03:04:05Z",
+        "2024x01x02T03x04x05Z", "2024-01-02T03:04: 5Z",
+        "2024-01-02T03:04:+5Z", "2024-13-02T03:04:05Z",
+        "2024-01-02t03:04:05Z", "٢٠٢٤-01-02T03:04:05Z",
+        "2024-01-02T03:04:05 ", "",
+    ]
+    rng = _r.Random(1)
+    for _ in range(3000):
+        cases.append("".join(
+            rng.choice("0123456789-T:Z /x+")
+            for _ in range(rng.choice([19, 20, 21]))
+        ))
+    for _ in range(500):
+        d = _dt.datetime(
+            rng.randint(1, 9999), rng.randint(1, 12), rng.randint(1, 28),
+            rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59),
+        )
+        cases.append(d.strftime(warc._WARC_DATE_FMT))
+    for s in cases:
+        assert warc._parse_warc_date(s) == ref(s), s
+
+
 def test_incremental_warc_extract_exactly_once(spark, tmp_path):
     """r5: continuous-crawl ingestion — .warc.gz archives arriving over
     time drain through the record-streaming parse + the batch
