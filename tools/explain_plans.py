@@ -132,6 +132,49 @@ def main() -> int:
         )
     )
 
+    # 9. r5 — WARC streaming ingest + extraction: the binaryFile scan
+    #    reads ONLY `path` (listing, not content — ReadSchema proves no
+    #    blob is materialized); record parse and extraction are two
+    #    ArrowEvalPython stages with no exchange of html between them
+    from ocr_document_recognition_service_spark.sources import warc as _warc
+
+    wd = tempfile.mkdtemp()
+    rows = list(gen_pages.gen_rows(30))
+    _warc.write_warc_gz(
+        wd + "/seg0.warc.gz",
+        [(r["url"], r["warc_ts"], r["html"]) for r in rows],
+    )
+    sections.append(
+        (
+            "read_warc_stream → extract_pages (r5)",
+            "binaryFile scan ReadSchema = struct<path:string> — the "
+            "archive LISTING only, so the 2 GB content cap never "
+            "applies and bytes are touched only by the bounded-memory "
+            "record parser; one round-robin exchange of PATHS (tiny), "
+            "then parse and the per-lang extract branches run with no "
+            "shuffle of html anywhere.",
+            plan_of(
+                extract_pages(
+                    _warc.read_warc_stream(spark, wd + "/*.warc.gz"),
+                    num_partitions=8,
+                )
+            ),
+        )
+    )
+
+    # 10. r5 — IVF multi-probe: query side = rn≤2 nearest cells, index
+    #     side = capped primary assignment (WindowGroupLimit, broadcast)
+    sections.append(
+        (
+            "sim6_ivf_multiprobe",
+            "broadcast centroid arrays; both rank filters are windows "
+            "over the tiny (vec_id, cell, dist2) projection; the capped "
+            "index side shows WindowGroupLimit before its exchange; the "
+            "probe join is keyed on cell — no all-pairs shape.",
+            plan_of(REGISTRY["sim6_ivf_multiprobe"].spark(spark, SF)),
+        )
+    )
+
     out = ["# PLANS — physical plans for the load-bearing queries\n"]
     out.append(
         "Regenerate with `python3 tools/explain_plans.py`.  What to look "
