@@ -350,3 +350,66 @@ def redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(t, F.lit(NUM_RE))).cast("long").alias("n_nums"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def _gram_rows(
+    df: DataFrame, n: int, text_col: str
+) -> DataFrame:
+    """(doc_id, g): every word *n*-gram of every doc — words via THE
+    shared ``words_arr`` tokenizer (oracle lock-step), grams sliced
+    from the staged array (lambda-CSE pitfall), docs shorter than *n*
+    words contribute none."""
+    staged = df.select("doc_id", words_arr(F.col(text_col)).alias("_w"))
+    grams = (
+        F.when(
+            F.size("_w") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - n),
+                lambda k: F.array_join(F.slice("_w", k + 1, n), " "),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return staged.select("doc_id", F.explode(grams).alias("g"))
+
+
+def contamination_flags(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 §C / Gopher pretraining
+    staple): flag every document sharing ANY word *n*-gram with the
+    probe (evaluation/benchmark) corpus, so training data can be
+    scrubbed of test-set leakage.
+
+    Returns (doc_id, n_hits, contaminated): *n_hits* = number of
+    n-gram OCCURRENCES in the doc that appear anywhere in the probe
+    set; every doc gets a row (zero-hit docs included — the common
+    downstream move is an anti-join on ``contaminated``).
+
+    100 TB shape: the probe set is an eval suite — tiny next to the
+    corpus (≲1e6 distinct grams) — so its DISTINCT grams BROADCAST and
+    the corpus side is one linear gram explode hit by a broadcast hash
+    join; the corpus is never shuffled, and the only exchange is the
+    per-doc count aggregation on doc_id (narrow rows).  At larger
+    probe sets swap the broadcast for a bloom-filter pushdown; the
+    plan shape is otherwise unchanged.
+    """
+    probe_grams = _gram_rows(probes, n, text_col).select("g").distinct()
+    hits = (
+        _gram_rows(docs, n, text_col)
+        .join(F.broadcast(probe_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -2284,6 +2284,42 @@ def ta9_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return text_analysis.unigram_logprob(load(spark, sf, "documents"))
 
 
+@_reg(
+    "ta10_decontaminate",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    dg AS (
+      SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      FROM w, unnest(range(1, greatest(len(w) - 8 + 1, 0) + 1)) AS t(i)
+    ),
+    pg AS (SELECT DISTINCT g FROM dg WHERE doc_id < 5),
+    hits AS (
+      SELECT dg.doc_id, count(*) AS n_hits
+      FROM dg JOIN pg USING (g)
+      GROUP BY dg.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    "benchmark decontamination (GPT-3 SC / Gopher staple): flag docs "
+    "sharing ANY word 8-gram with the probe corpus (here: doc_id < 5 "
+    "standing in for an eval suite); probe grams broadcast, corpus "
+    "never shuffled, one narrow per-doc count exchange",
+)
+def ta10_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return text_analysis.contamination_flags(
+        docs, docs.filter(F.col("doc_id") < 5), n=8
+    )
+
+
 # =====================================================================
 # Events aggregation
 # =====================================================================

@@ -13,6 +13,7 @@ from ocr_document_recognition_service_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    text_analysis,
 )
 
 pytestmark = pytest.mark.spark
@@ -908,6 +909,38 @@ def test_embedding_dup_pairs_auto_planes(spark, monkeypatch):
     dedup.embedding_dup_pairs(emb, n_vectors=10**6, threshold=0.99)
     assert seen == [10**6]  # caller-supplied size: no count scan
     assert real(1_000) < real(10**6) < real(10**9)
+
+
+def test_contamination_flags_ngram_semantics(spark):
+    """r5: benchmark decontamination — exactly the docs sharing a word
+    8-gram with the probe set are flagged; 7-word overlaps and
+    sub-8-word docs never are; hit counts are occurrence counts."""
+    probe_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = spark.createDataFrame(
+        [
+            (0, probe_text),  # the probe doc itself: trivially flagged
+            (1, "xx alpha beta gamma delta epsilon zeta eta theta yy"),
+            (2, "alpha beta gamma delta epsilon zeta eta SWAP iota"),
+            (3, "alpha beta gamma delta epsilon zeta eta"),  # 7 words
+            (4, "unrelated words entirely different from the probe set x"),
+            # contains the same 8-gram TWICE -> n_hits 2
+            (5, "alpha beta gamma delta epsilon zeta eta theta pad "
+                "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in text_analysis.contamination_flags(
+            docs, docs.filter(F.col("doc_id") == 0), n=8
+        ).collect()
+    }
+    assert out[0] == (2, True)   # probe doc: grams at offsets 0 and 1
+    assert out[1] == (1, True)   # embedded 8-gram
+    assert out[2] == (0, False)  # one word swapped mid-gram: no 8-gram
+    assert out[3] == (0, False)  # shorter than n
+    assert out[4] == (0, False)
+    assert out[5] == (2, True)   # occurrence count, not boolean
 
 
 def test_ivf_multiprobe_recovers_boundary_misses(spark):
