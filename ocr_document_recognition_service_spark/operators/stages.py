@@ -123,6 +123,29 @@ def redact_stage(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(text_col, text_analysis.redacted_col(text_col))
 
 
+@stage("decontaminate")
+def decontaminate(
+    df: DataFrame,
+    probe_parquet: str,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination as a pipeline stage: DROP every doc
+    sharing any word *n*-gram with the probe corpus at *probe_parquet*
+    (a doc_id/text parquet — the eval suite), via an anti-join on
+    ``text_analysis.contamination_flags``.  Config-serializable by
+    path, so the curation config can name its benchmark set the way
+    the reference's Hydra config names its datasets."""
+    spark = df.sparkSession
+    probes = spark.read.parquet(probe_parquet).select("doc_id", text_col)
+    flagged = (
+        text_analysis.contamination_flags(df, probes, n=n, text_col=text_col)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    return df.join(flagged, "doc_id", "left_anti")
+
+
 @stage("lang_filter")
 def lang_filter(df: DataFrame, langs: list[str] | None = None) -> DataFrame:
     """Keep only the named languages (branch routing; with a

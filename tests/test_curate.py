@@ -152,3 +152,29 @@ def test_full_pipeline_composes_from_config(spark):
     assert {tuple(r) for r in stats.collect()} == {
         tuple(r) for r in ref["stats"].collect()
     }
+
+
+def test_decontaminate_stage_drops_leaked_docs(spark, tmp_path):
+    """r5: the decontaminate stage anti-joins docs sharing any word
+    8-gram with the probe parquet — a config-serializable benchmark
+    scrub composable anywhere in the curation pipeline."""
+    from ocr_document_recognition_service_spark.operators import stages
+
+    bench_text = "q one two three four five six seven eight nine ten"
+    probe = spark.createDataFrame(
+        [(100, bench_text)], "doc_id: long, text: string"
+    )
+    probe_path = str(tmp_path / "benchmark.parquet")
+    probe.write.parquet(probe_path)
+
+    docs = spark.createDataFrame(
+        [
+            (0, "clean document with entirely original content here ok"),
+            (1, "leaked one two three four five six seven eight tail"),
+            (2, "one two three four five six seven only shares seven"),
+        ],
+        "doc_id: long, text: string",
+    )
+    cfg = [{"stage": "decontaminate", "probe_parquet": probe_path, "n": 8}]
+    kept = {r["doc_id"] for r in stages.run_pipeline(docs, cfg).collect()}
+    assert kept == {0, 2}  # doc 1 carries an 8-gram of the benchmark
