@@ -2964,6 +2964,8 @@ _DRIVER_WINDOW: list[str] = [
     "ta2_quality_score",
     "ta4_token_stats", "ta6_redact",
     "ta7_repetition", "ta8_tfidf_topk", "ta9_unigram_logprob",
+    # r5's new decontamination operator: first driver certification
+    "ta10_decontaminate",
     # label sources
     "lab1_yolo_boxes",
     # events / advanced relational (ev2/ev3/ev6 out r5 — grouping-sets
@@ -2971,8 +2973,9 @@ _DRIVER_WINDOW: list[str] = [
     # driver rows)
     "ev0_json_props", "ev4_asof_join",
     "ev5_range_join", "ev7_grouping_sets",
-    # filters & scalar functions
-    "f1_vocab_filter", "f2_dim_filter", "f3_token_len_filter",
+    # filters & scalar functions (f1 rotated out r5 for ta10 — the
+    # vocab-predicate family stays covered by f2/f3/f5)
+    "f2_dim_filter", "f3_token_len_filter",
     "f5_homoglyph_translate",
     "f8_base64_roundtrip", "f9_top_orders",
     # accuracy metrics (a1 out r5 — IoU is a2's building block)
