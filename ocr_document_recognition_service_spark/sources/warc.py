@@ -332,6 +332,138 @@ def iter_warc_records(
     return iter_warc_chunks(_open_chunks(path), max_payload_bytes)
 
 
+# ---------------------------------------------------------------------
+# Sub-file range splitting (.warc.gz): a few giant archives must not
+# straggle single tasks.  Common Crawl's member-per-record layout makes
+# byte ranges syncable: a task owning [start, end) scans RAW bytes for
+# the gzip magic, validates a candidate by decompressing its first
+# bytes (must yield "WARC/"), and processes every member whose
+# COMPRESSED start lies in its range — each member is owned by exactly
+# one range, so the union over ranges is exactly the file, duplicate-
+# and gap-free.  A single-member archive degenerates gracefully: range
+# 0 owns the whole member (split cannot help, memory stays bounded).
+# ---------------------------------------------------------------------
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+_SYNC_VALIDATE_BYTES = 10  # decompressed prefix that must be "WARC/1.0\r\n"
+
+
+def _validate_member(buf: bytes, off: int) -> bool:
+    """Does a real gzip member whose decompressed stream starts with a
+    WARC header begin at *off*?  (Raw compressed bytes can contain the
+    3-byte magic by chance — decompression is the arbiter.)"""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    try:
+        out = d.decompress(buf[off:off + 512], _SYNC_VALIDATE_BYTES)
+    except zlib.error:
+        return False
+    return out.startswith(b"WARC/"[: len(out)]) and len(out) > 0
+
+
+def _range_chunks(
+    path: str, start: int, end: int
+) -> Iterator[bytes]:
+    """Decompressed chunks of every gzip member whose compressed start
+    lies in [*start*, *end*) — the member-ownership contract above.
+    Peak memory O(chunk); members crossing *end* are finished by their
+    owning range."""
+    import zlib
+
+    with open(path, "rb") as f:
+        # --- sync: find the first owned member (streamed scan — a
+        # range of a single-member archive contains no member start and
+        # must reject in O(chunk) memory, not buffer its whole span) ---
+        if start == 0:
+            pos = 0
+        else:
+            pos = None
+            f.seek(start)
+            buf = b""
+            base = start  # file offset of buf[0]
+            overlap = len(_GZ_MAGIC) + 512  # validator lookahead
+            while pos is None:
+                chunk = f.read(_CHUNK_BYTES)
+                if not chunk:
+                    return  # EOF before any owned member
+                buf += chunk
+                i = 0
+                while True:
+                    j = buf.find(_GZ_MAGIC, i)
+                    if j == -1:
+                        break  # refill
+                    if base + j >= end:
+                        return  # earliest candidate already past range
+                    if (
+                        len(buf) - j < overlap
+                        and len(chunk) == _CHUNK_BYTES
+                    ):
+                        break  # candidate near buffer end: refill first
+                    if _validate_member(buf, j):
+                        pos = base + j
+                        break
+                    i = j + 1
+                if pos is not None:
+                    break
+                if base + len(buf) >= end:
+                    return  # scanned the whole range: nothing starts here
+                if len(buf) > overlap:
+                    base += len(buf) - overlap
+                    buf = buf[-overlap:]
+        f.seek(pos)
+        d = zlib.decompressobj(wbits=31)
+        while True:
+            raw = f.read(_CHUNK_BYTES)
+            if not raw:
+                # truncated final member: whatever decompressed was
+                # yielded; iter_warc_chunks drops the torn record
+                return
+            pos += len(raw)
+            data = raw
+            while data:
+                out = d.decompress(data, _CHUNK_BYTES)
+                if out:
+                    yield out
+                if d.eof:
+                    tail = d.unused_data
+                    # next member's compressed offset
+                    member_start = pos - len(tail)
+                    if member_start >= end:
+                        return  # next member owned by a later range
+                    d = zlib.decompressobj(wbits=31)
+                    data = tail
+                elif d.unconsumed_tail:
+                    data = d.unconsumed_tail
+                else:
+                    data = b""
+
+
+def iter_warc_range(
+    path: str,
+    start: int,
+    end: int,
+    max_payload_bytes: int = MAX_PAYLOAD_BYTES,
+) -> Iterator[tuple[str, dt.datetime | None, bytes]]:
+    """Records of the members owned by byte range [*start*, *end*) of a
+    ``.warc.gz`` file (see ``_range_chunks`` for the ownership rule).
+
+    Plain (uncompressed) WARC cannot be range-synced safely — a
+    payload may legally CONTAIN "WARC/1.0" bytes, so any mid-file
+    marker scan can mis-split a record; for those, range 0 owns the
+    whole file and every other range yields nothing (correct, just
+    unsplit)."""
+    with open(path, "rb") as probe:
+        gz = probe.read(2) == b"\x1f\x8b"
+    if not gz:
+        if start == 0:
+            yield from iter_warc_records(path, max_payload_bytes)
+        return
+    yield from iter_warc_chunks(
+        _range_chunks(path, start, end), max_payload_bytes
+    )
+
+
 def _uri_to_path(uri: str) -> str:
     if uri.startswith("file:"):
         from urllib.parse import unquote, urlparse
@@ -346,6 +478,7 @@ def read_warc_stream(
     infer_lang_from_host: bool = True,
     max_payload_bytes: int = MAX_PAYLOAD_BYTES,
     num_tasks: int | None = None,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """Distributed record-streaming WARC → pages DataFrame (scale path).
 
@@ -359,13 +492,40 @@ def read_warc_stream(
     same footprint as a 1 MB one.
 
     Parallelism is per-file (the Common Crawl contract: ~1 GB files,
-    100k of them for a full crawl → plenty of tasks for any cluster);
-    ``num_tasks`` overrides the spread when a few large files should
-    not hash-collide onto one executor.
+    100k of them for a full crawl → plenty of tasks for any cluster).
+    When a FEW GIANT archives would straggle whole tasks, pass
+    ``split_bytes``: each file fans out into byte ranges and every
+    range processes exactly the gzip members STARTING inside it
+    (``iter_warc_range``'s sync — duplicate- and gap-free by member
+    ownership; plain uncompressed archives stay unsplit, see
+    ``iter_warc_range``).  ``num_tasks`` overrides the task spread.
     """
+    from pyspark.sql import functions as F
+
     files = (
-        spark.read.format("binaryFile").load(path_glob).select("path")
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select("path", "length")
     )
+    if split_bytes is not None:
+        n_ranges = F.greatest(
+            F.ceil(F.col("length") / F.lit(split_bytes)), F.lit(1)
+        ).cast("int")
+        files = files.select(
+            "path",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_ranges - 1),
+                    lambda i: F.struct(
+                        (i.cast("long") * split_bytes).alias("start"),
+                        F.least(
+                            (i.cast("long") + 1) * split_bytes,
+                            F.col("length"),
+                        ).alias("end"),
+                    ),
+                )
+            ).alias("_r"),
+        ).select("path", "_r.start", "_r.end")
     return pages_from_file_listing(
         spark, files, infer_lang_from_host, max_payload_bytes, num_tasks
     )
@@ -381,14 +541,19 @@ def pages_from_file_listing(
     """Record-stream the WARC files named by a ``path`` column into the
     pages shape — the shared tail of ``read_warc_stream`` (batch glob)
     and ``streaming.incremental.incremental_warc_extract`` (file-stream
-    micro-batches, which pass an explicit path list)."""
+    micro-batches, which pass an explicit path list).  When the frame
+    also carries ``start``/``end`` columns, each row is a BYTE RANGE
+    of its file and only the gzip members starting inside it are
+    parsed (sub-file parallelism for giant archives)."""
     from ..pydeps import ensure_py_deps
 
     ensure_py_deps(spark)
+    ranged = "start" in files.columns and "end" in files.columns
+    sel = ["path", "start", "end"] if ranged else ["path"]
     # column-less repartition = ROUND-ROBIN: files spread evenly over
     # tasks (hashing by path leaves ~1/e of tasks empty and doubles up
     # others — the stragglers gate the wall)
-    files = files.select("path").repartition(
+    files = files.select(*sel).repartition(
         num_tasks or spark.sparkContext.defaultParallelism
     )
 
@@ -398,6 +563,7 @@ def pages_from_file_listing(
             _BATCH_ROWS,
             _HOST_LANG_RE,
             _uri_to_path,
+            iter_warc_range,
             iter_warc_records,
         )
 
@@ -405,10 +571,21 @@ def pages_from_file_listing(
         rows: list[tuple] = []
         pend = 0
         for pdf in batches:
-            for uri in pdf["path"]:
-                for url, ts, payload in iter_warc_records(
-                    _uri_to_path(uri), max_payload_bytes
-                ):
+            if ranged:
+                work = (
+                    (u, int(s), int(e))
+                    for u, s, e in zip(pdf["path"], pdf["start"], pdf["end"])
+                )
+            else:
+                work = ((u, None, None) for u in pdf["path"])
+            for uri, rs, re_ in work:
+                local = _uri_to_path(uri)
+                rec_iter = (
+                    iter_warc_range(local, rs, re_, max_payload_bytes)
+                    if rs is not None
+                    else iter_warc_records(local, max_payload_bytes)
+                )
+                for url, ts, payload in rec_iter:
                     lang = None
                     if infer_lang_from_host:
                         m = _HOST_LANG_RE.match(url)

@@ -257,6 +257,66 @@ def test_stream_large_envelope_parity_and_truncation_flagging():
     assert len(got[0][2]) > cap  # guaranteed PayloadTooLarge downstream
 
 
+def test_warc_range_split_member_ownership(tmp_path, corpus_rows):
+    """r5 sub-file splitting: the union of iter_warc_range over ANY
+    range partition of a per-record-member .warc.gz equals the unsplit
+    record list exactly once (each gzip member owned by the range its
+    compressed start falls in — duplicate- and gap-free), including
+    split points landing mid-member and ranges holding no member."""
+    rows = corpus_rows[:120]
+    recs = [(r["url"], r["warc_ts"], r["html"]) for r in rows]
+    p = tmp_path / "cc.warc.gz"
+    warc.write_warc_gz(str(p), recs)
+    size = p.stat().st_size
+    want = sorted(warc.iter_warc_records(str(p)))
+    assert len(want) == 120
+
+    for split in (37, 500, 1024, 4096, size // 3, size, size * 2):
+        got = []
+        start = 0
+        while start < size:
+            end = min(start + split, size)
+            got.extend(warc.iter_warc_range(str(p), start, end))
+            start = end
+        assert sorted(got) == want, f"split={split}"
+
+    # single-member archive: range 0 owns everything, the rest nothing
+    one = tmp_path / "one.warc.gz"
+    warc.write_warc_gz(str(one), recs[:40], per_record_members=False)
+    osize = one.stat().st_size
+    mid = osize // 2
+    assert len(list(warc.iter_warc_range(str(one), 0, mid))) == 40
+    assert list(warc.iter_warc_range(str(one), mid, osize)) == []
+
+    # plain uncompressed archive: cannot sync safely -> range 0 owns all
+    plain = tmp_path / "plain.warc"
+    warc.write_warc(str(plain), recs[:25])
+    psize = plain.stat().st_size
+    assert len(list(warc.iter_warc_range(str(plain), 0, psize // 2))) == 25
+    assert list(warc.iter_warc_range(str(plain), psize // 2, psize)) == []
+
+
+def test_read_warc_stream_split_bytes_parity(spark, tmp_path, corpus_rows):
+    """read_warc_stream(split_bytes=...) returns exactly the unsplit
+    rows — the giant-archive fan-out changes parallelism, not data."""
+    rows = corpus_rows[:80]
+    recs = [(r["url"], r["warc_ts"], r["html"]) for r in rows]
+    warc.write_warc_gz(str(tmp_path / "a.warc.gz"), recs[:50])
+    warc.write_warc_gz(str(tmp_path / "b.warc.gz"), recs[50:])
+
+    key = lambda r: (r["url"], bytes(r["html"]), r["warc_ts"], r["lang"])
+    whole = sorted(
+        map(key, warc.read_warc_stream(
+            spark, str(tmp_path / "*.warc.gz")).collect())
+    )
+    split = sorted(
+        map(key, warc.read_warc_stream(
+            spark, str(tmp_path / "*.warc.gz"), split_bytes=2048
+        ).collect())
+    )
+    assert split == whole and len(whole) == 80
+
+
 def test_warc_date_hand_parse_matches_strptime():
     """The hand-cut canonical-layout fast path must be EXACTLY as
     strict as the strptime it bypasses (review regression: separator
