@@ -133,15 +133,16 @@ def decontaminate(
     """Benchmark decontamination as a pipeline stage: DROP every doc
     sharing any word *n*-gram with the probe corpus at *probe_parquet*
     (a doc_id/text parquet — the eval suite), via an anti-join on
-    ``text_analysis.contamination_flags``.  Config-serializable by
-    path, so the curation config can name its benchmark set the way
-    the reference's Hydra config names its datasets."""
+    ``text_analysis.contaminated_ids`` (the flagged-ids core, WITHOUT
+    contamination_flags' zero-fill left join — which would evaluate
+    this frame's possibly-UDF-bearing subtree a third time).
+    Config-serializable by path, so the curation config can name its
+    benchmark set the way the reference's Hydra config names its
+    datasets."""
     spark = df.sparkSession
     probes = spark.read.parquet(probe_parquet).select("doc_id", text_col)
-    flagged = (
-        text_analysis.contamination_flags(df, probes, n=n, text_col=text_col)
-        .filter(F.col("contaminated"))
-        .select("doc_id")
+    flagged = text_analysis.contaminated_ids(
+        df, probes, n=n, text_col=text_col
     )
     return df.join(flagged, "doc_id", "left_anti")
 

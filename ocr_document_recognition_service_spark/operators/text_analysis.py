@@ -373,6 +373,34 @@ def _gram_rows(
     return staged.select("doc_id", F.explode(grams).alias("g"))
 
 
+def _contamination_hits(
+    docs: DataFrame, probes: DataFrame, n: int, text_col: str
+) -> DataFrame:
+    """(doc_id, n_hits) for docs with ≥1 probe-n-gram occurrence —
+    the shared core of ``contamination_flags`` (which left-joins it
+    back for zero-fill) and ``contaminated_ids`` (which doesn't)."""
+    probe_grams = _gram_rows(probes, n, text_col).select("g").distinct()
+    return (
+        _gram_rows(docs, n, text_col)
+        .join(F.broadcast(probe_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Just the (doc_id) rows that share any probe n-gram — the
+    anti-join right side for a decontamination DROP, without
+    ``contamination_flags``' zero-fill left join (which would evaluate
+    the docs subtree a third time; CLAUDE.md UDF-subtree rule)."""
+    return _contamination_hits(docs, probes, n, text_col).select("doc_id")
+
+
 def contamination_flags(
     docs: DataFrame,
     probes: DataFrame,
@@ -397,13 +425,7 @@ def contamination_flags(
     probe sets swap the broadcast for a bloom-filter pushdown; the
     plan shape is otherwise unchanged.
     """
-    probe_grams = _gram_rows(probes, n, text_col).select("g").distinct()
-    hits = (
-        _gram_rows(docs, n, text_col)
-        .join(F.broadcast(probe_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
+    hits = _contamination_hits(docs, probes, n, text_col)
     return (
         docs.select("doc_id")
         .join(hits, "doc_id", "left")

@@ -346,6 +346,10 @@ def iter_warc_records(
 
 _GZ_MAGIC = b"\x1f\x8b\x08"
 _SYNC_VALIDATE_BYTES = 10  # decompressed prefix that must be "WARC/1.0\r\n"
+_SYNC_PROBE_BYTES = 4096   # compressed bytes fed to the validator — a
+                           # legitimate member must emit output within
+                           # this much input (covers long FNAME/FEXTRA
+                           # gzip headers, which 512 did not)
 
 
 def _validate_member(buf: bytes, off: int) -> bool:
@@ -356,10 +360,61 @@ def _validate_member(buf: bytes, off: int) -> bool:
 
     d = zlib.decompressobj(wbits=31)
     try:
-        out = d.decompress(buf[off:off + 512], _SYNC_VALIDATE_BYTES)
+        out = d.decompress(buf[off:off + _SYNC_PROBE_BYTES],
+                           _SYNC_VALIDATE_BYTES)
     except zlib.error:
         return False
     return out.startswith(b"WARC/"[: len(out)]) and len(out) > 0
+
+
+def _sync_member(f, start: int, end: int) -> int | None:
+    """File offset of the first validated gzip member starting in
+    [*start*, *end*), streamed in O(chunk) memory; None when no member
+    starts in the range.
+
+    A candidate found too close to the buffer tail to validate is kept
+    PENDING across refills and gets a final validation attempt at EOF —
+    the first version returned early in both situations, silently
+    dropping the member from every range (review-reproduced data
+    loss)."""
+    overlap = len(_GZ_MAGIC) + _SYNC_PROBE_BYTES
+    f.seek(start)
+    buf = b""
+    base = start          # file offset of buf[0]
+    scan_from = 0         # magic search resumes here
+    at_eof = False
+    while True:
+        j = buf.find(_GZ_MAGIC, scan_from)
+        if j != -1:
+            if base + j >= end:
+                return None  # earliest candidate already past the range
+            if len(buf) - j >= overlap or at_eof:
+                if _validate_member(buf, j):
+                    return base + j
+                scan_from = j + 1
+                continue
+            # pending: candidate needs more lookahead — refill below
+            # WITHOUT advancing scan_from
+        else:
+            # no candidate; done once every start < end is scanned with
+            # full magic visibility (magic may straddle end-1..end+1)
+            if at_eof or base + len(buf) >= end + len(_GZ_MAGIC) - 1:
+                return None
+        if at_eof:
+            return None
+        chunk = f.read(_CHUNK_BYTES)
+        if not chunk:
+            at_eof = True  # loop once more: pending candidate gets its
+            continue       # final validation with what exists
+        # trim consumed prefix, never past a pending candidate or the
+        # validator lookahead tail
+        pend = j if j != -1 else len(buf)
+        keep_from = min(pend, max(len(buf) - overlap, 0))
+        if keep_from > 0:
+            base += keep_from
+            buf = buf[keep_from:]
+            scan_from = max(scan_from - keep_from, 0)
+        buf += chunk
 
 
 def _range_chunks(
@@ -372,45 +427,12 @@ def _range_chunks(
     import zlib
 
     with open(path, "rb") as f:
-        # --- sync: find the first owned member (streamed scan — a
-        # range of a single-member archive contains no member start and
-        # must reject in O(chunk) memory, not buffer its whole span) ---
         if start == 0:
-            pos = 0
+            pos: int | None = 0
         else:
-            pos = None
-            f.seek(start)
-            buf = b""
-            base = start  # file offset of buf[0]
-            overlap = len(_GZ_MAGIC) + 512  # validator lookahead
-            while pos is None:
-                chunk = f.read(_CHUNK_BYTES)
-                if not chunk:
-                    return  # EOF before any owned member
-                buf += chunk
-                i = 0
-                while True:
-                    j = buf.find(_GZ_MAGIC, i)
-                    if j == -1:
-                        break  # refill
-                    if base + j >= end:
-                        return  # earliest candidate already past range
-                    if (
-                        len(buf) - j < overlap
-                        and len(chunk) == _CHUNK_BYTES
-                    ):
-                        break  # candidate near buffer end: refill first
-                    if _validate_member(buf, j):
-                        pos = base + j
-                        break
-                    i = j + 1
-                if pos is not None:
-                    break
-                if base + len(buf) >= end:
-                    return  # scanned the whole range: nothing starts here
-                if len(buf) > overlap:
-                    base += len(buf) - overlap
-                    buf = buf[-overlap:]
+            pos = _sync_member(f, start, end)
+            if pos is None:
+                return  # no member starts in this range
         f.seek(pos)
         d = zlib.decompressobj(wbits=31)
         while True:
@@ -502,6 +524,11 @@ def read_warc_stream(
     """
     from pyspark.sql import functions as F
 
+    if split_bytes is not None and split_bytes <= 0:
+        raise ValueError(
+            f"split_bytes must be positive, got {split_bytes} — a "
+            "non-positive split would silently truncate the corpus"
+        )
     files = (
         spark.read.format("binaryFile")
         .load(path_glob)

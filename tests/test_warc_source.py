@@ -296,6 +296,74 @@ def test_warc_range_split_member_ownership(tmp_path, corpus_rows):
     assert list(warc.iter_warc_range(str(plain), psize // 2, psize)) == []
 
 
+def test_warc_range_sync_pending_candidate_not_dropped(
+    tmp_path, corpus_rows, monkeypatch
+):
+    """Review-reproduced data loss: a member starting within the
+    validator lookahead of the range end (or found right before a
+    refill/EOF) was abandoned while pending — its records vanished
+    from EVERY range.  Repro shape: 3-member archive, boundary at
+    member2_start + 100; plus exhaustive boundary sweep and a
+    small-_CHUNK_BYTES run so the multi-chunk sync path (refill
+    deferral, buffer trim, EOF finalization) actually executes."""
+    rows = corpus_rows[:3]
+    recs = [(r["url"], r["warc_ts"], r["html"]) for r in rows]
+    p = tmp_path / "three.warc.gz"
+    warc.write_warc_gz(str(p), recs)
+    size = p.stat().st_size
+    # member offsets: scan raw bytes for the validated magic positions
+    raw = p.read_bytes()
+    starts = [
+        j for j in range(len(raw))
+        if raw[j:j + 3] == warc._GZ_MAGIC and warc._validate_member(raw, j)
+    ]
+    assert len(starts) == 3 and starts[0] == 0
+    want = sorted(warc.iter_warc_records(str(p)))
+
+    def ranged(bounds):
+        got = []
+        for s, e in bounds:
+            got.extend(warc.iter_warc_range(str(p), s, e))
+        return sorted(got)
+
+    # the reviewer's exact repro
+    x = starts[1] + 100
+    assert ranged([(0, x), (x, size)]) == want
+    # exhaustive two-range boundary sweep: every cut point, including
+    # exactly-at-member-start, magic-straddling, and lookahead-tail cuts
+    for x in range(1, size):
+        assert ranged([(0, x), (x, size)]) == want, f"boundary {x}"
+
+    # multi-chunk sync: force tiny read chunks so refill/trim/EOF paths
+    # run, over a bigger corpus and several splits
+    monkeypatch.setattr(warc, "_CHUNK_BYTES", 256)
+    rows2 = corpus_rows[:40]
+    p2 = tmp_path / "many.warc.gz"
+    warc.write_warc_gz(
+        str(p2), [(r["url"], r["warc_ts"], r["html"]) for r in rows2]
+    )
+    size2 = p2.stat().st_size
+    want2 = sorted(warc.iter_warc_records(str(p2)))
+    for split in (199, 512, 1024, size2 // 7):
+        got = []
+        s = 0
+        while s < size2:
+            e = min(s + split, size2)
+            got.extend(warc.iter_warc_range(str(p2), s, e))
+            s = e
+        assert sorted(got) == want2, f"small-chunk split={split}"
+
+
+def test_read_warc_stream_split_bytes_validation(spark, tmp_path):
+    """split_bytes <= 0 must fail loud, not silently truncate."""
+    (tmp_path / "x.warc.gz").write_bytes(b"")
+    for bad in (0, -1):
+        with pytest.raises(ValueError):
+            warc.read_warc_stream(
+                spark, str(tmp_path / "*.warc.gz"), split_bytes=bad
+            )
+
+
 def test_read_warc_stream_split_bytes_parity(spark, tmp_path, corpus_rows):
     """read_warc_stream(split_bytes=...) returns exactly the unsplit
     rows — the giant-archive fan-out changes parallelism, not data."""
