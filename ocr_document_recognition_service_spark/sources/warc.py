@@ -39,6 +39,7 @@ import datetime as dt
 import gzip
 import hashlib
 import re
+import zlib
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -310,19 +311,49 @@ def _open_chunks(path: str) -> Iterator[bytes]:
     """Fixed-size decompressed chunks from a local ``.warc`` /
     ``.warc.gz`` file.  ``gzip.GzipFile`` walks multi-member streams
     (Common Crawl's member-per-record layout) incrementally — memory
-    stays O(chunk) regardless of file size."""
-    f = open(path, "rb")
-    try:
-        magic = f.read(2)
+    stays O(chunk) regardless of file size.
+
+    A truncated or corrupt trailing member (partially-written archive
+    picked up by the file stream, torn upload) stops the chunk stream
+    instead of raising — torn-page semantics, matching ``_range_chunks``.
+    Everything decompressed before the tear still flows downstream, and
+    ``iter_warc_chunks`` drops the final partial record.  Without this,
+    ``incremental_warc_extract``'s per-file checkpoint retries the same
+    crashing file forever and the stream wedges (advisor finding).
+    ``gzip.GzipFile`` cannot provide this: its ``read()`` buffers whole
+    members internally and DISCARDS everything decompressed inside the
+    call that hits the tear — hence the explicit ``zlib`` member walk."""
+    with open(path, "rb") as f:
+        if f.read(2) != b"\x1f\x8b":
+            f.seek(0)
+            while True:
+                c = f.read(_CHUNK_BYTES)
+                if not c:
+                    return
+                yield c
+            return
         f.seek(0)
-        src = gzip.GzipFile(fileobj=f) if magic == b"\x1f\x8b" else f
+        d = zlib.decompressobj(wbits=31)
         while True:
-            c = src.read(_CHUNK_BYTES)
-            if not c:
-                return
-            yield c
-    finally:
-        f.close()
+            raw = f.read(_CHUNK_BYTES)
+            if not raw:
+                return  # truncated final member: torn-page drop
+            data = raw
+            while data:
+                try:
+                    out = d.decompress(data, _CHUNK_BYTES)
+                except zlib.error:
+                    return  # corrupt member: stop at the tear
+                if out:
+                    yield out
+                if d.eof:
+                    tail = d.unused_data
+                    d = zlib.decompressobj(wbits=31)
+                    data = tail
+                elif d.unconsumed_tail:
+                    data = d.unconsumed_tail
+                else:
+                    data = b""
 
 
 def iter_warc_records(

@@ -493,3 +493,54 @@ def test_parse_skips_non_response_records(tmp_path):
     url, ts, payload = recs[0]
     assert url == "https://en.example.org/x" and payload == b"hello"
     assert ts is not None and ts.year == 2024
+
+
+def test_truncated_gz_archive_torn_page(tmp_path, corpus_rows):
+    """A partially-written .warc.gz (torn upload / in-flight crawl file)
+    must STOP the record stream, not raise — otherwise the per-file
+    checkpoint in incremental_warc_extract retries the crashing file
+    forever and the stream wedges (advisor finding).  Records fully
+    decompressed before the tear still come out; the torn tail is
+    dropped like a torn page, matching iter_warc_range."""
+    import gzip
+
+    rows = corpus_rows[:20]
+    recs = [(r["url"], r["warc_ts"], r["html"]) for r in rows]
+
+    # (a) per-record members, file cut mid-member: members before the
+    # cut survive, the cut member is dropped, no exception
+    per_record = tmp_path / "t.warc.gz"
+    warc.write_warc_gz(str(per_record), recs)
+    raw = per_record.read_bytes()
+    member_offs = [
+        i for i in range(len(raw)) if raw.startswith(b"\x1f\x8b\x08", i)
+    ]
+    assert len(member_offs) == 20
+    cut = member_offs[7] + 10  # mid-header of the 8th member
+    torn = tmp_path / "torn.warc.gz"
+    torn.write_bytes(raw[:cut])
+    got = list(warc.iter_warc_records(str(torn)))
+    want = list(warc.parse_warc_bytes(warc_concat(recs[:7])))
+    assert got == want
+
+    # (b) single-member archive cut mid-stream: prefix records that
+    # fully decompressed before the tear survive; never raises
+    one = tmp_path / "one.warc.gz"
+    warc.write_warc_gz(str(one), recs, per_record_members=False)
+    braw = one.read_bytes()
+    for frac in (0.25, 0.5, 0.9):
+        t = tmp_path / f"one_{frac}.warc.gz"
+        t.write_bytes(braw[: int(len(braw) * frac)])
+        partial = list(warc.iter_warc_records(str(t)))  # must not raise
+        assert partial == list(warc.parse_warc_bytes(warc_concat(recs)))[
+            : len(partial)
+        ]
+
+    # (c) pure garbage with a gzip magic: empty, no exception
+    junk = tmp_path / "junk.warc.gz"
+    junk.write_bytes(b"\x1f\x8b\x08" + b"\x00" * 64)
+    assert list(warc.iter_warc_records(str(junk))) == []
+
+
+def warc_concat(recs):
+    return b"".join(warc._record_bytes(u, ts, b) for u, ts, b in recs)
