@@ -29,6 +29,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -192,54 +193,132 @@ AUDIO_META_TYPE = StructType(
         StructField("channels", IntegerType(), True),
         StructField("bits", IntegerType(), True),
         StructField("n_samples", IntegerType(), True),
+        StructField("duration_sec", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("sample_md5", StringType(), True),
         StructField("decoder", StringType(), True),
     ]
 )
 
 
-def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
-    """(sample_rate, channels, bits, n_samples) from RIFF/WAVE chunk
-    headers — pure stdlib byte walking, no audio library.  None for
-    non-WAV or malformed payloads."""
+def parse_wav(
+    b: bytes,
+) -> tuple[int, int, int, int, int, int, int] | None:
+    """Full RIFF/WAVE chunk walk — pure stdlib, no audio library.
+    Returns ``(sample_rate, channels, bits, n_samples, audio_format,
+    data_off, data_len)`` where ``data_off``/``data_len`` locate the
+    data chunk's bytes actually PRESENT in the payload (a declared size
+    past the end of a truncated payload is clipped).  None for non-WAV
+    or malformed payloads."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     pos, n = 12, len(b)
     fmt = None
-    data_size = None
+    data_off = data_size = None
     while pos + 8 <= n:
         cid = b[pos:pos + 4]
         size = int.from_bytes(b[pos + 4:pos + 8], "little")
         body = b[pos + 8:pos + 8 + size]
         if cid == b"fmt " and len(body) >= 16:
+            audio_format = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
-            fmt = (rate, channels, bits, block_align)
+            fmt = (rate, channels, bits, block_align, audio_format)
         elif cid == b"data":
-            data_size = size
+            data_off = pos + 8
+            data_size = min(size, n - data_off)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:
         return None
-    rate, channels, bits, block_align = fmt
+    rate, channels, bits, block_align, audio_format = fmt
     if not (rate and channels and bits and block_align):
         return None
-    return rate, channels, bits, data_size // block_align
+    return (
+        rate,
+        channels,
+        bits,
+        data_size // block_align,
+        audio_format,
+        data_off,
+        data_size,
+    )
+
+
+def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits, n_samples) — header-only view of
+    ``parse_wav`` kept for callers that don't need sample access."""
+    full = parse_wav(b)
+    return None if full is None else full[:4]
+
+
+def decode_wav_samples(
+    b: bytes,
+) -> tuple[int, int, int, int, float, float, float, str] | None:
+    """Real PCM sample decode over the data chunk ``parse_wav``
+    locates: ``(rate, channels, bits, n_frames, duration_sec, peak,
+    rms, sample_md5)``, or None when the payload is not PCM8/PCM16 WAV
+    (non-WAV, IEEE-float WAV, exotic bit depths — those stay
+    header-only).  peak/rms are normalized to full scale in [0, 1];
+    n_frames/duration reflect the samples actually present (truncated
+    payloads clip).  Analog of the reference's loader-stage contract
+    (modeling_recognizer/src/data/image_loader.py:20-31) for the audio
+    modality: decode-on-ingest, emit per-item stats."""
+    import numpy as np
+
+    full = parse_wav(b)
+    if full is None:
+        return None
+    rate, channels, bits, _, audio_format, data_off, data_len = full
+    if audio_format != 1 or bits not in (8, 16):
+        return None
+    block = channels * bits // 8
+    n_frames = data_len // block
+    raw = b[data_off:data_off + n_frames * block]
+    if bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        full_scale = 32768.0
+    else:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+        full_scale = 128.0
+    if x.size:
+        peak = float(np.max(np.abs(x)) / full_scale)
+        rms = float(np.sqrt(np.mean(x * x)) / full_scale)
+    else:
+        peak = rms = 0.0
+    return (
+        rate,
+        channels,
+        bits,
+        n_frames,
+        n_frames / rate,
+        peak,
+        rms,
+        hashlib.md5(raw).hexdigest(),
+    )
 
 
 def synthetic_wav_payload(i: int) -> bytes:
     """Deterministic minimal WAV: valid RIFF/fmt/data chunks, junk
-    samples — exercises the real header-decode path."""
+    samples — exercises the real PCM sample-decode path.  Variants:
+    PCM16 (default), PCM8 (``i % 5 == 4``), and IEEE-float format 3
+    (``i % 8 == 6``, header-only downstream)."""
     rate = (8000, 16000, 44100)[i % 3]
     channels = 1 + i % 2
-    bits = 16
+    audio_format, bits = 1, 16
+    if i % 8 == 6:
+        audio_format, bits = 3, 32
+    elif i % 5 == 4:
+        bits = 8
     block = channels * bits // 8
     n_samples = 100 + (i * 37) % 900
     data = (hashlib.md5(str(i).encode()).digest() * (n_samples * block // 16 + 1))[
         : n_samples * block
     ]
     fmt = (
-        (1).to_bytes(2, "little")
+        audio_format.to_bytes(2, "little")
         + channels.to_bytes(2, "little")
         + rate.to_bytes(4, "little")
         + (rate * block).to_bytes(4, "little")
@@ -259,12 +338,22 @@ def synthetic_wav_payload(i: int) -> bytes:
 
 
 def decode_audio_meta(df: DataFrame, col: str = "payload") -> DataFrame:
-    """Arrow-batched audio metadata decode: real WAV header parse
-    (``decoder='header'``); other formats get the deterministic fake
-    (``decoder='stub'``) — sample/waveform decode needs an audio
-    backend absent from this container (see ``decode_image_pixels``
-    for the stub policy)."""
+    """Arrow-batched audio decode, three tiers:
+
+    - ``decoder='pcm'`` — real PCM8/PCM16 WAV sample decode (numpy over
+      the data chunk): duration, full-scale peak/RMS, raw-sample md5;
+    - ``decoder='header'`` — WAV whose samples we don't decode (IEEE
+      float, exotic bit depths): header fields only;
+    - ``decoder='stub'`` — non-WAV audio (mp3/ogg/flac need a codec
+      library absent from this container): deterministic fake fields,
+      clearly marked (see ``decode_image_pixels`` for the stub policy).
+    """
     from pyspark.sql.pandas.functions import pandas_udf
+
+    cols = [
+        "sample_rate", "channels", "bits", "n_samples",
+        "duration_sec", "peak", "rms", "sample_md5", "decoder",
+    ]
 
     @pandas_udf(AUDIO_META_TYPE)
     def decode(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -272,27 +361,132 @@ def decode_audio_meta(df: DataFrame, col: str = "payload") -> DataFrame:
             rows = []
             for p in payloads:
                 if p is None:
-                    rows.append((None, None, None, None, None))
+                    rows.append((None,) * 9)
                     continue
-                hdr = parse_wav_header(bytes(p))
+                b = bytes(p)
+                pcm = decode_wav_samples(b)
+                if pcm is not None:
+                    rows.append((*pcm, "pcm"))
+                    continue
+                hdr = parse_wav_header(b)
                 if hdr is not None:
-                    rows.append((*hdr, "header"))
+                    rows.append((*hdr, None, None, None, None, "header"))
                     continue
-                h = hashlib.md5(bytes(p)).digest()
+                h = hashlib.md5(b).digest()
                 rows.append(
-                    (8000 * (1 + h[0] % 6), 1 + h[1] % 2, 16, 100 + h[2], "stub")
+                    (
+                        8000 * (1 + h[0] % 6), 1 + h[1] % 2, 16,
+                        100 + h[2], None, None, None, None, "stub",
+                    )
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=["sample_rate", "channels", "bits", "n_samples", "decoder"],
-            )
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.withColumn("audio_meta", decode(F.col(col)))
 
 
 FRAME_SCHEMA = (
-    "url string, frame_idx int, frame binary, n_bytes long, decoder string"
+    "url string, frame_idx int, src_frame int, frame binary, "
+    "n_bytes long, width int, height int, decoder string"
 )
+
+
+def parse_avi_mjpeg(b: bytes) -> list[tuple[int, int]] | None:
+    """(offset, size) of every stream-0 video chunk (``00dc``/``00db``)
+    in a RIFF/AVI container — pure stdlib byte walk, nested ``rec ``
+    LISTs included.  None for non-AVI or malformed payloads; an AVI
+    with an empty movi LIST yields ``[]``."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        while pos + 8 <= end:
+            cid = b[pos:pos + 4]
+            size = int.from_bytes(b[pos + 4:pos + 8], "little")
+            body_end = min(pos + 8 + size, end)
+            if cid == b"LIST" and body_end - pos >= 12:
+                sub = b[pos + 8:pos + 12]
+                walk(
+                    pos + 12,
+                    body_end,
+                    in_movi or sub in (b"movi", b"rec "),
+                )
+            elif in_movi and cid[:2] == b"00" and cid[2:4] in (b"dc", b"db"):
+                frames.append((pos + 8, body_end - (pos + 8)))
+            pos = pos + 8 + size + (size & 1)  # chunks are word-aligned
+
+    walk(12, len(b), False)
+    return frames
+
+
+def extract_avi_frames(
+    b: bytes, n_frames: int
+) -> list[tuple[int, int, int, str, bytes]] | None:
+    """Up to *n_frames* evenly-sampled REAL decoded frames from an
+    MJPEG-in-AVI payload: ``(src_frame, width, height, mode, pixels)``
+    per sampled frame, decoded by the repo's own baseline-JPEG stack
+    (``operators.jpeg``).  None when the payload is not AVI or holds
+    no decodable MJPEG frames."""
+    offs = parse_avi_mjpeg(b)
+    if not offs:
+        return None
+    total = len(offs)
+    take = min(n_frames, total)
+    if take == 1:
+        idxs = [0]
+    else:
+        idxs = sorted(
+            {round(k * (total - 1) / (take - 1)) for k in range(take)}
+        )
+    out = []
+    for src in idxs:
+        off, size = offs[src]
+        try:
+            w, h, mode, px = decode_image_pixels(b[off:off + size])
+        except Exception:
+            continue  # one torn frame must not kill the payload
+        out.append((src, w, h, mode, px))
+    return out or None
+
+
+def synthetic_avi_payload(
+    i: int, n_src_frames: int = 10, w: int = 24, h: int = 16
+) -> bytes:
+    """Deterministic MJPEG-in-AVI fixture: real baseline JPEGs (the
+    repo's own encoder) in ``00dc`` chunks inside a movi LIST, with a
+    minimal hdrl — enough container structure for any MJPEG-aware
+    reader, fully decodable by ``extract_avi_frames``."""
+    from . import jpeg as _jpeg
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    frames = []
+    for k in range(n_src_frames):
+        px = bytes(
+            (x * 7 + y * 13 + i * 29 + k * 41) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        frames.append(chunk(b"00dc", _jpeg.encode_gray_jpeg(px, w, h)))
+    avih = (
+        (40000).to_bytes(4, "little")          # usec per frame (25 fps)
+        + b"\x00" * 12
+        + n_src_frames.to_bytes(4, "little")   # total frames
+        + b"\x00" * 4
+        + (1).to_bytes(4, "little")            # streams
+        + b"\x00" * 4
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = b"hdrl" + chunk(b"avih", avih)
+    movi = b"movi" + b"".join(frames)
+    body = b"AVI " + chunk(b"LIST", hdrl) + chunk(b"LIST", movi)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def sample_video_frames(
@@ -301,13 +495,19 @@ def sample_video_frames(
     url_col: str = "url",
     col: str = "payload",
 ) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame
-    via ``mapInPandas`` (Arrow batches, partition passthrough — the
-    fan-out shape a real decoder needs at 100 TB: frames explode
-    WITHIN a partition, no shuffle).  No video backend exists in this
-    container, so frame bytes are a deterministic content-hash fake
-    with ``decoder='stub'``; a real backend (PyAV/ffmpeg) replaces the
-    body of ``_frames_of`` without touching the Spark plan."""
+    """Video frame sampling: one output row per sampled frame via
+    ``mapInPandas`` (Arrow batches, partition passthrough — the fan-out
+    shape a real decoder needs at 100 TB: frames explode WITHIN a
+    partition, no shuffle).
+
+    MJPEG-in-AVI decodes for REAL (``decoder='mjpeg'``): RIFF walk →
+    evenly-sampled ``00dc`` chunks → the repo's own baseline-JPEG
+    decode; ``frame`` carries raw row-major pixels with ``src_frame``/
+    ``width``/``height`` populated.  Other containers (mp4/mkv/h264
+    need a codec library absent from this container) keep the
+    deterministic content-hash fake with ``decoder='stub'``; a full
+    backend (PyAV/ffmpeg) slots in beside ``extract_avi_frames``
+    without touching the Spark plan."""
     import hashlib as _hl
 
     def _frames_of(payload: bytes) -> list[bytes]:
@@ -317,17 +517,38 @@ def sample_video_frames(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"url": [], "frame_idx": [], "frame": [], "n_bytes": [], "decoder": []}
+            out = {
+                "url": [], "frame_idx": [], "src_frame": [], "frame": [],
+                "n_bytes": [], "width": [], "height": [], "decoder": [],
+            }
+
+            def emit(url, k, src, fr, w, h, dec):
+                out["url"].append(url)
+                out["frame_idx"].append(k)
+                out["src_frame"].append(src)
+                out["frame"].append(fr)
+                out["n_bytes"].append(len(fr))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["decoder"].append(dec)
+
             for url, payload in zip(pdf[url_col], pdf[col]):
                 if payload is None:
                     continue
-                for k, fr in enumerate(_frames_of(bytes(payload))):
-                    out["url"].append(url)
-                    out["frame_idx"].append(k)
-                    out["frame"].append(fr)
-                    out["n_bytes"].append(len(fr))
-                    out["decoder"].append("stub")
-            yield pd.DataFrame(out)
+                b = bytes(payload)
+                real = extract_avi_frames(b, n_frames)
+                if real is not None:
+                    for k, (src, w, h, _mode, px) in enumerate(real):
+                        emit(url, k, src, px, w, h, "mjpeg")
+                    continue
+                for k, fr in enumerate(_frames_of(b)):
+                    emit(url, k, None, fr, None, None, "stub")
+            res = pd.DataFrame(out)
+            for c in ("src_frame", "width", "height"):
+                # nullable Int32: stub rows carry None and a plain int
+                # column would silently float-ify under Arrow
+                res[c] = pd.array(out[c], dtype="Int32")
+            yield res
 
     return df.select(url_col, col).mapInPandas(gen, schema=FRAME_SCHEMA)
 

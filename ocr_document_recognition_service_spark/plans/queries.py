@@ -2742,8 +2742,9 @@ def x_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     "x_audio_meta",
     # deterministic end-to-end: oracle = pinned expected values
     pinned_oracles.sql_for("x_audio_meta"),
-    "audio binary plumbing: real RIFF/WAVE header decode (stdlib) over "
-    "synthetic WAV payloads + stub fallback for other formats",
+    "audio binary plumbing: real PCM8/PCM16 WAV sample decode (numpy "
+    "over the data chunk — duration / full-scale peak / RMS / raw-"
+    "sample md5), header-only for float WAV, stub fallback for non-WAV",
 )
 def x_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import multimodal
@@ -2764,6 +2765,10 @@ def x_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
         F.col("audio_meta.sample_rate").alias("sample_rate"),
         F.col("audio_meta.channels").alias("channels"),
         F.col("audio_meta.n_samples").alias("n_samples"),
+        F.round("audio_meta.duration_sec", 6).alias("duration_sec"),
+        F.round("audio_meta.peak", 6).alias("peak"),
+        F.round("audio_meta.rms", 6).alias("rms"),
+        F.col("audio_meta.sample_md5").alias("sample_md5"),
         F.col("audio_meta.decoder").alias("decoder"),
     )
 
@@ -2804,16 +2809,11 @@ def _warc_corpus(n_rows: int = 600, n_files: int = 3) -> str:
 @_reg(
     "x_warc_extract",
     # the WARC corpus is generator-deterministic and extraction is
-    # byte-pinned, so the oracle is the expected summary itself —
-    # giving this showcase a full rows+schema+hash certification
-    """
-    SELECT * FROM (VALUES
-        ('en', 242::BIGINT, 297525::BIGINT, 0::BIGINT),
-        ('kk', 110::BIGINT, 238665::BIGINT, 0::BIGINT),
-        ('ru', 248::BIGINT, 529910::BIGINT, 0::BIGINT)
-    ) AS t(lang, n_docs, total_chars, n_errors)
-    ORDER BY lang
-    """,
+    # byte-pinned, so the oracle is the pinned expected summary —
+    # regenerated with the rest of the showcase family by
+    # tools/regen_pinned_oracles.py (advisor finding: an inline
+    # literal here silently went stale after the documented regen)
+    pinned_oracles.sql_for("x_warc_extract"),
     "WARC ingestion end-to-end at corpus scale: Common-Crawl-layout "
     ".warc.gz files (one gzip member per record) -> distributed "
     "record-STREAMING parse with bounded memory (read_warc_stream) -> "
@@ -2912,10 +2912,12 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
     "x_video_frames",
     # deterministic end-to-end: oracle = pinned expected values
     pinned_oracles.sql_for("x_video_frames"),
-    "video frame-sample plumbing: mapInPandas fan-out to one row per "
-    "sampled frame (deterministic stub decode, real Spark shape); "
-    "frames leave as md5 digests — the narrow per-row fingerprint a "
-    "100 TB pipeline ships instead of raw frame bytes",
+    "video frame sampling: REAL MJPEG-in-AVI decode (RIFF walk -> "
+    "evenly-sampled 00dc chunks -> the repo's own baseline-JPEG "
+    "decoder) beside the stub fallback for non-AVI payloads; "
+    "mapInPandas fan-out to one row per sampled frame; frames leave "
+    "as md5 digests — the narrow per-row fingerprint a 100 TB "
+    "pipeline ships instead of raw frame bytes",
 )
 def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import multimodal
@@ -2923,12 +2925,24 @@ def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     pages = _synthetic_pages_df(spark, 50).select(
         "url", F.col("html").alias("payload")
     )
-    frames = multimodal.sample_video_frames(pages, n_frames=4)
+    avis = spark.createDataFrame(
+        [
+            (f"avi://{i:04d}", multimodal.synthetic_avi_payload(i))
+            for i in range(10)
+        ],
+        "url: string, payload: binary",
+    )
+    frames = multimodal.sample_video_frames(
+        pages.unionByName(avis), n_frames=4
+    )
     return frames.select(
         "url",
         "frame_idx",
+        "src_frame",
         F.md5("frame").alias("frame_md5"),
         "n_bytes",
+        "width",
+        "height",
         "decoder",
     )
 

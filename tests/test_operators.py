@@ -336,8 +336,12 @@ def test_simhash_near_pairs_equals_brute_force(spark, docs):
 
 
 def test_parse_wav_header_and_audio_meta(spark):
-    """Pinned WAV bytes → exact header fields; synthetic payloads take
-    the real header path, non-audio falls back to the stub."""
+    """Pinned WAV bytes → exact header fields; PCM payloads take the
+    real sample-decode path (hand-computed peak/RMS/md5), float WAV
+    stays header-only, non-audio falls back to the stub."""
+    import hashlib
+    import math
+
     for i in (0, 1, 2, 7):
         b = multimodal.synthetic_wav_payload(i)
         rate, ch, bits, n = multimodal.parse_wav_header(b)
@@ -348,16 +352,66 @@ def test_parse_wav_header_and_audio_meta(spark):
     # truncated fmt chunk
     assert multimodal.parse_wav_header(b"RIFF\x04\x00\x00\x00WAVE") is None
 
+    # hand-built 4-frame mono PCM16 WAV: exact peak/rms/duration/md5
+    samples = [0, 16384, -32768, 8192]
+    data = b"".join(s.to_bytes(2, "little", signed=True) for s in samples)
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = (
+        b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    rate, ch, bits, n, dur, peak, rms, md5 = multimodal.decode_wav_samples(wav)
+    assert (rate, ch, bits, n) == (8000, 1, 16, 4)
+    assert dur == 4 / 8000 and peak == 1.0
+    want_rms = math.sqrt(sum(s * s for s in samples) / 4) / 32768
+    assert abs(rms - want_rms) < 1e-12
+    assert md5 == hashlib.md5(data).hexdigest()
+
+    # truncated data chunk clips to whole frames actually present
+    # (-3 bytes leaves 5 data bytes = 2 complete 2-byte frames)
+    torn = wav[:-3]
+    assert multimodal.decode_wav_samples(torn)[3] == 2
+
+    # PCM8 full-scale: 0 -> -1.0 after the 128 offset
+    d8 = bytes([0, 128, 255])
+    fmt8 = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    body8 = (
+        b"WAVEfmt " + len(fmt8).to_bytes(4, "little") + fmt8
+        + b"data" + len(d8).to_bytes(4, "little") + d8
+    )
+    wav8 = b"RIFF" + len(body8).to_bytes(4, "little") + body8
+    out8 = multimodal.decode_wav_samples(wav8)
+    assert out8[2] == 8 and out8[5] == 1.0  # peak from the 0 byte
+
     df = spark.createDataFrame(
-        [(0, multimodal.synthetic_wav_payload(0)), (1, b"not audio")],
+        [
+            (0, multimodal.synthetic_wav_payload(0)),   # PCM16
+            (1, b"not audio"),                          # stub
+            (4, multimodal.synthetic_wav_payload(4)),   # PCM8
+            (6, multimodal.synthetic_wav_payload(6)),   # IEEE float
+        ],
         "id: long, payload: binary",
     )
     got = {
         r["id"]: r
         for r in multimodal.decode_audio_meta(df).select("id", "audio_meta.*").collect()
     }
-    assert got[0]["decoder"] == "header" and got[0]["sample_rate"] == 8000
-    assert got[1]["decoder"] == "stub"
+    assert got[0]["decoder"] == "pcm" and got[0]["sample_rate"] == 8000
+    assert got[0]["sample_md5"] is not None and 0 < got[0]["rms"] <= 1
+    assert got[0]["duration_sec"] == got[0]["n_samples"] / 8000
+    assert got[1]["decoder"] == "stub" and got[1]["peak"] is None
+    assert got[4]["decoder"] == "pcm" and got[4]["bits"] == 8
+    assert got[6]["decoder"] == "header" and got[6]["bits"] == 32
+    assert got[6]["sample_md5"] is None
 
 
 def test_sample_video_frames_shape_and_determinism(spark):
@@ -371,6 +425,62 @@ def test_sample_video_frames_shape_and_determinism(spark):
     rows = {(r["url"], r["frame_idx"]): r for r in out1}
     assert len(rows) == 18  # 6 payloads x 3 frames, null dropped
     assert all(r["decoder"] == "stub" and r["n_bytes"] == 64 for r in rows.values())
+    assert all(r["src_frame"] is None and r["width"] is None for r in rows.values())
+
+
+def test_mjpeg_avi_real_frame_decode(spark):
+    """MJPEG-in-AVI frames decode for REAL: pixel bytes match decoding
+    the very JPEG chunks the fixture embedded, sampling is even, and
+    the Spark path agrees with the local extractor."""
+    from ocr_document_recognition_service_spark.operators import jpeg as J
+
+    avi = multimodal.synthetic_avi_payload(3, n_src_frames=10, w=24, h=16)
+
+    # container walk finds exactly the 10 embedded chunks, in order
+    offs = multimodal.parse_avi_mjpeg(avi)
+    assert len(offs) == 10
+    for off, size in offs:
+        assert avi[off:off + 2] == b"\xff\xd8"  # each is a real JPEG
+
+    # even sampling: 4 of 10 -> src frames {0, 3, 6, 9}
+    frames = multimodal.extract_avi_frames(avi, 4)
+    assert [f[0] for f in frames] == [0, 3, 6, 9]
+    for src, w, h, mode, px in frames:
+        assert (w, h, mode) == (24, 16, "L")
+        off, size = offs[src]
+        want = J.decode_jpeg(avi[off:off + size])
+        assert px == want[3]  # pixels == decoding the chunk directly
+
+    # fewer source frames than requested: all of them, once each
+    short = multimodal.synthetic_avi_payload(1, n_src_frames=2)
+    assert [f[0] for f in multimodal.extract_avi_frames(short, 4)] == [0, 1]
+
+    # a torn frame degrades to the survivors, not a crash
+    off0, size0 = offs[0]
+    torn = avi[:off0] + b"\xff\xd8\x00\x00" + avi[off0 + 4:]
+    got = multimodal.extract_avi_frames(torn, 4)
+    assert [f[0] for f in got] == [3, 6, 9]
+
+    # Spark path: real rows typed + flagged, stub fallback intact
+    df = spark.createDataFrame(
+        [("v://a", avi), ("p://b", b"not a video")],
+        "url: string, payload: binary",
+    )
+    rows = multimodal.sample_video_frames(df, n_frames=4).collect()
+    real = sorted(
+        (r for r in rows if r["url"] == "v://a"), key=lambda r: r["frame_idx"]
+    )
+    assert [r["src_frame"] for r in real] == [0, 3, 6, 9]
+    assert all(
+        r["decoder"] == "mjpeg"
+        and r["width"] == 24
+        and r["height"] == 16
+        and r["n_bytes"] == 24 * 16
+        for r in real
+    )
+    assert bytes(real[0]["frame"]) == frames[0][4]
+    stub = [r for r in rows if r["url"] == "p://b"]
+    assert len(stub) == 4 and all(r["decoder"] == "stub" for r in stub)
 
 
 def test_asof_join_matches_python_reference(spark):
