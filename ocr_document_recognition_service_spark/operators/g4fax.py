@@ -183,10 +183,15 @@ class _BitWriter:
             self._n -= 8
             self._acc &= (1 << self._n) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
+        """Zero-pad to the next byte boundary (TIFF Compression=2 rows
+        each begin on a byte boundary)."""
         if self._n:
             self._out.append((self._acc << (8 - self._n)) & 0xFF)
             self._acc = self._n = 0
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self._out)
 
 
@@ -201,6 +206,9 @@ class _BitReader:
             raise ValueError("bit stream exhausted")
         self._pos = p + 1
         return (self._d[p >> 3] >> (7 - (p & 7))) & 1
+
+    def byte_align(self) -> None:
+        self._pos = (self._pos + 7) & ~7
 
 
 def _read_mode(br: _BitReader):
@@ -287,6 +295,66 @@ def _line_to_runs(cur: list[int], w: int, row: bytearray) -> None:
             row[k] = 1
 
 
+def _decode_2d_line(br: _BitReader, ref: list[int], w: int) -> list[int]:
+    """One two-dimensional coded line (shared by T.6 and T.4 2-D /
+    MR) → transitions list.  Raises ValueError on malformation; work is
+    bounded at w+2 coding ops (each op strictly advances a0)."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0
+    ops = 0
+    while a0 < w:
+        ops += 1
+        if ops > w + 2:
+            raise ValueError("no legal line needs more ops")
+        b1, b2 = _b1b2(ref, a0, color, w)
+        m = _read_mode(br)
+        if m == "EOFB":
+            raise ValueError("terminator/EOL inside a line")
+        if m == "P":
+            if b2 <= a0:
+                raise ValueError("pass does not advance")
+            a0 = b2
+        elif m == "H":
+            r1 = _read_run(br, color, w)
+            r2 = _read_run(br, 1 - color, w)
+            a1 = (a0 if a0 > 0 else 0) + r1
+            a2 = a1 + r2
+            if a2 > w or (cur and a1 <= cur[-1]):
+                raise ValueError("non-monotone horizontal")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+        else:  # vertical, m = a1 - b1 in -3..3
+            a1 = b1 + m
+            if a1 < 0 or a1 > w or (cur and a1 <= cur[-1]):
+                raise ValueError("non-monotone vertical")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    return cur
+
+
+def _decode_mh_line(br: _BitReader, w: int) -> list[int]:
+    """One one-dimensional modified-Huffman line (T.4 1-D) →
+    transitions list.  Runs alternate white/black starting white and
+    must sum to exactly *w*; a zero run is legal only first (a line
+    that starts black).  Raises ValueError on malformation."""
+    cur: list[int] = []
+    pos = 0
+    color = 0
+    for _ in range(w + 2):
+        if pos >= w:
+            return cur
+        run = _read_run(br, color, w - pos)
+        if run == 0 and cur:
+            raise ValueError("zero run after the first")
+        pos += run
+        cur.append(pos)
+        color ^= 1
+    raise ValueError("line never reaches width")
+
+
 def g4_decode(data: bytes, w: int, h: int) -> bytes | None:
     """T.6 bit stream → *w*×*h* bytes (1 = black), or None on any
     malformation.  Work is bounded: ≤ w+2 coding ops per line (each op
@@ -298,39 +366,69 @@ def g4_decode(data: bytes, w: int, h: int) -> bytes | None:
         out = bytearray(w * h)
         ref: list[int] = []  # imaginary all-white line above row 0
         for y in range(h):
-            cur: list[int] = []
-            a0 = -1
-            color = 0
-            ops = 0
-            while a0 < w:
-                ops += 1
-                if ops > w + 2:
-                    return None  # no legal line needs more ops
-                b1, b2 = _b1b2(ref, a0, color, w)
-                m = _read_mode(br)
-                if m == "EOFB":
-                    return None  # early terminator: wrong geometry
-                if m == "P":
-                    if b2 <= a0:
-                        return None
-                    a0 = b2
-                elif m == "H":
-                    r1 = _read_run(br, color, w)
-                    r2 = _read_run(br, 1 - color, w)
-                    a1 = (a0 if a0 > 0 else 0) + r1
-                    a2 = a1 + r2
-                    if a2 > w or (cur and a1 <= cur[-1]):
-                        return None
-                    cur.append(a1)
-                    cur.append(a2)
-                    a0 = a2
-                else:  # vertical, m = a1 - b1 in -3..3
-                    a1 = b1 + m
-                    if a1 < 0 or a1 > w or (cur and a1 <= cur[-1]):
-                        return None
-                    cur.append(a1)
-                    a0 = a1
-                    color ^= 1
+            cur = _decode_2d_line(br, ref, w)
+            _line_to_runs(cur, w, memoryview(out)[y * w:(y + 1) * w])
+            ref = [t for t in cur if t < w]
+        return bytes(out)
+    except (ValueError, IndexError):
+        return None
+
+
+def _read_eol(br: _BitReader) -> None:
+    """Consume one T.4 EOL (000000000001), tolerating leading fill
+    zeros (T4Options byte-alignment); ≥11 zeros then a 1."""
+    zeros = 0
+    while True:
+        if br.bit():
+            break
+        zeros += 1
+        if zeros > 64:
+            raise ValueError("runaway fill before EOL")
+    if zeros < 11:
+        raise ValueError("bad EOL")
+
+
+def g3_1d_decode(data: bytes, w: int, h: int) -> bytes | None:
+    """TIFF Compression=2 ("CCITT modified Huffman RLE"): every row is
+    an independent 1-D MH line, no EOLs, each row byte-aligned.
+    → *w*×*h* bytes (1 = black), or None on malformation."""
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        br = _BitReader(data)
+        out = bytearray(w * h)
+        for y in range(h):
+            br.byte_align()
+            cur = _decode_mh_line(br, w)
+            _line_to_runs(cur, w, memoryview(out)[y * w:(y + 1) * w])
+        return bytes(out)
+    except (ValueError, IndexError):
+        return None
+
+
+def g3_decode(
+    data: bytes, w: int, h: int, two_d: bool = False
+) -> bytes | None:
+    """CCITT Group 3 / ITU-T T.4 (TIFF Compression=3): every line is
+    preceded by an EOL (fill-tolerant); with *two_d* (T4Options bit 0)
+    a tag bit after each EOL selects 1-D MH (1) or 2-D MR (0) coding
+    for that line — MR shares T.6's mode alphabet minus pass-through
+    to EOFB.  → *w*×*h* bytes (1 = black), or None on malformation."""
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        br = _BitReader(data)
+        out = bytearray(w * h)
+        ref: list[int] = []
+        for y in range(h):
+            _read_eol(br)
+            if two_d:
+                if br.bit():
+                    cur = _decode_mh_line(br, w)
+                else:
+                    cur = _decode_2d_line(br, ref, w)
+            else:
+                cur = _decode_mh_line(br, w)
             _line_to_runs(cur, w, memoryview(out)[y * w:(y + 1) * w])
             ref = [t for t in cur if t < w]
         return bytes(out)
@@ -353,41 +451,106 @@ def _emit_run(bw: _BitWriter, n: int, color: int) -> None:
     bw.put(code, bits)
 
 
+def _transitions(row: bytes, w: int) -> list[int]:
+    """Colour-change positions of a pixel row (nonzero = black);
+    strictly increasing, all < w, starting colour white."""
+    return [
+        x
+        for x in range(w)
+        if (x == 0 and row[0]) or (x > 0 and bool(row[x]) != bool(row[x - 1]))
+    ]
+
+
+def _encode_2d_line(
+    bw: _BitWriter, cur: list[int], ref: list[int], w: int
+) -> None:
+    """One two-dimensional coded line (shared by T.6 and T.4 2-D).
+    Mode choice follows the spec's coding procedure (pass when
+    b2 < a1, vertical within ±3, else horizontal)."""
+    a0 = -1
+    color = 0
+    while a0 < w:
+        b1, b2 = _b1b2(ref, a0, color, w)
+        j = bisect_right(cur, a0)
+        a1 = cur[j] if j < len(cur) else w
+        if b2 < a1:
+            code, bits = _MODE_CODES["P"]
+            bw.put(code, bits)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            code, bits = _MODE_CODES[a1 - b1]
+            bw.put(code, bits)
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = cur[j + 1] if j + 1 < len(cur) else w
+            code, bits = _MODE_CODES["H"]
+            bw.put(code, bits)
+            _emit_run(bw, a1 - (a0 if a0 > 0 else 0), color)
+            _emit_run(bw, a2 - a1, 1 - color)
+            a0 = a2
+
+
+def _encode_mh_line(bw: _BitWriter, cur: list[int], w: int) -> None:
+    """One one-dimensional MH line from a transitions list: runs
+    alternate white/black starting white (a line starting black gets a
+    zero-length white run, as T.4 prescribes) and sum to *w*."""
+    prev = 0
+    color = 0
+    for t in cur:
+        _emit_run(bw, t - prev, color)
+        prev = t
+        color ^= 1
+    _emit_run(bw, w - prev, color)
+
+
 def g4_encode(pixels: bytes, w: int, h: int) -> bytes:
-    """*w*×*h* bytes (nonzero = black) → T.6 stream + EOFB, byte-padded.
-    Mode choice follows the spec's coding procedure (pass when b2 < a1,
-    vertical within ±3, else horizontal)."""
+    """*w*×*h* bytes (nonzero = black) → T.6 stream + EOFB,
+    byte-padded."""
     bw = _BitWriter()
     ref: list[int] = []
     for y in range(h):
-        row = pixels[y * w:(y + 1) * w]
-        cur = [
-            x
-            for x in range(w)
-            if (x == 0 and row[0]) or (x > 0 and bool(row[x]) != bool(row[x - 1]))
-        ]
-        a0 = -1
-        color = 0
-        while a0 < w:
-            b1, b2 = _b1b2(ref, a0, color, w)
-            j = bisect_right(cur, a0)
-            a1 = cur[j] if j < len(cur) else w
-            if b2 < a1:
-                code, bits = _MODE_CODES["P"]
-                bw.put(code, bits)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                code, bits = _MODE_CODES[a1 - b1]
-                bw.put(code, bits)
-                a0 = a1
-                color ^= 1
-            else:
-                a2 = cur[j + 1] if j + 1 < len(cur) else w
-                code, bits = _MODE_CODES["H"]
-                bw.put(code, bits)
-                _emit_run(bw, a1 - (a0 if a0 > 0 else 0), color)
-                _emit_run(bw, a2 - a1, 1 - color)
-                a0 = a2
+        cur = _transitions(pixels[y * w:(y + 1) * w], w)
+        _encode_2d_line(bw, cur, ref, w)
         ref = cur
     bw.put(*_EOFB)
+    return bw.flush()
+
+
+def g3_1d_encode(pixels: bytes, w: int, h: int) -> bytes:
+    """*w*×*h* bytes (nonzero = black) → TIFF Compression=2 stream:
+    independent MH rows, each beginning on a byte boundary, no EOLs."""
+    bw = _BitWriter()
+    for y in range(h):
+        _encode_mh_line(bw, _transitions(pixels[y * w:(y + 1) * w], w), w)
+        bw.byte_align()
+    return bw.flush()
+
+
+_EOL = (0b000000000001, 12)
+
+
+def g3_encode(
+    pixels: bytes, w: int, h: int, two_d: bool = False, k: int = 4
+) -> bytes:
+    """*w*×*h* bytes (nonzero = black) → T.4 / Group 3 stream (TIFF
+    Compression=3): EOL before every line; with *two_d*, a tag bit per
+    line and a 1-D key line every *k* lines (fax K-factor — bounds
+    error propagation on a real wire) with MR-coded lines between.  No
+    RTC trailer, per TIFF practice (strips end after the last line)."""
+    bw = _BitWriter()
+    ref: list[int] = []
+    for y in range(h):
+        bw.put(*_EOL)
+        cur = _transitions(pixels[y * w:(y + 1) * w], w)
+        if two_d:
+            one_d = y % max(k, 1) == 0
+            bw.put(1 if one_d else 0, 1)
+            if one_d:
+                _encode_mh_line(bw, cur, w)
+            else:
+                _encode_2d_line(bw, cur, ref, w)
+        else:
+            _encode_mh_line(bw, cur, w)
+        ref = cur
     return bw.flush()

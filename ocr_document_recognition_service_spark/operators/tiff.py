@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 
+from . import g4fax
 from .g4fax import g4_decode, g4_encode
 
 _MAX_PIXELS = 1 << 26  # decode-size guard, mirrors multimodal
@@ -275,12 +276,20 @@ def _decode_tiff_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
     comp = value(259, 1)
     photo = value(262, 1)
     bilevel = spp == 1 and bps[:1] == [1]
+    t4_two_d = False
     if bilevel:
-        # scanned-document shapes: packed bits or CCITT G4 fax
-        if comp not in (1, 4) or photo not in (0, 1):
+        # scanned-document shapes: packed bits or CCITT fax — MH RLE
+        # (2), full T.4/G3 (3), T.6/G4 (4); both photometrics (the
+        # spec permits MinIsBlack fax — decode with inverted mapping)
+        if comp not in (1, 2, 3, 4) or photo not in (0, 1):
             return None
-        if comp == 4 and photo != 0:
-            return None  # G4 is defined over MINISWHITE scans
+        if comp == 3:
+            t4opts = value(292, 0)
+            if t4opts & 0b010:
+                return None  # uncompressed mode: not produced by scanners
+            t4_two_d = bool(t4opts & 0b001)
+        if comp == 4 and value(293, 0) & 0b010:
+            return None  # T6 uncompressed mode
     else:
         if spp not in (1, 3) or any(x != 8 for x in bps[:spp]):
             return None
@@ -299,7 +308,7 @@ def _decode_tiff_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
 
     if bilevel:
         grey = _decode_bilevel_strips(
-            b, offsets, counts, w, h, rows_per_strip, comp, photo
+            b, offsets, counts, w, h, rows_per_strip, comp, photo, t4_two_d
         )
         if grey is None:
             return None
@@ -359,24 +368,34 @@ def _decode_bilevel_strips(
     rows_per_strip: int,
     comp: int,
     photo: int,
+    t4_two_d: bool = False,
 ) -> bytes | None:
     """Bilevel strips → greyscale bytes (black=0, white=255).
 
     Compression 1: rows packed MSB-first, each row padded to a byte
-    boundary.  Compression 4: each strip is an independent T.6 (MMR)
-    block — fresh imaginary-white reference line per strip, as the
-    TIFF spec requires.  Sample semantics: photometric 0 stores
-    white as 0 (the fax convention), 1 stores black as 0."""
+    boundary.  Compressions 2/3/4 (CCITT MH RLE / T.4 G3 / T.6 G4):
+    each strip is an independent coded block — fresh imaginary-white
+    reference line per strip, as the TIFF spec requires.  Sample
+    semantics: photometric 0 stores white as 0 (the fax convention),
+    1 stores black as 0 — for the fax compressions that means the
+    codec's white runs map to display BLACK (inverted mapping)."""
+    # fax codecs emit 1 = codec-black; photometric fixes its meaning
+    cblack, cwhite = (0, 255) if photo == 0 else (255, 0)
     out = bytearray()
     remaining = h
     for off, cnt in zip(offsets, counts):
         strip_rows = min(rows_per_strip, remaining)
         raw = b[off:off + cnt]
-        if comp == 4:
-            black = g4_decode(raw, w, strip_rows)  # 1 = black
+        if comp in (2, 3, 4):
+            if comp == 4:
+                black = g4_decode(raw, w, strip_rows)  # 1 = codec-black
+            elif comp == 2:
+                black = g4fax.g3_1d_decode(raw, w, strip_rows)
+            else:
+                black = g4fax.g3_decode(raw, w, strip_rows, two_d=t4_two_d)
             if black is None:
                 return None
-            out += bytes(0 if v else 255 for v in black)
+            out += bytes(cblack if v else cwhite for v in black)
         else:
             stride = (w + 7) // 8
             if len(raw) < stride * strip_rows:
@@ -404,6 +423,7 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     photometric: int | None = None,
     big_endian: bool = False,
+    t4_options: int = 0,
 ) -> bytes:
     """Deterministic TIFF writer for fixtures: II or MM order, strip
     layout, Compression 1/5/32773, Predictor 1/2, Photometric 0/1/2/3
@@ -411,8 +431,9 @@ def encode_tiff(
     deterministic ColorMap derived from them — decode returns the
     mapped RGB).  Mode '1' = bilevel scan: *px* is one grey byte per
     pixel (0 = black, nonzero = white), stored as BitsPerSample 1
-    with Compression 1 (packed rows, byte-aligned) or 4 (CCITT G4 /
-    T.6 MMR — the fax fixture path)."""
+    with Compression 1 (packed rows, byte-aligned), 2 (CCITT MH RLE),
+    3 (T.4 / G3 — *t4_options* bit 0 selects 2-D coding and is written
+    as tag 292), or 4 (CCITT G4 / T.6 MMR — the fax fixture path)."""
     le = not big_endian
 
     def wr(v: int, n: int) -> bytes:
@@ -429,11 +450,21 @@ def encode_tiff(
         rows = min(rps, h - r)
         if mode == "1":
             band = px[r * w:(r + rows) * w]
-            if compression == 4:
-                # G4 codes black runs; px 0 = black
-                chunk = g4_encode(
-                    bytes(1 if v == 0 else 0 for v in band), w, rows
-                )
+            if compression in (2, 3, 4):
+                # fax codecs take 1 = codec-black; photometric 0 maps
+                # px 0 (black) there, photometric 1 inverts
+                if photometric == 0:
+                    fax = bytes(1 if v == 0 else 0 for v in band)
+                else:
+                    fax = bytes(0 if v == 0 else 1 for v in band)
+                if compression == 4:
+                    chunk = g4_encode(fax, w, rows)
+                elif compression == 2:
+                    chunk = g4fax.g3_1d_encode(fax, w, rows)
+                else:
+                    chunk = g4fax.g3_encode(
+                        fax, w, rows, two_d=bool(t4_options & 1)
+                    )
             else:
                 # packed bits, MSB-first, rows byte-aligned;
                 # photometric 0: bit 1 = black
@@ -475,6 +506,8 @@ def encode_tiff(
         tag_list.append(317)
     if photometric == 3:
         tag_list.append(320)
+    if compression == 3:
+        tag_list.append(292)
     tag_list.sort()
     n_tags = len(tag_list)
     ifd_size = 2 + 12 * n_tags + 4
@@ -501,6 +534,8 @@ def encode_tiff(
     vals[277] = (3, 1, spp)
     vals[278] = (4, 1, rps)
     vals[284] = (3, 1, 1)  # chunky planar configuration
+    if compression == 3:
+        vals[292] = (4, 1, t4_options)
     if predictor == 2:
         vals[317] = (3, 1, predictor)
     if photometric == 3:

@@ -2881,14 +2881,18 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
                 multimodal._px_stream(i, 16 * 16 * 3), 16, 16,
                 subsample=bool((i // 7) % 2),
             )
-        # kind 6: bilevel document scan — alternate packed-bit rows
-        # and G4-fax compression, the r5 decoder addition
+        # kind 6: bilevel document scan — rotate the full fax ladder:
+        # packed bits, MH RLE (comp 2), T.4 G3 1-D and 2-D (comp 3),
+        # G4 (comp 4), and the MinIsBlack-G4 shape the spec permits
         scan = bytes(
             0 if v < 96 else 255 for v in multimodal._px_stream(i, 24 * 18)
         )
+        variant = i // 7  # 0..5 over the 42-image set
+        comp = (1, 2, 3, 3, 4, 4)[variant]
         return tiff.encode_tiff(
-            scan, 24, 18, mode="1",
-            compression=4 if (i // 7) % 2 else 1,
+            scan, 24, 18, mode="1", compression=comp,
+            t4_options=1 if variant == 3 else 0,
+            photometric=1 if variant == 5 else 0,
         )
 
     imgs = spark.createDataFrame(
