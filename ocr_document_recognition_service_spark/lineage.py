@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import zlib
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .pipeline import extract_pages
 
@@ -99,6 +99,27 @@ def committed_partitions(
     )
 
 
+def canonical_lineage(
+    spark: SparkSession, checkpoint_path: str, snapshot_id: int
+) -> DataFrame:
+    """One lineage row per pid for a snapshot: the FIRST committer wins
+    (committed_at asc, run_id asc tie-break — a total order, so every
+    reader resolves the same winner).  Duplicate rows can exist only
+    after a commit race (see ``run_extraction``'s contended-commit
+    check); consumers of the checkpoint table read through this view."""
+    ck = spark.read.parquet(checkpoint_path).filter(
+        F.col("snapshot_id") == snapshot_id
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("committed_at").asc(), F.col("run_id").asc()
+    )
+    return (
+        ck.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def run_extraction(
     spark: SparkSession,
     input_path: str,
@@ -110,6 +131,7 @@ def run_extraction(
     salt_threshold: int = 64 * 1024,
     limit_partitions: int | None = None,
     fail_before_commit: bool = False,
+    race_hook=None,
 ) -> dict:
     """One (resumable) extraction run.
 
@@ -131,6 +153,26 @@ def run_extraction(
     so a re-run over a CHANGED input (new snapshot id) can never
     overwrite a previous snapshot's committed data — each snapshot's
     lineage rows always describe files that still exist.
+
+    Contended commits (two drivers racing the same snapshot): parquet
+    append is not transactional, so conflicts are detected at two
+    points.  (a) Mid-commit: a rival's dynamic overwrite replaces pid
+    files while this run's lazy lineage aggregate still holds the old
+    listing — the resulting read failure is confirmed against the
+    checkpoint (rival rows present?) and surfaced as a loud
+    commit-race error with NO lineage rows appended.  (b) Post-append:
+    the run re-reads the checkpoint through ``canonical_lineage``
+    (first committer wins — committed_at asc, run_id asc, a total
+    order) and raises LOUDLY if any of its partitions resolved to
+    another run (its rows stay, shadowed).  Output is exactly-once
+    either way: extraction is deterministic per snapshot and the
+    dynamic partition overwrite makes both racers write byte-identical
+    pid directories.  A commit that appends and checks entirely inside
+    the other's append in flight can still slip both checks — the real
+    deployment swaps this adapter for Iceberg's atomic snapshot swap,
+    which closes that window; ``race_hook`` (test-only) runs in the
+    conflict window between the committed-set read and the lineage
+    append.
 
     Returns {snapshot_id, partitions_processed, rows}.
     """
@@ -205,7 +247,64 @@ def run_extraction(
         .withColumn("expected_partitions", F.lit(expected).cast("int"))
         .withColumn("committed_at", F.current_timestamp())
     )
-    lineage.write.mode("append").parquet(checkpoint_path)
+    if race_hook is not None:
+        race_hook()  # test-only: a rival driver commits right here
+    try:
+        lineage.write.mode("append").parquet(checkpoint_path)
+    except Exception as exc:
+        # a rival's dynamic overwrite replaces pid files while OUR
+        # lazy lineage aggregate still holds the old listing — the
+        # read fails loudly.  Confirm a rival actually committed and
+        # surface it as the commit-race error (output is unaffected:
+        # the rival wrote identical bytes); any other read failure
+        # propagates untouched.
+        if "FAILED_READ_FILE" in str(exc) or "FILE_NOT_EXIST" in str(exc):
+            try:
+                rivals = (
+                    spark.read.parquet(checkpoint_path)
+                    .filter(
+                        (F.col("snapshot_id") == snap)
+                        & (F.col("run_id") != run_id)
+                    )
+                    .count()
+                )
+            except Exception:
+                rivals = 0
+            if rivals:
+                raise RuntimeError(
+                    f"lineage commit race lost: a rival run overwrote "
+                    f"snapshot {snap} partitions while this run was "
+                    "committing (concurrent dynamic overwrite detected "
+                    "mid-read) — output is unaffected (idempotent "
+                    "identical writes); none of this run's lineage rows "
+                    "were appended. Re-read job status before retrying."
+                ) from exc
+        raise
+
+    # contended-commit check: did any of OUR pids resolve to a rival?
+    lost = (
+        canonical_lineage(spark, checkpoint_path, snap)
+        .filter(F.col("run_id") != run_id)
+        .join(
+            spark.read.parquet(checkpoint_path)
+            .filter(
+                (F.col("snapshot_id") == snap)
+                & (F.col("run_id") == run_id)
+            )
+            .select("pid")
+            .distinct(),
+            "pid",
+        )
+        .count()
+    )
+    if lost:
+        raise RuntimeError(
+            f"lineage commit race lost: {lost} partition(s) of snapshot "
+            f"{snap} were committed concurrently by another run — output "
+            "is unaffected (idempotent identical writes); this run's "
+            "lineage rows are shadowed by canonical_lineage. Re-read "
+            "job status before retrying."
+        )
 
     stats = (
         spark.read.parquet(checkpoint_path)

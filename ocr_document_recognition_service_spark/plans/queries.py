@@ -2960,56 +2960,58 @@ def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
 # covered (ev1 = date_trunc agg ~ q1, w8 = frame window ~ w1, q4/q6/
 # q12/q18 ~ q1/q3, f4/f6 ~ f5, ev2/ev3/ev6 ~ ev7, ta1/ta3/ta5 ~
 # ta2/ta4, a1 ⊂ a2), and (c) the redundant TPC-H variants.  Every
-# operator family keeps at least one in-window representative.  Round-5
-# rotation: the whole showcase family (extraction, curation, WARC
-# streaming ingest, image/audio/video decode) gained pinned
-# expected-value oracles this round and rotates IN for first-time
-# driver hash certification; 8 queries with r4 driver-green rows
-# rotate to overflow (q18, ta1/ta3/ta5, ev2/ev3/ev6, a1).
+# operator family keeps at least one in-window representative.
+# Round-6 rotation (r5 verdict #6: staleness-driven): IN comes
+# everything whose last driver row is r2-or-older plus the
+# never-certified sim6 (sim6, ev1, dd0, dd4, sim2, sim4, w8, q7, q10,
+# q13, q14, q16); OUT go 12 r4/r5-green rows whose families stay
+# represented (x_extract_lang_rollup, x_curate_corpus, x_media_meta,
+# ta6-ta9, ev7, w2, w4, f8, s2).  The three multimodal showcases whose
+# schemas/pins CHANGED this round (x_audio_meta, x_video_frames,
+# x_image_pixels) stay in for re-certification, as do x_extract_pages
+# (flagship) and x_warc_extract (reader changed r6).
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # relational core (q4/q6/q12 rotated out r4, q18 out r5 — family
-    # stays covered by q1/q3/q5 + f9's top-k)
+    # relational core + the stale-family rotation (q7/q10/q13/q14/q16
+    # last certified r2)
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    # extraction + curation + multimodal showcases (pinned-oracle
-    # certification, first driver window appearance r5)
-    "x_extract_pages", "x_extract_lang_rollup", "x_curate_corpus",
-    "x_warc_extract", "x_media_meta", "x_audio_meta", "x_image_pixels",
-    "x_video_frames",
-    # text analysis (ta1/ta3/ta5 rotated out r5 — family covered by
-    # ta2/ta4/ta6/ta7/ta8/ta9)
-    "ta2_quality_score",
-    "ta4_token_stats", "ta6_redact",
-    "ta7_repetition", "ta8_tfidf_topk", "ta9_unigram_logprob",
-    # r5's new decontamination operator: first driver certification
-    "ta10_decontaminate",
+    "q7_volume_shipping", "q10_returned_items", "q13_order_distribution",
+    "q14_promo_share", "q16_parts_supplier_cnt",
+    # extraction + multimodal showcases: flagship, the r6-changed
+    # decoders (audio PCM / MJPEG video / G3 fax pins), and the
+    # r6-changed WARC reader
+    "x_extract_pages", "x_warc_extract", "x_audio_meta",
+    "x_image_pixels", "x_video_frames",
+    # text analysis (ta6-ta9 rotated out r6 — family covered by
+    # ta2/ta4/ta10)
+    "ta2_quality_score", "ta4_token_stats", "ta10_decontaminate",
     # label sources
     "lab1_yolo_boxes",
-    # events / advanced relational (ev2/ev3/ev6 out r5 — grouping-sets
-    # ev7 subsumes the rollup shape; quantiles/pivot keep historical
-    # driver rows)
-    "ev0_json_props", "ev4_asof_join",
-    "ev5_range_join", "ev7_grouping_sets",
-    # filters & scalar functions (f1 rotated out r5 for ta10 — the
-    # vocab-predicate family stays covered by f2/f3/f5)
+    # events / advanced relational (ev7 out r6; ev1 back in — last
+    # driver row was ROUND 1)
+    "ev0_json_props", "ev1_hourly_rollup", "ev4_asof_join",
+    "ev5_range_join",
+    # filters & scalar functions (f8 out r6 — base64 round-trip is
+    # also exercised by the showcase payload paths)
     "f2_dim_filter", "f3_token_len_filter",
-    "f5_homoglyph_translate",
-    "f8_base64_roundtrip", "f9_top_orders",
-    # accuracy metrics (a1 out r5 — IoU is a2's building block)
+    "f5_homoglyph_translate", "f9_top_orders",
+    # accuracy metrics
     "a2_best_match", "a3_eval_report", "a9_match_report",
     "a10_ap_report",
-    # window operators
-    "w1_event_rank", "w2_chunk_ids", "w4_balanced_sample",
-    "w6_sessionize", "w7_sorted_zip",
-    # set operations
-    "s1_customers_no_urgent", "s2_building_and_urgent",
-    # dedup family
-    "dd1_exact", "dd2_word_jaccard", "dd3_minhash_lsh",
-    "dd5_embedding_dup", "dd6_ngram_jaccard", "dd7_simhash_near",
-    "dd8_components",
-    # similarity / embeddings
-    "sim1_topk_cosine", "sim3_lsh_topk", "sim5_ivf_kmeans_topk",
+    # window operators (w2/w4 out r6; w8 back in — r2)
+    "w1_event_rank", "w6_sessionize", "w7_sorted_zip",
+    "w8_sliding_stats",
+    # set operations (s2 out r6 — same EXCEPT/INTERSECT shape as s1)
+    "s1_customers_no_urgent",
+    # dedup family (dd0/dd4 back in — r2)
+    "dd0_dedup_apply", "dd1_exact", "dd2_word_jaccard",
+    "dd3_minhash_lsh", "dd4_simhash", "dd5_embedding_dup",
+    "dd6_ngram_jaccard", "dd7_simhash_near", "dd8_components",
+    # similarity / embeddings (sim2/sim4 back in — r2; sim6 first-ever
+    # driver certification)
+    "sim1_topk_cosine", "sim2_lsh_buckets", "sim3_lsh_topk",
+    "sim4_ivf_topk", "sim5_ivf_kmeans_topk", "sim6_ivf_multiprobe",
     "emb1_norm_quantize",
 ]
 

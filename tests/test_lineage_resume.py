@@ -122,3 +122,110 @@ def test_crash_between_write_and_commit_no_duplicates(
     df = spark.read.parquet(out)
     assert df.count() == 400
     assert df.select("url").distinct().count() == 400  # no duplicates
+
+
+def test_contended_commit_two_driver_race(spark, pages_parquet, tmp_path):
+    """r6 (r5 verdict #7): two drivers race the same snapshot.  Driver
+    A reads the committed set (empty), then — in the conflict window
+    between that read and A's lineage append — driver B commits the
+    whole snapshot.  Exactly-once output must hold (byte-identical to
+    a single run), B's rows must win canonically, and A must fail
+    LOUDLY instead of silently double-committing."""
+    out = str(tmp_path / "out_race")
+    ck = str(tmp_path / "ck_race")
+
+    ref_out = str(tmp_path / "out_ref")
+    lineage.run_extraction(
+        spark, pages_parquet, ref_out, str(tmp_path / "ck_ref"), "ref",
+        num_partitions=P, salt_threshold=16 * 1024,
+    )
+    want_md5 = lineage.global_md5(spark, ref_out)
+
+    def rival():
+        # driver B: full clean run committing every partition while A
+        # sits between its committed-set read and its lineage append
+        r = lineage.run_extraction(
+            spark, pages_parquet, out, ck, "driver-b",
+            num_partitions=P, salt_threshold=16 * 1024,
+        )
+        assert r["partitions_processed"] == P
+
+    with pytest.raises(RuntimeError, match="commit race lost"):
+        lineage.run_extraction(
+            spark, pages_parquet, out, ck, "driver-a",
+            num_partitions=P, salt_threshold=16 * 1024, race_hook=rival,
+        )
+
+    # exactly-once OUTPUT: both racers wrote identical pid dirs
+    assert lineage.global_md5(spark, out) == want_md5
+
+    snap = lineage.snapshot_id_of(pages_parquet)
+    canon = lineage.canonical_lineage(spark, ck, snap).collect()
+    # one canonical row per pid, all owned by the first committer (B);
+    # the loser detected the overwritten pid files mid-commit and
+    # aborted WITHOUT appending any lineage rows
+    assert len(canon) == P
+    assert {r["pid"] for r in canon} == set(range(P))
+    assert {r["run_id"] for r in canon} == {"driver-b"}
+    raw = spark.read.parquet(ck)
+    assert raw.count() == P
+
+    # a later resume sees a fully-committed snapshot: clean no-op
+    r = lineage.run_extraction(
+        spark, pages_parquet, out, ck, "driver-c",
+        num_partitions=P, salt_threshold=16 * 1024,
+    )
+    assert r["partitions_processed"] == 0
+    assert lineage.global_md5(spark, out) == want_md5
+
+
+def test_contended_commit_rival_adopts_orphans(spark, pages_parquet, tmp_path):
+    """Rival scoped to 3 partitions races into the window AFTER the
+    victim's data write: per the documented crash-recovery contract
+    ("a partition is committed iff its lineage row exists; lineage is
+    derived from what is durably on disk"), the rival ADOPTS the
+    victim's orphaned pid directories — content is deterministic and
+    byte-identical, so committing them is correct — and owns the whole
+    snapshot.  The victim still fails loudly, output is exactly-once,
+    and resume is a clean no-op."""
+    out = str(tmp_path / "out_race2")
+    ck = str(tmp_path / "ck_race2")
+
+    ref_out = str(tmp_path / "out_ref2")
+    lineage.run_extraction(
+        spark, pages_parquet, ref_out, str(tmp_path / "ck_ref2"), "ref",
+        num_partitions=P, salt_threshold=16 * 1024,
+    )
+    want_md5 = lineage.global_md5(spark, ref_out)
+
+    def rival():
+        # B extracts only 3 pids itself — but A's full data write
+        # already landed, so B's commit sweeps up the 5 orphans too
+        r = lineage.run_extraction(
+            spark, pages_parquet, out, ck, "driver-b",
+            num_partitions=P, salt_threshold=16 * 1024,
+            limit_partitions=3,
+        )
+        assert r["partitions_processed"] == P
+
+    with pytest.raises(RuntimeError, match="commit race lost"):
+        lineage.run_extraction(
+            spark, pages_parquet, out, ck, "driver-a",
+            num_partitions=P, salt_threshold=16 * 1024, race_hook=rival,
+        )
+
+    snap = lineage.snapshot_id_of(pages_parquet)
+    owners = {
+        r["pid"]: r["run_id"]
+        for r in lineage.canonical_lineage(spark, ck, snap).collect()
+    }
+    assert len(owners) == P
+    assert set(owners.values()) == {"driver-b"}
+
+    # resume: fully committed, clean no-op, byte-identical output
+    r = lineage.run_extraction(
+        spark, pages_parquet, out, ck, "driver-c",
+        num_partitions=P, salt_threshold=16 * 1024,
+    )
+    assert r["partitions_processed"] == 0
+    assert lineage.global_md5(spark, out) == want_md5
