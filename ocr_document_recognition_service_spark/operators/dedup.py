@@ -385,7 +385,10 @@ def simhash_bits(
 
     bit k of word-hash = bit (k mod 4) of hex digit (k div 4) of
     md5(word) — extracted arithmetically, so any engine computes the
-    identical signature (n_bits ≤ 128, the md5 width).  The word md5
+    identical signature (n_bits ≤ 63: the packed signature is one
+    signed long, so the 2^k bit literal must fit; for wider
+    signatures use ``band_signatures``-style string bands).  The word
+    md5
     array is staged as a real column (lambda-CSE pitfall) and every
     sign-sum is a per-row ``aggregate`` over it — a pure projection:
     the signature stage exchanges nothing (the grouped-sum form paid a
@@ -425,6 +428,35 @@ def simhash_bits(
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash (the reference-parity width) — see simhash_bits."""
     return simhash_bits(docs, 16, out="simhash16")
+
+
+def simhash_width_for_corpus(
+    n_docs: int,
+    n_bands: int = 4,
+    target_bucket: int = 64,
+    max_bits: int = 60,
+) -> int:
+    """Scale-aware SimHash signature width — the ``planes_for_corpus``
+    twin for banded Hamming-LSH.  With uniform band buckets, a band
+    needs ⌈log2(n_docs / target_bucket)⌉ bits to keep its expected
+    population ≈ target_bucket; narrower bands collapse the corpus
+    into a few mega-buckets where ``bucket_cap`` truncates pair recall
+    (MEASURED at 100k docs, cap 64: 32-bit/4-band = 8-bit bands = 256
+    buckets → pair recall 0.15; the scaled width → 1.0 — see
+    BENCH/BASELINE.md "Measured recall at scale").  *max_bits* stays
+    ≤ 60 because ``simhash_bits`` packs the signature into ONE signed
+    long (a 2^63 bit literal overflows); 60 bits = 4 bands × 15 bits
+    keeps ~64-doc buckets up to ~2M docs per partition-local corpus —
+    past that, raise ``n_bands`` or switch the band representation to
+    md5-substring strings (the dd3 ``band_signatures`` shape, which
+    has no width ceiling)."""
+    import math
+
+    if n_docs <= target_bucket:
+        band_bits = 1
+    else:
+        band_bits = math.ceil(math.log2(n_docs / target_bucket))
+    return min(max_bits, n_bands * band_bits)
 
 
 def simhash_near_pairs(

@@ -362,7 +362,13 @@ def _cell_probe_topk(
     vec_ids per cell serve as neighbors, so per-query work is ≤
     n_probe × cell_cap candidates.  Recall trade: neighbors truncated
     out of an over-full cell are unreachable — at scale also grow
-    n_cells ≈ N/target_cell so cells stay small (the real IVF knob)."""
+    n_cells so cells stay small (the real IVF knob).  Size it with
+    HEADROOM below the cap: n_cells ≈ N/(cell_cap/2), i.e. mean cell ≈
+    half the cap — at n_cells = N/cell_cap the MEAN cell equals the
+    cap and any quantizer skew truncates (MEASURED: first-k quantizer
+    at 20k vectors, cells=N/64, cap 64 → cluster-sibling recall@1
+    0.60; cells=N/32 restores it — BENCH/BASELINE.md "Measured recall
+    at scale")."""
     idx = capped_index(cells, ["cell"], "vec_id", cell_cap)
     q = probes if probes is not None else cells
     cand = (

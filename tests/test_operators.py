@@ -881,6 +881,27 @@ def test_embedding_dup_pairs_bounded_under_skew(spark):
     assert uncapped == 30 * 29 // 2
 
 
+def test_simhash_width_for_corpus_scaling():
+    """r6: the planes_for_corpus twin for banded SimHash — band bits
+    grow with the corpus so bucket population stays ≈ target (measured
+    recall collapse at unscaled width motivated this; bench_recall.py).
+    Width stays ≤ 60: the packed signature is one signed long."""
+    w = dedup.simhash_width_for_corpus
+    assert w(64) == 4            # tiny corpus: 1 bit per band
+    assert w(100_000) == 44      # ceil(log2(100000/64)) = 11 → 4×11
+    assert w(2_000_000) == 60    # hits the signed-long ceiling
+    assert w(10**12) == 60       # stays packable
+    assert w(100_000, n_bands=2) == 22
+    # monotone in corpus size
+    prev = 0
+    for n in (10, 1000, 10**5, 10**7, 10**9):
+        cur = w(n)
+        assert cur >= prev
+        prev = cur
+    # the width it recommends is accepted by simhash_bits' contract
+    assert all(w(n) <= 63 for n in (10, 10**6, 10**12))
+
+
 def test_simhash_near_pairs_bounded_under_skew(spark):
     """N identical docs share every SimHash band value (one mega-bucket
     per band); the index-side cap bounds pairs to <= N * cap while the
