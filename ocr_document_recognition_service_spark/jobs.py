@@ -64,7 +64,12 @@ def status(spark: SparkSession, checkpoint_path: str, run_id: str) -> dict:
     snap = _latest_snapshot(mine)
     if snap is None:
         return {"run_id": run_id, "state": "unknown", "partitions": 0}
-    snap_rows = ck.filter(F.col("snapshot_id") == snap)
+    # read through the canonical view: after a detected commit race the
+    # raw table can hold a loser's shadowed duplicate rows, and raw
+    # sums would double-count rows/error_rows (review finding)
+    from .lineage import canonical_lineage
+
+    snap_rows = canonical_lineage(spark, checkpoint_path, snap)
     agg = snap_rows.agg(
         F.countDistinct("pid").alias("committed"),
         F.max("expected_partitions").alias("expected"),

@@ -452,11 +452,20 @@ def simhash_width_for_corpus(
     has no width ceiling)."""
     import math
 
+    if n_bands > max_bits:
+        raise ValueError(
+            f"n_bands={n_bands} needs more than max_bits={max_bits} bits "
+            "(one per band minimum) — use string bands instead"
+        )
     if n_docs <= target_bucket:
         band_bits = 1
     else:
         band_bits = math.ceil(math.log2(n_docs / target_bucket))
-    return min(max_bits, n_bands * band_bits)
+    # the cap must stay a multiple of n_bands — simhash_near_pairs
+    # splits the signature into equal bands and asserts divisibility
+    # (review finding: n_bands=8 hit the raw 60 cap and tripped it)
+    capped = max_bits - max_bits % n_bands
+    return min(capped, n_bands * band_bits)
 
 
 def simhash_near_pairs(

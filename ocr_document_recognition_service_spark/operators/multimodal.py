@@ -256,6 +256,7 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
 
 def decode_wav_samples(
     b: bytes,
+    parsed: tuple[int, int, int, int, int, int, int] | None = None,
 ) -> tuple[int, int, int, int, float, float, float, str] | None:
     """Real PCM sample decode over the data chunk ``parse_wav``
     locates: ``(rate, channels, bits, n_frames, duration_sec, peak,
@@ -263,12 +264,14 @@ def decode_wav_samples(
     (non-WAV, IEEE-float WAV, exotic bit depths — those stay
     header-only).  peak/rms are normalized to full scale in [0, 1];
     n_frames/duration reflect the samples actually present (truncated
-    payloads clip).  Analog of the reference's loader-stage contract
+    payloads clip).  *parsed* lets a caller that already ran
+    ``parse_wav`` skip the second chunk walk (the batched UDF hot
+    loop).  Analog of the reference's loader-stage contract
     (modeling_recognizer/src/data/image_loader.py:20-31) for the audio
     modality: decode-on-ingest, emit per-item stats."""
     import numpy as np
 
-    full = parse_wav(b)
+    full = parse_wav(b) if parsed is None else parsed
     if full is None:
         return None
     rate, channels, bits, _, audio_format, data_off, data_len = full
@@ -364,13 +367,17 @@ def decode_audio_meta(df: DataFrame, col: str = "payload") -> DataFrame:
                     rows.append((None,) * 9)
                     continue
                 b = bytes(p)
-                pcm = decode_wav_samples(b)
-                if pcm is not None:
-                    rows.append((*pcm, "pcm"))
-                    continue
-                hdr = parse_wav_header(b)
-                if hdr is not None:
-                    rows.append((*hdr, None, None, None, None, "header"))
+                # ONE chunk walk per row: decode_wav_samples reuses it
+                # (header-tier rows used to re-parse — review finding)
+                full = parse_wav(b)
+                if full is not None:
+                    pcm = decode_wav_samples(b, parsed=full)
+                    if pcm is not None:
+                        rows.append((*pcm, "pcm"))
+                    else:
+                        rows.append(
+                            (*full[:4], None, None, None, None, "header")
+                        )
                     continue
                 h = hashlib.md5(b).digest()
                 rows.append(
@@ -399,24 +406,27 @@ def parse_avi_mjpeg(b: bytes) -> list[tuple[int, int]] | None:
         return None
 
     frames: list[tuple[int, int]] = []
-
-    def walk(pos: int, end: int, in_movi: bool) -> None:
+    # explicit stack, not recursion: a crafted payload of nested LIST
+    # headers must exhaust the walk, not the interpreter stack (a
+    # RecursionError would fail the whole Arrow batch — review finding)
+    stack: list[tuple[int, int, bool]] = [(12, len(b), False)]
+    while stack:
+        pos, end, in_movi = stack.pop()
         while pos + 8 <= end:
             cid = b[pos:pos + 4]
             size = int.from_bytes(b[pos + 4:pos + 8], "little")
             body_end = min(pos + 8 + size, end)
+            nxt = pos + 8 + size + (size & 1)  # chunks are word-aligned
             if cid == b"LIST" and body_end - pos >= 12:
                 sub = b[pos + 8:pos + 12]
-                walk(
-                    pos + 12,
-                    body_end,
-                    in_movi or sub in (b"movi", b"rec "),
-                )
-            elif in_movi and cid[:2] == b"00" and cid[2:4] in (b"dc", b"db"):
+                # resume the parent after this LIST, then descend
+                stack.append((nxt, end, in_movi))
+                pos, end = pos + 12, body_end
+                in_movi = in_movi or sub in (b"movi", b"rec ")
+                continue
+            if in_movi and cid[:2] == b"00" and cid[2:4] in (b"dc", b"db"):
                 frames.append((pos + 8, body_end - (pos + 8)))
-            pos = pos + 8 + size + (size & 1)  # chunks are word-aligned
-
-    walk(12, len(b), False)
+            pos = nxt
     return frames
 
 

@@ -218,18 +218,27 @@ def iter_warc_chunks(
 
     Yields the same (url, ts, payload) tuples as ``parse_warc_bytes``
     and is pinned byte-identical to it on well-formed input.
+
+    A ``None`` element in *chunks* is a DISCONTINUITY marker (a gzip
+    member-resync skipped corrupt bytes): the record in progress is
+    dropped — its remaining body bytes never arrive, and consuming the
+    declared length would swallow the records after the resync point —
+    and parsing restarts clean at the next header.
     """
     keep_cap = max_payload_bytes + _ENVELOPE_ALLOWANCE
     buf = bytearray()
     it = iter(chunks)
 
-    def fill() -> bool:
+    def fill() -> str:
         try:
             c = next(it)
         except StopIteration:
-            return False
+            return "end"
+        if c is None:
+            buf.clear()
+            return "skip"
         buf.extend(c)
-        return True
+        return "data"
 
     while True:
         # ---- locate a terminated "WARC/…\r\n\r\n" header block ----
@@ -248,8 +257,9 @@ def iter_warc_chunks(
                 # nothing useful; keep a tail in case "WARC/" straddles
                 # the chunk boundary
                 del buf[: len(buf) - 8]
-            if not fill():
+            if fill() == "end":
                 return
+            # "skip" between records just clears stale bytes — loop on
         if start > 0:
             del buf[:start]
             head_end -= start
@@ -270,10 +280,16 @@ def iter_warc_chunks(
         kept = bytearray()
         remaining = length
         truncated_file = False
+        discontinuity = False
         while remaining > 0:
-            if not buf and not fill():
-                truncated_file = True
-                break
+            if not buf:
+                st = fill()
+                if st == "end":
+                    truncated_file = True
+                    break
+                if st == "skip":
+                    discontinuity = True
+                    break
             take = min(len(buf), remaining)
             short = keep_cap - len(kept)
             if short > 0:
@@ -282,6 +298,8 @@ def iter_warc_chunks(
             remaining -= take
         if truncated_file:
             return  # partial trailing record: drop, like a torn page
+        if discontinuity:
+            continue  # drop the torn record, parse on from the resync
 
         if headers.get("warc-type") != "response":
             continue
@@ -307,22 +325,27 @@ def iter_warc_chunks(
             yield url, ts, payload
 
 
-def _open_chunks(path: str) -> Iterator[bytes]:
+def _open_chunks(path: str) -> Iterator[bytes | None]:
     """Fixed-size decompressed chunks from a local ``.warc`` /
-    ``.warc.gz`` file.  ``gzip.GzipFile`` walks multi-member streams
-    (Common Crawl's member-per-record layout) incrementally — memory
-    stays O(chunk) regardless of file size.
+    ``.warc.gz`` file via the shared zlib member walk
+    (``_gz_member_chunks``) — memory stays O(chunk) regardless of
+    file size.
 
-    A truncated or corrupt trailing member (partially-written archive
-    picked up by the file stream, torn upload) stops the chunk stream
-    instead of raising — torn-page semantics, matching ``_range_chunks``.
-    Everything decompressed before the tear still flows downstream, and
-    ``iter_warc_chunks`` drops the final partial record.  Without this,
-    ``incremental_warc_extract``'s per-file checkpoint retries the same
-    crashing file forever and the stream wedges (advisor finding).
-    ``gzip.GzipFile`` cannot provide this: its ``read()`` buffers whole
-    members internally and DISCARDS everything decompressed inside the
-    call that hits the tear — hence the explicit ``zlib`` member walk."""
+    A corrupt member is SKIPPED: the walk resyncs to the next
+    validated member boundary (Common Crawl's member-per-record layout
+    makes that safe) and emits a ``None`` discontinuity marker so
+    ``iter_warc_chunks`` drops only the torn record — a single flipped
+    byte 1% into a 1 GB archive costs one record, not 99% of the file
+    (review finding; the first fix stopped at the tear, which was
+    silent mass data loss on mid-file corruption).  A truncated FINAL
+    member stops the stream (torn page), and a partially-written
+    archive can no longer wedge ``incremental_warc_extract``'s
+    per-file checkpoint retry (advisor finding).  ``gzip.GzipFile``
+    could do none of this: its ``read()`` buffers whole members and
+    DISCARDS everything decompressed inside the call that hits the
+    tear — hence the explicit ``zlib`` member walk."""
+    import os
+
     with open(path, "rb") as f:
         if f.read(2) != b"\x1f\x8b":
             f.seek(0)
@@ -332,28 +355,8 @@ def _open_chunks(path: str) -> Iterator[bytes]:
                     return
                 yield c
             return
-        f.seek(0)
-        d = zlib.decompressobj(wbits=31)
-        while True:
-            raw = f.read(_CHUNK_BYTES)
-            if not raw:
-                return  # truncated final member: torn-page drop
-            data = raw
-            while data:
-                try:
-                    out = d.decompress(data, _CHUNK_BYTES)
-                except zlib.error:
-                    return  # corrupt member: stop at the tear
-                if out:
-                    yield out
-                if d.eof:
-                    tail = d.unused_data
-                    d = zlib.decompressobj(wbits=31)
-                    data = tail
-                elif d.unconsumed_tail:
-                    data = d.unconsumed_tail
-                else:
-                    data = b""
+        size = os.fstat(f.fileno()).st_size
+        yield from _gz_member_chunks(f, 0, size)
 
 
 def iter_warc_records(
@@ -448,15 +451,68 @@ def _sync_member(f, start: int, end: int) -> int | None:
         buf += chunk
 
 
+def _gz_member_chunks(
+    f, start: int, end: int
+) -> Iterator[bytes | None]:
+    """Decompressed chunks of consecutive gzip members from file
+    offset *start*, owning every member whose COMPRESSED start lies in
+    [*start*, *end*) (a member crossing *end* is finished by its
+    owner).  Peak memory O(chunk).
+
+    Corruption semantics: a member that fails to decompress is skipped
+    — resync to the next validated member boundary in-range
+    (``_sync_member``), yielding a ``None`` discontinuity marker so
+    ``iter_warc_chunks`` drops the torn record and parses on.  A
+    truncated FINAL member (no further member to sync to) ends the
+    stream: torn-page drop."""
+    pos = start          # file offset after the last read
+    member_start = start  # compressed offset of the current member
+    f.seek(start)
+    d = zlib.decompressobj(wbits=31)
+    while True:
+        raw = f.read(_CHUNK_BYTES)
+        if not raw:
+            # truncated final member: whatever decompressed was
+            # yielded; iter_warc_chunks drops the torn record
+            return
+        pos += len(raw)
+        data = raw
+        while data:
+            try:
+                out = d.decompress(data, _CHUNK_BYTES)
+            except zlib.error:
+                nxt = _sync_member(f, member_start + 1, end)
+                if nxt is None:
+                    return  # no salvageable member left in-range
+                yield None  # discontinuity: drop the torn record
+                f.seek(nxt)
+                pos = nxt
+                member_start = nxt
+                d = zlib.decompressobj(wbits=31)
+                data = b""
+                continue
+            if out:
+                yield out
+            if d.eof:
+                tail = d.unused_data
+                # next member's compressed offset
+                member_start = pos - len(tail)
+                if member_start >= end:
+                    return  # next member owned by a later range
+                d = zlib.decompressobj(wbits=31)
+                data = tail
+            elif d.unconsumed_tail:
+                data = d.unconsumed_tail
+            else:
+                data = b""
+
+
 def _range_chunks(
     path: str, start: int, end: int
-) -> Iterator[bytes]:
+) -> Iterator[bytes | None]:
     """Decompressed chunks of every gzip member whose compressed start
-    lies in [*start*, *end*) — the member-ownership contract above.
-    Peak memory O(chunk); members crossing *end* are finished by their
-    owning range."""
-    import zlib
-
+    lies in [*start*, *end*) — the member-ownership contract above,
+    with the shared corruption-resync walk (``_gz_member_chunks``)."""
     with open(path, "rb") as f:
         if start == 0:
             pos: int | None = 0
@@ -464,32 +520,7 @@ def _range_chunks(
             pos = _sync_member(f, start, end)
             if pos is None:
                 return  # no member starts in this range
-        f.seek(pos)
-        d = zlib.decompressobj(wbits=31)
-        while True:
-            raw = f.read(_CHUNK_BYTES)
-            if not raw:
-                # truncated final member: whatever decompressed was
-                # yielded; iter_warc_chunks drops the torn record
-                return
-            pos += len(raw)
-            data = raw
-            while data:
-                out = d.decompress(data, _CHUNK_BYTES)
-                if out:
-                    yield out
-                if d.eof:
-                    tail = d.unused_data
-                    # next member's compressed offset
-                    member_start = pos - len(tail)
-                    if member_start >= end:
-                        return  # next member owned by a later range
-                    d = zlib.decompressobj(wbits=31)
-                    data = tail
-                elif d.unconsumed_tail:
-                    data = d.unconsumed_tail
-                else:
-                    data = b""
+        yield from _gz_member_chunks(f, pos, end)
 
 
 def iter_warc_range(

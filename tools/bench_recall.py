@@ -30,8 +30,9 @@ vectors, ~600 query ids, brute-force cosine top-10 as truth computed
 under the OPERATORS' ranking contract (cosine rounded 4dp, ties by
 neighbor id — raw-double truth would arbitrarily disagree wherever
 cluster siblings tie at 4dp).  Cells/planes scaled to keep ~64-vector
-buckets (n_cells = N/64 — the documented IVF knob; registry values
-target the tiny sf tables).  Reported split by query type: CLUSTER
+buckets with skew headroom (n_cells = N/(cap/2) = N/32 — the
+documented IVF knob in ``_cell_probe_topk``; registry values target
+the tiny sf tables).  Reported split by query type: CLUSTER
 queries (a true near-dup sibling exists — the case a dedup pipeline
 must not miss) vs UNIQUE queries (nearest neighbor is weak/random —
 the honest hard case for few-probe ANN).
@@ -417,7 +418,9 @@ recall of the capped operators against exact brute-force ground truth
 (see the tool docstring for the sampling design).  Corpus {N_DOCS:,}
 docs/vectors for pair dedup, {N_ANN:,} vectors for ANN; caps as
 shipped (64), planes/cells auto-scaled to the corpus per the
-documented at-scale contract (`planes_for_corpus`, n_cells = N/64).
+documented at-scale contract (`planes_for_corpus`,
+`simhash_width_for_corpus`, and IVF cells at N/(cap/2) = N/32 for
+skew headroom per `_cell_probe_topk`).
 
 Pair recall (operator output ∩ sample vs brute-force truth):
 
