@@ -536,9 +536,11 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
         elif marker == 0xC2:
             return _decode_progressive(b)  # progressive frame
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC3:
+            return _decode_lossless(b)  # lossless predictive frame
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/lossless/arithmetic
+            return None  # extended/hierarchical/arithmetic
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps) or ns == 0:
@@ -1377,3 +1379,303 @@ def encode_progressive_jpeg(
     )
     out += bw_.flush()
     return bytes(out) + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------
+# Lossless JPEG (SOF3, ITU-T T.81 Annex H) — Huffman predictive coding
+# ---------------------------------------------------------------------
+# The last JPEG process the wild still ships that is stdlib-feasible:
+# medical/scientific archives (DICOM) and some raw-photo pipelines use
+# process 14.  No DCT: each sample is predicted from its decoded
+# neighbours (7 selectable predictors) and the difference is coded
+# with DC-style Huffman categories (SSSS 0-16, category 16 = 32768
+# with no extra bits), all arithmetic modulo 2^16.  Colour components
+# are stored as-is (the lossless process defines no YCbCr transform;
+# 3-component files are RGB in practice).
+
+# canonical Huffman table covering every difference category 0-16
+# (the baseline Annex K DC table stops at 11 — enough for 8-bit
+# samples, not for 16-bit): 17 symbols, lengths 4..6 — valid canonical
+# set with no all-ones code
+_LL_DC_BITS = [0, 0, 0, 8, 8, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_DC_VALS = list(range(17))
+_LL_DC = _canonical_codes(_LL_DC_BITS, _LL_DC_VALS)
+_LL_DC_TREE = _decode_tree(_LL_DC_BITS, _LL_DC_VALS)
+
+
+def _ll_predict(a: int, b_: int, c: int, x: int, y: int, sel: int,
+                default: int) -> int:
+    """T.81 H.1: prediction for the sample at (x, y).  Position rules
+    override the selection: the scan's first sample takes the default
+    (2^(P-Pt-1)), the rest of the first line predicts from Ra, the
+    first column predicts from Rb."""
+    if y == 0:
+        return default if x == 0 else a
+    if x == 0:
+        return b_
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b_
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b_ - c
+    if sel == 5:
+        return a + ((b_ - c) >> 1)
+    if sel == 6:
+        return b_ + ((a - c) >> 1)
+    return (a + b_) >> 1  # sel == 7
+
+
+def encode_lossless_jpeg(
+    px,
+    w: int,
+    h: int,
+    mode: str = "L",
+    predictor: int = 1,
+    precision: int = 8,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless (SOF3) JPEG fixture encoder.  *px*: bytes (or any int
+    sequence) of w*h samples for mode 'L', or w*h*3 interleaved for
+    mode 'RGB'; samples must fit *precision* bits.  *point_transform*
+    (Al) drops that many low bits — decode returns samples shifted
+    back up, so only Pt=0 round-trips exactly.  *restart_interval*
+    emits RSTn every that many samples-per-component and resets
+    prediction (next sample takes the scan-start default)."""
+    assert 2 <= precision <= 16 and 1 <= predictor <= 7
+    ncomp = 3 if mode == "RGB" else 1
+    pt = point_transform
+    default = 1 << (precision - pt - 1)
+    comps = [
+        [int(px[i * ncomp + ci]) >> pt for i in range(w * h)]
+        for ci in range(ncomp)
+    ]
+    out = _BitWriter()
+    rst = 0
+    reset_next = False
+    prev_rows = [[default] * w for _ in range(ncomp)]
+    cur_rows = [[0] * w for _ in range(ncomp)]
+    body = bytearray()
+    n_since_rst = 0
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and n_since_rst == restart_interval
+            ):
+                body += out.flush()
+                out = _BitWriter()
+                body += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                n_since_rst = 0
+                reset_next = True
+            for ci in range(ncomp):
+                plane = comps[ci]
+                sx = plane[y * w + x]
+                if reset_next:
+                    pred = default
+                else:
+                    a = cur_rows[ci][x - 1] if x > 0 else 0
+                    b_ = prev_rows[ci][x]
+                    c = prev_rows[ci][x - 1] if x > 0 else 0
+                    pred = _ll_predict(a, b_, c, x, y, predictor, default)
+                d = ((sx - pred + 32768) & 0xFFFF) - 32768
+                if d == -32768:
+                    code, ln = _LL_DC[16]
+                    out.write(code, ln)
+                else:
+                    s = _category(d)
+                    code, ln = _LL_DC[s]
+                    out.write(code, ln)
+                    if s:
+                        out.write(
+                            d if d >= 0 else d + (1 << s) - 1, s
+                        )
+                cur_rows[ci][x] = sx
+            reset_next = False
+            n_since_rst += 1
+        for ci in range(ncomp):
+            prev_rows[ci], cur_rows[ci] = cur_rows[ci], prev_rows[ci]
+    body += out.flush()
+
+    hdr = b"\xff\xd8"
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    hdr += _seg(0xC3, sof)
+    dht = bytes([0x00]) + bytes(_LL_DC_BITS) + bytes(_LL_DC_VALS)
+    hdr += _seg(0xC4, dht)
+    if restart_interval:
+        hdr += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah<<4|Al
+    hdr += _seg(0xDA, sos)
+    return hdr + bytes(body) + b"\xff\xd9"
+
+
+def _decode_lossless(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """SOF3 frame → (w, h, 'L'|'RGB', pixels).  Precision 2-16 (P>8
+    reduces to the high byte, the PNG-16 convention); interleaved
+    multi-component scans require Hi=Vi=1 (the only layout lossless
+    encoders emit).  Restart markers reset prediction.  Any
+    malformation returns None via the shared no-raise contract."""
+    dc_trees: dict[int, dict] = {}
+    w = h = None
+    prec = 0
+    comps: list[tuple[int, int]] = []  # (cid, dc_table)
+    sel: dict[int, int] = {}
+    dri = 0
+    pred_sel = 1
+    pt = 0
+    pos = 2
+    n = len(b)
+    scan_off = None
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            return None
+        ln = int.from_bytes(b[pos + 2:pos + 4], "big")
+        body = b[pos + 4:pos + 2 + ln]
+        if marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                cnt = sum(bits)
+                vals = list(body[i + 17:i + 17 + cnt])
+                if tc == 0:
+                    dc_trees[th] = _decode_tree(bits, vals)
+                i += 17 + cnt
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[0:2], "big")
+        elif marker == 0xC3:
+            prec = body[0]
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if not (2 <= prec <= 16) or ncomp not in (1, 3):
+                return None
+            if not w or not h or w * h > _MAX_PIXELS:
+                return None
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                samp = body[7 + 3 * c]
+                if samp != 0x11 and ncomp > 1:
+                    return None  # interleaved lossless needs 1x1
+                comps.append((cid, 0))
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != len(comps) or ns == 0:
+                return None
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                sel[cid] = body[2 + 2 * c] >> 4
+            pred_sel = body[1 + 2 * ns]
+            pt = body[3 + 2 * ns] & 0x0F
+            scan_off = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_off is None or w is None or not comps:
+        return None
+    if not (1 <= pred_sel <= 7) or pt >= prec:
+        return None
+    trees = []
+    for cid, _ in comps:
+        if cid not in sel or sel[cid] not in dc_trees:
+            return None
+        trees.append(dc_trees[sel[cid]])
+
+    end = b.rfind(b"\xff\xd9")
+    if end < scan_off:
+        return None
+    scan = b[scan_off:end]
+    segments = []
+    if dri:
+        seg_start = 0
+        i = 0
+        while i < len(scan) - 1:
+            if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7:
+                segments.append(scan[seg_start:i])
+                seg_start = i + 2
+                i += 2
+            else:
+                i += 1
+        segments.append(scan[seg_start:])
+    else:
+        segments = [scan]
+
+    ncomp = len(comps)
+    default = 1 << (prec - pt - 1)
+    mask = (1 << (prec - pt)) - 1
+    r = _BitReader(segments[0])
+    seg_idx = 0
+
+    def read_huff(tree) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | r.bits(1)
+            length += 1
+            v = tree.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("bad Huffman code")
+
+    prev_rows = [[default] * w for _ in range(ncomp)]
+    cur_rows = [[0] * w for _ in range(ncomp)]
+    planes = [bytearray(w * h) for _ in range(ncomp)]
+    reset_next = False
+    n_since_rst = 0
+    try:
+        for y in range(h):
+            for x in range(w):
+                if dri and n_since_rst == dri:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("missing restart segment")
+                    r = _BitReader(segments[seg_idx])
+                    n_since_rst = 0
+                    reset_next = True
+                for ci in range(ncomp):
+                    s = read_huff(trees[ci])
+                    if s > 16:
+                        raise ValueError("bad category")
+                    if s == 16:
+                        d = 32768
+                    else:
+                        d = _receive_extend(r, s)
+                    if reset_next:
+                        pred = default
+                    else:
+                        a = cur_rows[ci][x - 1] if x > 0 else 0
+                        b_ = prev_rows[ci][x]
+                        c = prev_rows[ci][x - 1] if x > 0 else 0
+                        pred = _ll_predict(
+                            a, b_, c, x, y, pred_sel, default
+                        )
+                    val = ((pred + d) & 0xFFFF) & mask
+                    cur_rows[ci][x] = val
+                    full = val << pt
+                    planes[ci][y * w + x] = (
+                        full if prec <= 8 else full >> (prec - 8)
+                    ) & 0xFF
+                reset_next = False
+                n_since_rst += 1
+            for ci in range(ncomp):
+                prev_rows[ci], cur_rows[ci] = cur_rows[ci], prev_rows[ci]
+    except (IndexError, ValueError):
+        return None
+
+    if ncomp == 1:
+        return w, h, "L", bytes(planes[0])
+    out = bytearray(w * h * 3)
+    for ci in range(3):
+        out[ci::3] = planes[ci]
+    return w, h, "RGB", bytes(out)

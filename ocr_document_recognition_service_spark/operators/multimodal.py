@@ -6,17 +6,20 @@ sniffing, Arrow batch shape, partition behavior — is real and tested.
 Header metadata (PNG/GIF/JPEG/BMP dims, WAV chunks) is REAL stdlib
 parsing; ``decode_image_pixels`` REALLY decodes uncompressed 24-bit
 BMP, 8-bit PNG (grey/RGB/paletted; zlib IDAT + filter reversal + PLTE
-lookup) JPEG — baseline AND progressive (SOF2, spectral selection +
-successive approximation), grey + YCbCr colour at any sampling, see
-``operators.jpeg`` — GIF (LZW + palette, interlace) and TIFF
-(``operators.tiff``: strips, PackBits/TIFF-LZW, predictor 2, all four
-photometrics, bilevel packed-bits AND CCITT G4/T.6 MMR fax
+lookup) JPEG — baseline, progressive (SOF2, spectral selection +
+successive approximation) AND lossless (SOF3, T.81 Annex H predictive,
+r6), grey + YCbCr colour at any sampling, see ``operators.jpeg`` —
+GIF (LZW + palette, interlace) and TIFF (``operators.tiff``: strips,
+PackBits/TIFF-LZW, predictor 2, all four photometrics, bilevel
+packed-bits AND CCITT G3 (T.4 MH/MR) + G4 (T.6 MMR) fax
 (``operators.g4fax``) — the scanned-document formats the reference's
 OCR loaders ingest) with stdlib+numpy alone, and flips to Pillow for
 everything else when importable (import-try gate); Adam7-interlaced
-and 16-bit PNG (high-byte reduction) decode for real too.  Only
-formats beyond all paths (arithmetic-coded/lossless JPEG,
-video/audio sample decode) remain the loudly-marked
+and 16-bit PNG (high-byte reduction) decode for real too.  WAV
+PCM8/PCM16 samples decode for real (duration/peak/RMS/md5, r6), and
+MJPEG-in-AVI frames decode for real through the repo's own JPEG stack
+(r6).  Only formats beyond all paths (arithmetic-coded JPEG, non-AVI
+video, compressed audio codecs) remain the loudly-marked
 ``NotImplementedError``/deterministic-fake stub — the one concession
 to this container having no image/audio libs.
 """
@@ -1002,9 +1005,10 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     markers included (``operators.jpeg``: marker parse, canonical
     Huffman entropy decode incl. progressive first/refinement scans,
     dequantize, IDCT, chroma upsample); raises NotImplementedError
-    only for formats none of those paths cover (arithmetic-coded/
-    lossless JPEG, video …), which is the remaining loudly-marked
-    stub surface."""
+    only for formats none of those paths cover (arithmetic-coded
+    JPEG, non-AVI video …), which is the remaining loudly-marked stub
+    surface; LOSSLESS (SOF3) JPEG decodes for real (r6: T.81 Annex H
+    predictive coding, all 7 predictors, restarts, 2-16 bit)."""
     b = bytes(payload)
     out = _decode_bmp(b) or _decode_png(b) or _decode_gif(b)
     if out is None:
@@ -1026,8 +1030,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             # through to the documented contract below
             pass
     raise NotImplementedError(
-        "pixel decode beyond BMP/PNG/GIF/TIFF (incl. G4 fax)/JPEG "
-        "requires Pillow/cv2 (arithmetic-coded JPEG, video); install "
+        "pixel decode beyond BMP/PNG/GIF/TIFF (incl. G3/G4 fax)/JPEG "
+        "(baseline/progressive/lossless) requires Pillow/cv2 "
+        "(arithmetic-coded JPEG, non-AVI video); install "
         "on the cluster and this same call decodes every format"
     )
 

@@ -2870,17 +2870,27 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
         if kind == 3:
             return multimodal.synthetic_interlaced_png_payload(i)
         if kind == 4:
-            enc = (
-                jpeg.encode_progressive_jpeg
-                if (i // 7) % 2
-                else jpeg.encode_gray_jpeg
-            )
-            return enc(multimodal._px_stream(i, 16 * 16), 16, 16)
+            # grey JPEG ladder: baseline / progressive / LOSSLESS
+            # (SOF3 predictive, r6)
+            v = (i // 7) % 3
+            px = multimodal._px_stream(i, 16 * 16)
+            if v == 2:
+                return jpeg.encode_lossless_jpeg(
+                    px, 16, 16, predictor=4
+                )
+            enc = jpeg.encode_progressive_jpeg if v else jpeg.encode_gray_jpeg
+            return enc(px, 16, 16)
         if kind == 5:
-            return jpeg.encode_rgb_jpeg(
-                multimodal._px_stream(i, 16 * 16 * 3), 16, 16,
-                subsample=bool((i // 7) % 2),
-            )
+            # colour JPEG ladder: 4:4:4 / 4:2:0 / LOSSLESS RGB with
+            # restart markers
+            v = (i // 7) % 3
+            px = multimodal._px_stream(i, 16 * 16 * 3)
+            if v == 2:
+                return jpeg.encode_lossless_jpeg(
+                    px, 16, 16, mode="RGB", predictor=7,
+                    restart_interval=40,
+                )
+            return jpeg.encode_rgb_jpeg(px, 16, 16, subsample=bool(v))
         # kind 6: bilevel document scan — rotate the full fax ladder:
         # packed bits, MH RLE (comp 2), T.4 G3 1-D and 2-D (comp 3),
         # G4 (comp 4), and the MinIsBlack-G4 shape the spec permits

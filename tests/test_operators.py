@@ -1932,3 +1932,67 @@ def test_decoders_reject_bombs_and_truncation():
         b"\xff\xd8\xff\xc0" + (len(body) + 2).to_bytes(2, "big") + body
     )
     assert jpeg.decode_jpeg(pad_bomb) is None
+
+
+def test_lossless_jpeg_roundtrips_and_rejects():
+    """r6: lossless (SOF3) JPEG — T.81 Annex H predictive coding, the
+    last stdlib-feasible JPEG process (DICOM/raw-photo archives).  All
+    7 predictors round-trip byte-exact in grey and RGB through the
+    public decode_jpeg dispatch; restart intervals reset prediction;
+    16-bit samples reduce to the high byte (PNG-16 convention); point
+    transform shifts back up; truncation/bit-flip fuzz never raises.
+    Same conformance caveat as G3/G4: no external lossless reader in
+    this container — encoder/decoder validate each other + structure."""
+    import random as _r
+
+    from ocr_document_recognition_service_spark.operators import jpeg as J
+
+    rng = _r.Random(23)
+    grey = bytes((x * 7 + y * 13) % 256 for y in range(20) for x in range(31))
+    rgb = bytes(rng.randrange(256) for _ in range(17 * 9 * 3))
+    for pred in range(1, 8):
+        enc = J.encode_lossless_jpeg(grey, 31, 20, predictor=pred)
+        assert J.decode_jpeg(enc) == (31, 20, "L", grey), pred
+        enc = J.encode_lossless_jpeg(rgb, 17, 9, mode="RGB", predictor=pred)
+        assert J.decode_jpeg(enc) == (17, 9, "RGB", rgb), pred
+    # flat and extreme-value planes (category edge cases incl. SSSS=8)
+    for px in (b"\x00" * 200, b"\xff" * 200, b"\x00\xff" * 100):
+        assert J.decode_jpeg(J.encode_lossless_jpeg(px, 20, 10, predictor=4))[3] == px
+    # restart markers: prediction resets, byte-aligned RSTn cycling
+    noisy = bytes(rng.randrange(256) for _ in range(40 * 13))
+    for ri in (1, 5, 37):
+        enc = J.encode_lossless_jpeg(noisy, 40, 13, predictor=4,
+                                     restart_interval=ri)
+        assert J.decode_jpeg(enc) == (40, 13, "L", noisy), ri
+    # 16-bit precision reduces to high byte; SSSS up to 16 exercised
+    wide = [rng.randrange(65536) for _ in range(23 * 7)]
+    got = J.decode_jpeg(J.encode_lossless_jpeg(wide, 23, 7, precision=16,
+                                               predictor=1))
+    assert got[:3] == (23, 7, "L") and got[3] == bytes(s >> 8 for s in wide)
+    # point transform: decoded samples are shifted back up
+    got = J.decode_jpeg(J.encode_lossless_jpeg(grey, 31, 20, predictor=2,
+                                               point_transform=3))
+    assert got[3] == bytes((v >> 3) << 3 for v in grey)
+    # degenerate geometries
+    assert J.decode_jpeg(J.encode_lossless_jpeg(b"\x80", 1, 1))[3] == b"\x80"
+    # no-raise contract: truncations and flips return None or a frame
+    enc = J.encode_lossless_jpeg(rgb, 17, 9, mode="RGB", predictor=4,
+                                 restart_interval=7)
+    for i in range(0, len(enc), 3):
+        r = J.decode_jpeg(enc[:i])
+        assert r is None or len(r) == 4
+    rejected = 0
+    for _ in range(200):
+        ba = bytearray(enc)
+        for _ in range(rng.randint(1, 4)):
+            ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+        r = J.decode_jpeg(bytes(ba))
+        assert r is None or len(r) == 4
+        if r is None:
+            rejected += 1
+    assert rejected > 80
+    # deterministic fixture pin: any codec change must be deliberate
+    doc = bytes((x * 3 + y * 5) % 251 for y in range(24) for x in range(32))
+    enc = J.encode_lossless_jpeg(doc, 32, 24, predictor=7)
+    assert multimodal.decode_image_pixels(enc) == (32, 24, "L", doc)
+    assert hashlib.md5(enc).hexdigest() == "85d97741ac8af4a3f8b4651a99edd4e2"
