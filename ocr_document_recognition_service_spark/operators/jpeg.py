@@ -458,10 +458,12 @@ def decode_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
     Handles 1-component greyscale and 3-component YCbCr at any
     sampling factors (4:4:4 / 4:2:2 / 4:2:0 via the generic MCU loop),
     restart markers included.  None when the payload is not a JPEG
-    this path covers (arithmetic / 12-bit / CMYK) — the caller falls
-    through to its loud stub.  Progressive (SOF2) frames route to
-    ``_decode_progressive`` — spectral selection AND successive
-    approximation, DC/AC first + refinement scans, EOB runs.
+    this path covers (12-bit / CMYK / arith-progressive) — the caller
+    falls through to its loud stub.  Progressive (SOF2) frames route
+    to ``_decode_progressive`` — spectral selection AND successive
+    approximation, DC/AC first + refinement scans, EOB runs;
+    sequential arithmetic (SOF9) frames to
+    ``jpeg_arith.decode_arith_jpeg`` (QM-coder, T.81 Annex D/F).
 
     Malformed/truncated payloads return None rather than raising: at
     corpus scale one corrupt blob must not fail a whole Arrow batch
@@ -538,9 +540,13 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
             return _decode_progressive(b)  # progressive frame
         elif marker == 0xC3:
             return _decode_lossless(b)  # lossless predictive frame
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC9:
+            from .jpeg_arith import decode_arith_jpeg
+
+            return decode_arith_jpeg(b)  # sequential arithmetic frame
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/hierarchical/arithmetic
+            return None  # extended/hierarchical/arith-progressive
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps) or ns == 0:

@@ -18,7 +18,9 @@ everything else when importable (import-try gate); Adam7-interlaced
 and 16-bit PNG (high-byte reduction) decode for real too.  WAV
 PCM8/PCM16 samples decode for real (duration/peak/RMS/md5, r6), and
 MJPEG-in-AVI frames decode for real through the repo's own JPEG stack
-(r6).  Only formats beyond all paths (arithmetic-coded JPEG, non-AVI
+(r6); sequential arithmetic-coded JPEG (SOF9) decodes for real via
+the QM-coder in ``operators.jpeg_arith`` (r6).  Only formats beyond
+all paths (12-bit/CMYK/arith-progressive JPEG, non-AVI
 video, compressed audio codecs) remain the loudly-marked
 ``NotImplementedError``/deterministic-fake stub — the one concession
 to this container having no image/audio libs.
@@ -1004,11 +1006,13 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     greyscale and 3-component YCbCr at 4:4:4 / 4:2:2 / 4:2:0, restart
     markers included (``operators.jpeg``: marker parse, canonical
     Huffman entropy decode incl. progressive first/refinement scans,
-    dequantize, IDCT, chroma upsample); raises NotImplementedError
-    only for formats none of those paths cover (arithmetic-coded
-    JPEG, non-AVI video …), which is the remaining loudly-marked stub
-    surface; LOSSLESS (SOF3) JPEG decodes for real (r6: T.81 Annex H
-    predictive coding, all 7 predictors, restarts, 2-16 bit)."""
+    dequantize, IDCT, chroma upsample); LOSSLESS (SOF3) JPEG decodes
+    for real (r6: T.81 Annex H predictive coding, all 7 predictors,
+    restarts, 2-16 bit); sequential ARITHMETIC (SOF9) JPEG decodes
+    for real too (r6: ``operators.jpeg_arith`` QM-coder, T.81 Annex
+    D/F); raises NotImplementedError only for formats none of those
+    paths cover (12-bit / CMYK / arith-progressive JPEG, non-AVI
+    video …), which is the remaining loudly-marked stub surface."""
     b = bytes(payload)
     out = _decode_bmp(b) or _decode_png(b) or _decode_gif(b)
     if out is None:
@@ -1031,8 +1035,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             pass
     raise NotImplementedError(
         "pixel decode beyond BMP/PNG/GIF/TIFF (incl. G3/G4 fax)/JPEG "
-        "(baseline/progressive/lossless) requires Pillow/cv2 "
-        "(arithmetic-coded JPEG, non-AVI video); install "
+        "(baseline/progressive/lossless/sequential-arithmetic) "
+        "requires Pillow/cv2 (12-bit/CMYK/arith-progressive JPEG, "
+        "non-AVI video); install "
         "on the cluster and this same call decodes every format"
     )
 

@@ -2848,14 +2848,15 @@ def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
     # deterministic end-to-end: oracle = pinned expected values
     pinned_oracles.sql_for("x_image_pixels"),
     "REAL pixel decode through the Spark plumbing: BMP + GIF + PNG (grey/RGB/"
-    "palette/interlaced) + JPEG (baseline grey/colour AND progressive) "
+    "palette/interlaced) + JPEG (baseline grey/colour, progressive, "
+    "lossless SOF3 AND arithmetic SOF9, r6) "
     "+ bilevel TIFF scans (packed bits AND CCITT G4/T.6 MMR fax, r5) "
     "decoded inside an Arrow-batched pandas UDF, pixels md5-hashed "
     "per row (narrow exchange); undecodable payloads report "
     "decoder='stub' instead of failing the batch",
 )
 def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators import jpeg, multimodal, tiff
+    from ..operators import jpeg, jpeg_arith, multimodal, tiff
 
     def mk(i: int) -> bytes:
         kind = i % 7
@@ -2871,24 +2872,31 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
             return multimodal.synthetic_interlaced_png_payload(i)
         if kind == 4:
             # grey JPEG ladder: baseline / progressive / LOSSLESS
-            # (SOF3 predictive, r6)
-            v = (i // 7) % 3
+            # (SOF3 predictive, r6) / ARITHMETIC (SOF9 QM-coder, r6)
+            v = (i // 7) % 4
             px = multimodal._px_stream(i, 16 * 16)
             if v == 2:
                 return jpeg.encode_lossless_jpeg(
                     px, 16, 16, predictor=4
                 )
+            if v == 3:
+                return jpeg_arith.encode_arith_jpeg(px, 16, 16, "L")
             enc = jpeg.encode_progressive_jpeg if v else jpeg.encode_gray_jpeg
             return enc(px, 16, 16)
         if kind == 5:
             # colour JPEG ladder: 4:4:4 / 4:2:0 / LOSSLESS RGB with
-            # restart markers
-            v = (i // 7) % 3
+            # restart markers / ARITHMETIC 4:2:0 with restarts
+            v = (i // 7) % 4
             px = multimodal._px_stream(i, 16 * 16 * 3)
             if v == 2:
                 return jpeg.encode_lossless_jpeg(
                     px, 16, 16, mode="RGB", predictor=7,
                     restart_interval=40,
+                )
+            if v == 3:
+                return jpeg_arith.encode_arith_jpeg(
+                    px, 16, 16, "RGB", subsample=True,
+                    restart_interval=2,
                 )
             return jpeg.encode_rgb_jpeg(px, 16, 16, subsample=bool(v))
         # kind 6: bilevel document scan — rotate the full fax ladder:

@@ -1996,3 +1996,90 @@ def test_lossless_jpeg_roundtrips_and_rejects():
     enc = J.encode_lossless_jpeg(doc, 32, 24, predictor=7)
     assert multimodal.decode_image_pixels(enc) == (32, 24, "L", doc)
     assert hashlib.md5(enc).hexdigest() == "85d97741ac8af4a3f8b4651a99edd4e2"
+
+
+def test_arith_jpeg_equals_huffman_and_survives_fuzz():
+    """r6: sequential arithmetic-coded (SOF9) JPEG — the QM-coder of
+    T.81 Annex D with the Annex F DC/AC statistical models.  The
+    quantization path is shared with the Huffman codec, so an
+    arithmetic encode of an image must decode to pixels BYTE-EQUAL to
+    the baseline decode of the same image — a cross-codec oracle that
+    validates the entire entropy layer without an external producer
+    (same conformance caveat as G3/G4/lossless).  Restart markers
+    reset coder + statistics + predictors; non-default DAC
+    conditioning (L, U, Kx) round-trips; fuzz never raises."""
+    import random as _r
+
+    import numpy as np
+
+    from ocr_document_recognition_service_spark.operators import jpeg as J
+    from ocr_document_recognition_service_spark.operators import jpeg_arith as A
+
+    # coder-level property: arbitrary bit sequence over arbitrary
+    # adaptive contexts survives encode->flush->decode exactly
+    rng = _r.Random(17)
+    for trial in range(20):
+        nctx = rng.randint(1, 8)
+        bits = [(rng.randrange(nctx), rng.randrange(2))
+                for _ in range(rng.randint(1, 400))]
+        enc, st_e = A.ArithEncoder(), bytearray(nctx)
+        for ctx, bit in bits:
+            enc.encode(st_e, ctx, bit)
+        dec, st_d = A.ArithDecoder(enc.flush()), bytearray(nctx)
+        got = [dec.decode(st_d, ctx) for ctx, _ in bits]
+        assert got == [b for _, b in bits], trial
+
+    npr = np.random.default_rng(5)
+
+    def pix(n):
+        return bytes(npr.integers(0, 256, n, dtype=np.uint8))
+
+    # cross-codec pixel equality, grey + RGB 4:4:4 + RGB 4:2:0,
+    # non-multiple-of-8 (and -16) geometries
+    for w, h in ((37, 23), (8, 8), (1, 1)):
+        px = pix(w * h)
+        assert J.decode_jpeg(A.encode_arith_jpeg(px, w, h, "L")) == \
+            J.decode_jpeg(J.encode_gray_jpeg(px, w, h)), (w, h)
+    for w, h, sub in ((19, 31, False), (50, 34, True), (16, 16, True)):
+        px = pix(w * h * 3)
+        assert J.decode_jpeg(A.encode_arith_jpeg(px, w, h, "RGB",
+                                                 subsample=sub)) == \
+            J.decode_jpeg(J.encode_rgb_jpeg(px, w, h, subsample=sub)), (w, h)
+    # restart intervals: every-MCU, mid, and longer-than-scan
+    px = pix(40 * 33)
+    plain = J.decode_jpeg(J.encode_gray_jpeg(px, 40, 33))
+    for ri in (1, 3, 1000):
+        assert J.decode_jpeg(
+            A.encode_arith_jpeg(px, 40, 33, "L", restart_interval=ri)
+        ) == plain, ri
+    # non-default DAC conditioning changes the bytes, not the pixels
+    base = A.encode_arith_jpeg(px, 40, 33, "L")
+    for cond in ((0, 0, 1), (2, 4, 16), (15, 15, 63)):
+        alt = A.encode_arith_jpeg(px, 40, 33, "L", conditioning=cond)
+        assert alt != base and J.decode_jpeg(alt) == plain, cond
+    # the arithmetic path rides decode_image_pixels (public surface)
+    enc = A.encode_arith_jpeg(pix(16 * 16), 16, 16, "L")
+    out = multimodal.decode_image_pixels(enc)
+    assert out[:3] == (16, 16, "L") and len(out[3]) == 256
+    # no-raise contract: truncation + bit flips return None or a frame
+    enc = A.encode_arith_jpeg(pix(24 * 17 * 3), 24, 17, "RGB",
+                              subsample=True, restart_interval=2)
+    for i in range(0, len(enc), 7):
+        r = J.decode_jpeg(enc[:i])
+        assert r is None or len(r) == 4
+    rejected = 0
+    for _ in range(200):
+        ba = bytearray(enc)
+        for _ in range(rng.randint(1, 4)):
+            ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+        r = J.decode_jpeg(bytes(ba))
+        assert r is None or len(r) == 4
+        if r is None:
+            rejected += 1
+    assert rejected > 30  # header flips reject; scan flips decode noise
+    # deterministic fixture pin: any codec change must be deliberate
+    doc = bytes((x * 11 + y * 3) % 256 for y in range(24) for x in range(32))
+    enc = A.encode_arith_jpeg(doc, 32, 24, "L")
+    assert J.decode_jpeg(enc) == J.decode_jpeg(J.encode_gray_jpeg(doc, 32, 24))
+    assert hashlib.md5(enc).hexdigest() == \
+        "d782f9cc538cf39a4466b5222caed627"
