@@ -24,7 +24,9 @@ Two deliberate asymmetries vs the Huffman codec in ``jpeg.py``:
 - Quantization is IDENTICAL to the Huffman path (same Annex K tables,
   same rint), so the decoded pixels of an arithmetic encode must be
   byte-equal to the baseline decode of the same source image — the
-  cross-codec equality test in ``tests/test_jpeg_arith.py``.
+  cross-codec equality test
+  (``test_arith_jpeg_equals_huffman_and_survives_fuzz`` in
+  ``tests/test_operators.py``).
 
 Conformance caveat (same posture as the G4 fax codec): the sandbox
 has no external arithmetic-JPEG producer, so validation is internal —
@@ -727,6 +729,9 @@ def decode_arith_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
         marker = b[pos + 1]
         if marker == 0xD9:
             return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2  # standalone marker (TEM / stray RSTn): no length
+            continue
         ln = int.from_bytes(b[pos + 2:pos + 4], "big")
         body = b[pos + 4:pos + 2 + ln]
         if marker == 0xDB:
@@ -845,7 +850,7 @@ def decode_arith_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
 
     def fresh_state():
         return (
-            ArithDecoder(segments[0] if not dri else segments[seg_idx]),
+            ArithDecoder(segments[seg_idx]),
             [bytearray(_DC_STAT_BINS) for _ in range(n_dc)],
             [bytearray(_AC_STAT_BINS) for _ in range(n_ac)],
             bytearray([_FIXED_BIN]),

@@ -2061,6 +2061,10 @@ def test_arith_jpeg_equals_huffman_and_survives_fuzz():
     enc = A.encode_arith_jpeg(pix(16 * 16), 16, 16, "L")
     out = multimodal.decode_image_pixels(enc)
     assert out[:3] == (16, 16, "L") and len(out[3]) == 256
+    # standalone markers (TEM) between header segments are skipped
+    i = enc.find(b"\xff\xda")
+    assert J.decode_jpeg(enc[:i] + b"\xff\x01" + enc[i:]) == \
+        J.decode_jpeg(enc)
     # no-raise contract: truncation + bit flips return None or a frame
     enc = A.encode_arith_jpeg(pix(24 * 17 * 3), 24, 17, "RGB",
                               subsample=True, restart_interval=2)
