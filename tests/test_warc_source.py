@@ -595,3 +595,45 @@ def test_midfile_corrupt_member_resync(tmp_path, corpus_rows):
     intact = [g for g in got if g in want]
     assert len(intact) >= 19
     assert len(got) <= 20
+
+
+def test_shared_warc_pages_equals_direct_and_unpersists(
+    spark, tmp_path, corpus_rows
+):
+    """r6: the shared-parse ingest path (persisted pages feeding the
+    multi-branch extraction plan) is decision-identical to the direct
+    fused path, and the context manager guarantees the unpersist —
+    including when the body raises.  The point of the persist is plan
+    economics (one parse pass instead of one per lang branch), never
+    semantics."""
+    rows = corpus_rows[:80]
+    recs = [(r["url"], r["warc_ts"], r["html"]) for r in rows]
+    warc.write_warc_gz(str(tmp_path / "a.warc.gz"), recs[:40])
+    warc.write_warc_gz(str(tmp_path / "b.warc.gz"), recs[40:])
+    glob = str(tmp_path / "*.warc.gz")
+
+    direct = extract_pages(
+        warc.read_warc_stream(spark, glob), num_partitions=4
+    ).select("url", "lang", "n_blocks", "text", "error")
+    want = sorted(map(tuple, direct.collect()))
+
+    with warc.shared_warc_pages(spark, glob) as pages:
+        assert pages.storageLevel.useMemory  # persisted
+        got = sorted(
+            map(
+                tuple,
+                extract_pages(pages, num_partitions=4)
+                .select("url", "lang", "n_blocks", "text", "error")
+                .collect(),
+            )
+        )
+        held = pages
+    assert got == want
+    assert not held.storageLevel.useMemory  # unpersisted on exit
+
+    # unpersist happens even when the body raises
+    with pytest.raises(RuntimeError, match="boom"):
+        with warc.shared_warc_pages(spark, glob) as pages:
+            leaked = pages
+            raise RuntimeError("boom")
+    assert not leaked.storageLevel.useMemory
