@@ -22,6 +22,7 @@ there is NO low-cardinality blocking key anywhere in this module.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
@@ -669,4 +670,128 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------
+# Sub-document (paragraph / line / segment) exact dedup — the C4 /
+# RefinedWeb / MassiveText curation staple: a boilerplate paragraph
+# repeated across thousands of pages is removed everywhere but its
+# first occurrence, while the surrounding unique prose survives.
+# Document-level dedup (above) cannot express this: the documents
+# differ, only parts repeat.
+# ---------------------------------------------------------------------
+
+
+def segment_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    separator: str | None = None,
+    words_per_segment: int = 12,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact segment dedup with first-occurrence keep.
+
+    Split every document into ordered segments — by *separator*
+    (paragraphs on ``"\\n\\n"``, lines on ``"\\n"``; a Java regex,
+    also used literally as the rejoin string) when the corpus has
+    layout, else fixed non-overlapping *words_per_segment* word
+    windows (flat word-stream corpora) — then drop every segment whose
+    exact text occurred earlier in the corpus, where "earlier" is the
+    total order (id, segment index).  Segments shorter than
+    *min_chars* are kept verbatim (too little signal to call them
+    duplicates — the C4 rule ignores short lines).  Rows with NULL
+    text are absent from the output (same as the SQL oracle, where
+    NULL propagates to zero segment rows).
+
+    Returns one row per input document: ``(id, n_segments, n_kept,
+    text_dedup)`` with ``text_dedup`` the kept segments rejoined in
+    original order (empty string when everything was a repeat).
+
+    Plan (scale notes, 100 TB): segmentation is an Arrow-batched
+    pandas UDF — MEASURED choice, not a default: the built-in
+    ``transform(sequence(...), slice(words, ...))`` form re-evaluates
+    the ``split`` inside the lambda once per segment (no CSE inside
+    HOF lambda bodies, and staging the array as a column does not
+    survive CollapseProject here), which is O(words²/n) per document —
+    50 s for 30 docs of 30k words, where both the UDF and an
+    explode+groupBy formation stay flat (~0.5 s).  The UDF wins over
+    explode+groupBy because it keeps segmentation NARROW (no shuffle
+    of every word).  The segment explode is narrow; the keep decision
+    is a groupBy(min) on ``md5(segment)`` (one shuffle of narrow rows,
+    map-side combine absorbs boilerplate mega-duplicates) left-joined
+    back on the hash (hot keys are what AQE skew-join splits; a
+    per-hash window-min would put a mega-duplicate\'s every copy in
+    one task instead).  Reassembly + all counts happen in ONE
+    groupBy(id) over keep-flagged segment rows — no totals join, no
+    short-segment union, so the UDF subtree has exactly two consumers
+    (winners + probe), each a single linear pass.  The original wide
+    ``text`` column never shuffles.  "First occurrence wins" is a
+    deterministic total order, so reruns and the DuckDB oracle agree
+    exactly.
+    """
+    src = docs.filter(F.col(text_col).isNotNull())
+    if separator is not None:
+        staged = src.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.col(text_col), separator, -1).alias("_segs"),
+        )
+    else:
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        n = words_per_segment
+
+        @pandas_udf("array<string>")
+        def _segment(texts: pd.Series) -> pd.Series:
+            def f(t: str) -> list[str]:
+                ws = t.split(" ")
+                return [
+                    " ".join(ws[i : i + n])
+                    for i in range(0, max(len(ws), 1), n)
+                ]
+
+            return texts.map(f)
+
+        staged = src.select(
+            F.col(id_col).alias("_id"), _segment(text_col).alias("_segs")
+        )
+    segs = staged.select(
+        "_id", F.posexplode("_segs").alias("seg_idx", "seg")
+    ).withColumn(
+        "seg_hash",
+        F.when(F.length("seg") >= min_chars, F.md5("seg")),
+    )
+    winners = (
+        segs.filter(F.col("seg_hash").isNotNull())
+        .groupBy("seg_hash")
+        .agg(F.min(F.struct("_id", "seg_idx")).alias("first_at"))
+    )
+    flagged = segs.join(winners, "seg_hash", "left").withColumn(
+        "_keep",
+        F.col("seg_hash").isNull()  # short segment: exempt
+        | (
+            (F.col("_id") == F.col("first_at._id"))
+            & (F.col("seg_idx") == F.col("first_at.seg_idx"))
+        ),
+    )
+    joiner = separator if separator is not None else " "
+    return flagged.groupBy("_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "_keep", "seg"))
+                    ),
+                    lambda x: x["_keep"],
+                ),
+                lambda x: x["seg"],
+            ),
+            joiner,
+        ).alias("text_dedup"),
+    ).select(
+        F.col("_id").alias(id_col), "n_segments", "n_kept", "text_dedup"
     )

@@ -1614,6 +1614,66 @@ def dd8_components(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_components(pairs)
 
 
+@_reg(
+    "dd9_segment_dedup",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    segs AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(ws) / 6.0) AS BIGINT))) AS seg_idx,
+             ws
+      FROM w
+    ),
+    seg2 AS (
+      SELECT doc_id, seg_idx,
+             array_to_string(ws[seg_idx*6+1 : seg_idx*6+6], ' ') AS seg
+      FROM segs
+    ),
+    keepable AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (
+               PARTITION BY md5(seg) ORDER BY doc_id, seg_idx
+             ) AS rn
+      FROM seg2 WHERE length(seg) >= 1
+    ),
+    kept AS (
+      SELECT doc_id, seg_idx, seg FROM keepable WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, seg_idx, seg FROM seg2 WHERE length(seg) < 1
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_segments FROM seg2 GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_segments,
+           coalesce(r.n_kept, 0) AS n_kept,
+           md5(coalesce(r.text_dedup, '')) AS dedup_md5
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    "sub-document exact dedup (C4/RefinedWeb paragraph-scrub shape): "
+    "fixed word-window segments, corpus-wide first-occurrence keep on "
+    "md5(segment) (groupBy-min + join back — AQE-skew-safe for "
+    "boilerplate mega-duplicates), documents reassembled in segment "
+    "order; per-doc survival counts + rebuilt-text md5",
+)
+def dd9_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    out = dedup.segment_dedup(
+        load(spark, sf, "documents"), words_per_segment=6
+    )
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "n_kept",
+        F.md5("text_dedup").alias("dedup_md5"),
+    )
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
@@ -3022,10 +3082,12 @@ _DRIVER_WINDOW: list[str] = [
     "w8_sliding_stats",
     # set operations (s2 out r6 — same EXCEPT/INTERSECT shape as s1)
     "s1_customers_no_urgent",
-    # dedup family (dd0/dd4 back in — r2)
+    # dedup family (dd0/dd4 back in — r2; dd9 NEW r6 — first-time
+    # certification outranks dd6, whose exact-Jaccard-verify shape
+    # stays represented by dd2)
     "dd0_dedup_apply", "dd1_exact", "dd2_word_jaccard",
     "dd3_minhash_lsh", "dd4_simhash", "dd5_embedding_dup",
-    "dd6_ngram_jaccard", "dd7_simhash_near", "dd8_components",
+    "dd9_segment_dedup", "dd7_simhash_near", "dd8_components",
     # similarity / embeddings (sim2/sim4 back in — r2; sim6 first-ever
     # driver certification)
     "sim1_topk_cosine", "sim2_lsh_buckets", "sim3_lsh_topk",

@@ -142,15 +142,25 @@ def incremental_warc_extract(
     )
 
     def process_batch(batch_df, batch_id: int) -> None:
+        from pyspark.storagelevel import StorageLevel
+
         paths = [r["path"] for r in batch_df.collect()]  # listing only
         if not paths:
             return
         files = spark.createDataFrame([(p,) for p in paths], "path string")
+        # persist the parsed pages for the multi-branch extraction plan
+        # (same rationale as warc.shared_warc_pages: without it every
+        # lang branch re-decompresses and re-parses the whole batch's
+        # archives); the sink inside _extract_and_sink is the terminal
+        # action, so the cache lives exactly one micro-batch
         pages = warc.pages_from_file_listing(
             spark, files, infer_lang_from_host=infer_lang_from_host
-        )
-        _extract_and_sink(
-            pages, batch_id, output_path, salt_threshold, num_partitions
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            _extract_and_sink(
+                pages, batch_id, output_path, salt_threshold, num_partitions
+            )
+        finally:
+            pages.unpersist(blocking=False)
 
     _drain(stream, process_batch, stream_checkpoint)

@@ -2087,3 +2087,69 @@ def test_arith_jpeg_equals_huffman_and_survives_fuzz():
     assert J.decode_jpeg(enc) == J.decode_jpeg(J.encode_gray_jpeg(doc, 32, 24))
     assert hashlib.md5(enc).hexdigest() == \
         "d782f9cc538cf39a4466b5222caed627"
+
+
+def test_segment_dedup_hand_cases_and_plan(spark):
+    """r6: sub-document exact dedup (the C4/RefinedWeb paragraph
+    scrub).  Hand-computed keep decisions: first occurrence in
+    (id, seg_idx) total order wins, later repeats vanish, unique
+    segments survive, short segments are exempt, a fully-duplicate
+    document comes back empty with n_kept=0.  Plan audit: the wide
+    text column feeds only the narrow segment explode — the keep
+    decision and reassembly shuffle segments and ids, never documents.
+    """
+    from ocr_document_recognition_service_spark.operators.dedup import (
+        segment_dedup,
+    )
+
+    # words mode: 2-word windows
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # both segments first occurrences
+            (2, "a b x y"),        # "a b" dropped, "x y" kept
+            (3, "a b c d"),        # fully duplicate -> empty
+            (4, "c d z"),          # "c d" dropped, tail "z" kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["text_dedup"])
+        for r in segment_dedup(df, words_per_segment=2).collect()
+    }
+    assert got == {
+        1: (2, 2, "a b c d"),
+        2: (2, 1, "x y"),
+        3: (2, 0, ""),
+        4: (2, 1, "z"),
+    }
+
+    # separator (paragraph) mode + min_chars exemption
+    df2 = spark.createDataFrame(
+        [
+            (1, "intro\n\nbody text\n\nx"),
+            (2, "body text\n\nx\n\noutro"),
+        ],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: (r["n_kept"], r["text_dedup"])
+        for r in segment_dedup(
+            df2, separator="\n\n", min_chars=2
+        ).collect()
+    }
+    # "x" (1 char) is exempt everywhere; "body text" deduped to doc 1
+    assert got2 == {
+        1: (3, "intro\n\nbody text\n\nx"),
+        2: (2, "x\n\noutro"),
+    }
+
+    # plan: no exchange carries the original text column
+    plan = (
+        segment_dedup(df, words_per_segment=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
