@@ -255,10 +255,11 @@ def _encode_block(
     prev_dc: int,
     dc_codes,
     ac_codes,
+    center: float = 128.0,
 ) -> int:
     """FDCT + quantize + entropy-code one 8×8 sample block; returns the
     new DC predictor."""
-    q = np.rint(_fdct(block - 128.0) / qt).astype(int).reshape(64)
+    q = np.rint(_fdct(block - center) / qt).astype(int).reshape(64)
     zz = [int(q[i]) for i in ZIGZAG]
     diff = zz[0] - prev_dc
     s = _category(diff)
@@ -447,6 +448,134 @@ def encode_rgb_jpeg(
     return _headers(w, h, comps) + out.flush() + b"\xff\xd9"
 
 
+# Extended-precision Huffman tables (12-bit frames need DC categories
+# up to 15 and AC sizes up to 14 — beyond the Annex K 8-bit tables).
+# Flat fixture tables: DC 15×len-5 + 1×len-6 (the all-ones len-5 code
+# stays reserved as a longer-code prefix, T.81 C.2), AC all 226
+# symbols at len 8 (EOB, every (run, size 1-14), ZRL) — canonical
+# codes 0..225, prefix-free, none all-ones.
+_EXT_DC_BITS = [0, 0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_EXT_DC_VALS = list(range(16))
+_EXT_AC_VALS = (
+    [0x00]
+    + [(run << 4) | s for run in range(16) for s in range(1, 15)]
+    + [0xF0]
+)
+_EXT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_EXT_AC_VALS),
+                0, 0, 0, 0, 0, 0, 0, 0]
+_EXT_DC = _canonical_codes(_EXT_DC_BITS, _EXT_DC_VALS)
+_EXT_AC = _canonical_codes(_EXT_AC_BITS, _EXT_AC_VALS)
+
+
+def encode_gray12_jpeg(samples, w: int, h: int) -> bytes:
+    """12-bit greyscale (sequence of ints 0-4095, row-major) →
+    extended sequential (SOF1) JPEG: 16-bit DQT entries (Pq=1, same
+    Annex K luminance values) and the extended Huffman tables above.
+    The fixture side of the 12-bit decode path; decode reduces to the
+    high 8 bits (the 16-bit lossless convention)."""
+    img = np.asarray(list(samples), dtype=np.float64).reshape(h, w)
+    if img.min() < 0 or img.max() > 4095:
+        raise ValueError("12-bit samples must be in 0..4095")
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = _pad_plane(img, bh, bw)
+    qt = np.array(QT_LUM, dtype=np.float64).reshape(8, 8)
+    out = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            prev_dc = _encode_block(
+                out,
+                padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8],
+                qt,
+                prev_dc,
+                _EXT_DC,
+                _EXT_AC,
+                center=2048.0,
+            )
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = _seg(
+        0xDB,
+        bytes([0x10])
+        + b"".join(QT_LUM[i].to_bytes(2, "big") for i in ZIGZAG),
+    )
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_EXT_DC_BITS) + bytes(_EXT_DC_VALS),
+    ) + _seg(
+        0xC4,
+        bytes([0x10]) + bytes(_EXT_AC_BITS) + bytes(_EXT_AC_VALS),
+    )
+    sof = _seg(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos
+        + out.flush() + b"\xff\xd9"
+    )
+
+
+def encode_cmyk_jpeg(
+    px: bytes, w: int, h: int, ycck: bool = False
+) -> bytes:
+    """8-bit interleaved CMYK ink values (w*h*4, non-inverted) →
+    Adobe APP14 4-component baseline JPEG.  Stored samples follow the
+    Adobe convention (inverted: 255−ink); with *ycck* the inverted
+    CMY channels additionally ride the YCbCr transform (APP14
+    transform flag 2), the layout print-oriented encoders emit."""
+    cmyk = (
+        np.frombuffer(px, dtype=np.uint8)
+        .reshape(h, w, 4)
+        .astype(np.float64)
+    )
+    inv = 255.0 - cmyk  # Adobe stored values
+    if ycck:
+        r, g, bch = inv[..., 0], inv[..., 1], inv[..., 2]
+        p0 = 0.299 * r + 0.587 * g + 0.114 * bch
+        p1 = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bch
+        p2 = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bch
+    else:
+        p0, p1, p2 = inv[..., 0], inv[..., 1], inv[..., 2]
+    p3 = inv[..., 3]
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    qt = np.array(QT_LUM, dtype=np.float64).reshape(8, 8)
+    planes = [_pad_plane(p, bh, bw) for p in (p0, p1, p2, p3)]
+    out = _BitWriter()
+    preds = [0, 0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, pl in enumerate(planes):
+                preds[ci] = _encode_block(
+                    out,
+                    pl[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8],
+                    qt,
+                    preds[ci],
+                    _LUM_DC,
+                    _LUM_AC,
+                )
+    app14 = _seg(
+        0xEE,
+        b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 2 if ycck else 0]),
+    )
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(QT_LUM[i] for i in ZIGZAG))
+    dht = _seg(
+        0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS)
+    ) + _seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 4)
+        + b"".join(bytes([cid, 0x11, 0]) for cid in (1, 2, 3, 4)),
+    )
+    sos = _seg(
+        0xDA,
+        bytes([4])
+        + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3, 4))
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8" + app14 + dqt + sof + dht + sos
+        + out.flush() + b"\xff\xd9"
+    )
+
+
 # ---------------------------------------------------------------------
 # Decoder (the real surface)
 # ---------------------------------------------------------------------
@@ -457,13 +586,17 @@ def decode_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
 
     Handles 1-component greyscale and 3-component YCbCr at any
     sampling factors (4:4:4 / 4:2:2 / 4:2:0 via the generic MCU loop),
-    restart markers included.  None when the payload is not a JPEG
-    this path covers (12-bit / CMYK / arith-progressive) — the caller
-    falls through to its loud stub.  Progressive (SOF2) frames route
-    to ``_decode_progressive`` — spectral selection AND successive
-    approximation, DC/AC first + refinement scans, EOB runs;
-    sequential arithmetic (SOF9) frames to
-    ``jpeg_arith.decode_arith_jpeg`` (QM-coder, T.81 Annex D/F).
+    restart markers included; extended sequential (SOF1) frames with
+    12-bit precision (16-bit DQT entries, extended Huffman categories,
+    output reduced to the high 8 bits — the 16-bit lossless
+    convention); and 4-component Adobe CMYK/YCCK (APP14 transform
+    flag, inverted-sample convention, converted to RGB).  None when
+    the payload is not a JPEG this path covers (hierarchical /
+    arith-progressive) — the caller falls through to its loud stub.
+    Progressive (SOF2) frames route to ``_decode_progressive`` —
+    spectral selection AND successive approximation, DC/AC first +
+    refinement scans, EOB runs; sequential arithmetic (SOF9) frames
+    to ``jpeg_arith.decode_arith_jpeg`` (QM-coder, T.81 Annex D/F).
 
     Malformed/truncated payloads return None rather than raising: at
     corpus scale one corrupt blob must not fail a whole Arrow batch
@@ -484,6 +617,8 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
     dc_trees: dict[int, dict] = {}
     ac_trees: dict[int, dict] = {}
     w = h = None
+    prec = 8
+    adobe: int | None = None  # APP14 color-transform flag
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     sel: dict[int, tuple[int, int]] = {}  # cid → (dc_sel, ac_sel)
     dri = 0
@@ -502,14 +637,24 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    return None  # 16-bit tables: not baseline-8
-                tbl = list(body[i + 1:i + 65])
+                if pq == 0:
+                    tbl = list(body[i + 1:i + 65])
+                    i += 65
+                elif pq == 1:  # 16-bit entries (12-bit frames)
+                    raw = body[i + 1:i + 129]
+                    tbl = [
+                        int.from_bytes(raw[2 * k:2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    i += 129
+                else:
+                    return None
                 inv = [0] * 64
                 for k, z in enumerate(ZIGZAG):
                     inv[z] = tbl[k]
                 qts[tq] = inv
-                i += 65
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe = body[11]
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -522,13 +667,19 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
                 i += 17 + cnt
         elif marker == 0xDD:
             dri = int.from_bytes(body[0:2], "big")
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC1):
+            # baseline OR extended sequential (SOF1): the decoding
+            # process is identical — SOF1 just legalizes 12-bit
+            # precision and the larger Huffman categories the generic
+            # tree walk already handles
             prec = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
-            if prec != 8 or ncomp not in (1, 3):
-                return None  # 12-bit / CMYK → stub path
+            if prec not in (8, 12) or ncomp not in (1, 3, 4):
+                return None
+            if ncomp == 4 and prec != 8:
+                return None  # 12-bit CMYK: out of scope
             if not w or not h or w * h > _MAX_PIXELS:
                 return None  # dimension bomb / degenerate frame
             for c in range(ncomp):
@@ -544,9 +695,9 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
             from .jpeg_arith import decode_arith_jpeg
 
             return decode_arith_jpeg(b)  # sequential arithmetic frame
-        elif marker in (0xC1, 0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/hierarchical/arith-progressive
+            return None  # hierarchical / arith-progressive
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps) or ns == 0:
@@ -589,10 +740,17 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
         ac_tree = ac_trees.get(sel[cid][1])
         if dc_tree is None or ac_tree is None:
             return None
-        planes.append(np.empty((my * vs * 8, mx * hs * 8), dtype=np.uint8))
+        planes.append(
+            np.empty(
+                (my * vs * 8, mx * hs * 8),
+                dtype=np.uint8 if prec == 8 else np.uint16,
+            )
+        )
         tables.append(
             (np.array(qt, dtype=np.float64).reshape(8, 8), dc_tree, ac_tree)
         )
+    center = float(1 << (prec - 1))
+    vmax_sample = (1 << prec) - 1
 
     # restart-interval segmentation: RSTn markers byte-align the stream
     # and reset every DC predictor
@@ -647,10 +805,10 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
         coef = np.zeros(64, dtype=np.float64)
         for kk, z in enumerate(ZIGZAG):
             coef[z] = zz[kk]
-        block = _idct(coef.reshape(8, 8) * qarr) + 128.0
+        block = _idct(coef.reshape(8, 8) * qarr) + center
         planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
-            np.rint(block), 0, 255
-        ).astype(np.uint8)
+            np.rint(block), 0, vmax_sample
+        ).astype(planes[ci].dtype)
         return prev_dc
 
     preds = [0] * len(comps)
@@ -674,7 +832,9 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
     except (IndexError, ValueError):
         return None
 
-    return _finish_planes(comps, planes, w, h, hmax, vmax)
+    return _finish_planes(
+        comps, planes, w, h, hmax, vmax, prec=prec, adobe=adobe
+    )
 
 
 # name kept from the grey-only first cut; now the general entry point
@@ -686,24 +846,62 @@ decode_gray_jpeg = decode_jpeg
 # ---------------------------------------------------------------------
 
 
-def _finish_planes(comps, planes, w, h, hmax, vmax):
+def _finish_planes(comps, planes, w, h, hmax, vmax, prec=8, adobe=None):
     """Shared reconstruction tail: upsample + JFIF YCbCr→RGB (or crop
-    the single greyscale plane)."""
+    the single greyscale plane).
+
+    *prec* = 12 reduces samples to 8-bit by truncating the low nibble
+    AFTER the color transform (the high-byte convention the 16-bit
+    lossless path already uses).  Four components are Adobe CMYK:
+    *adobe* is the APP14 transform flag (2 = YCCK → undo the YCbCr
+    transform on the first three channels first); with an Adobe
+    marker the stored values are INVERTED per the Adobe convention,
+    so RGB = stored_CMY × stored_K / 255; without one, plain CMYK:
+    RGB = (255−C) × (255−K) / 255."""
     if len(comps) == 1:
-        return w, h, "L", planes[0][:h, :w].tobytes()
+        p = planes[0][:h, :w]
+        if prec != 8:
+            p = (p >> (prec - 8)).astype(np.uint8)
+        return w, h, "L", p.tobytes()
     full = []
     for ci, (_, hs, vs, _) in enumerate(comps):
         p = planes[ci].astype(np.float64)
         p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:h, :w])
-    y, cb, cr = full
-    rr = y + 1.402 * (cr - 128.0)
-    gg = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bb = y + 1.772 * (cb - 128.0)
+    center = float(1 << (prec - 1))
+    top = float((1 << prec) - 1)
+
+    def ycc_to_rgb(y, cb, cr):
+        rr = y + 1.402 * (cr - center)
+        gg = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        bb = y + 1.772 * (cb - center)
+        return rr, gg, bb
+
+    if len(comps) == 3:
+        rr, gg, bb = ycc_to_rgb(*full)
+        chans = [np.clip(np.rint(c), 0, top) for c in (rr, gg, bb)]
+        if prec != 8:
+            chans = [
+                np.floor(c).astype(np.uint16) >> (prec - 8) for c in chans
+            ]
+        rgb = np.stack(chans, axis=-1).astype(np.uint8)
+        return w, h, "RGB", rgb.tobytes()
+    # 4 components: Adobe CMYK / YCCK (8-bit only — enforced upstream)
+    c0, c1, c2, kk = full
+    if adobe == 2:  # YCCK: CMY channels carried as YCbCr
+        c0, c1, c2 = (
+            np.clip(c, 0.0, 255.0) for c in ycc_to_rgb(c0, c1, c2)
+        )
+    if adobe is not None:  # Adobe files store inverted CMYK
+        rr = c0 * kk / 255.0
+        gg = c1 * kk / 255.0
+        bb = c2 * kk / 255.0
+    else:
+        rr = (255.0 - c0) * (255.0 - kk) / 255.0
+        gg = (255.0 - c1) * (255.0 - kk) / 255.0
+        bb = (255.0 - c2) * (255.0 - kk) / 255.0
     rgb = np.stack(
-        [np.clip(np.rint(rr), 0, 255), np.clip(np.rint(gg), 0, 255),
-         np.clip(np.rint(bb), 0, 255)],
-        axis=-1,
+        [np.clip(np.rint(c), 0, 255) for c in (rr, gg, bb)], axis=-1
     ).astype(np.uint8)
     return w, h, "RGB", rgb.tobytes()
 

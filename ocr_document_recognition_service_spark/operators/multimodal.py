@@ -19,9 +19,10 @@ and 16-bit PNG (high-byte reduction) decode for real too.  WAV
 PCM8/PCM16 samples decode for real (duration/peak/RMS/md5, r6), and
 MJPEG-in-AVI frames decode for real through the repo's own JPEG stack
 (r6); sequential arithmetic-coded JPEG (SOF9) decodes for real via
-the QM-coder in ``operators.jpeg_arith`` (r6).  Only formats beyond
-all paths (12-bit/CMYK/arith-progressive JPEG, non-AVI
-video, compressed audio codecs) remain the loudly-marked
+the QM-coder in ``operators.jpeg_arith`` (r6), and 12-bit (SOF1,
+16-bit DQT) and Adobe CMYK/YCCK JPEG decode for real too (r6).  Only
+formats beyond all paths (hierarchical/arith-progressive JPEG,
+non-AVI video, compressed audio codecs) remain the loudly-marked
 ``NotImplementedError``/deterministic-fake stub — the one concession
 to this container having no image/audio libs.
 """
@@ -1010,9 +1011,11 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     for real (r6: T.81 Annex H predictive coding, all 7 predictors,
     restarts, 2-16 bit); sequential ARITHMETIC (SOF9) JPEG decodes
     for real too (r6: ``operators.jpeg_arith`` QM-coder, T.81 Annex
-    D/F); raises NotImplementedError only for formats none of those
-    paths cover (12-bit / CMYK / arith-progressive JPEG, non-AVI
-    video …), which is the remaining loudly-marked stub surface."""
+    D/F), as do 12-bit extended sequential (SOF1) and Adobe
+    CMYK/YCCK frames (r6); raises NotImplementedError only for
+    formats none of those paths cover (hierarchical /
+    arith-progressive JPEG, non-AVI video …), which is the remaining
+    loudly-marked stub surface."""
     b = bytes(payload)
     out = _decode_bmp(b) or _decode_png(b) or _decode_gif(b)
     if out is None:
@@ -1035,9 +1038,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             pass
     raise NotImplementedError(
         "pixel decode beyond BMP/PNG/GIF/TIFF (incl. G3/G4 fax)/JPEG "
-        "(baseline/progressive/lossless/sequential-arithmetic) "
-        "requires Pillow/cv2 (12-bit/CMYK/arith-progressive JPEG, "
-        "non-AVI video); install "
+        "(baseline/progressive/lossless/sequential-arithmetic/"
+        "12-bit/CMYK) requires Pillow/cv2 (hierarchical or "
+        "arith-progressive JPEG, non-AVI video); install "
         "on the cluster and this same call decodes every format"
     )
 

@@ -2153,3 +2153,80 @@ def test_segment_dedup_hand_cases_and_plan(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_jpeg_12bit_and_cmyk_decode():
+    """r6: extended sequential (SOF1) 12-bit frames — 16-bit DQT
+    entries, extended Huffman categories (DC to 15, AC size to 14),
+    output reduced to the high 8 bits — and 4-component Adobe
+    CMYK/YCCK (APP14 transform flag, inverted-sample convention,
+    converted to RGB).  Same conformance posture as the other codecs:
+    encoder/decoder validate each other, smooth-image reconstructions
+    sit within DCT quantization error of the direct conversion, fuzz
+    never raises."""
+    import random as _r
+
+    import numpy as np
+
+    from ocr_document_recognition_service_spark.operators import jpeg as J
+
+    # 12-bit grey: smooth field decodes to within 1 of the true high
+    # bytes (quantization error only)
+    w, h = 25, 17
+    smooth = [min(4095, x * 60 + y * 90) for y in range(h) for x in range(w)]
+    enc = J.encode_gray12_jpeg(smooth, w, h)
+    out = J.decode_jpeg(enc)
+    assert out is not None and out[:3] == (25, 17, "L")
+    want = np.array([s >> 4 for s in smooth], dtype=int).reshape(h, w)
+    got = np.frombuffer(out[3], dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(want - got).max() <= 1
+    # extreme values exercise the big DC categories
+    hi = [0, 4095] * 50
+    o2 = J.decode_jpeg(J.encode_gray12_jpeg(hi, 10, 10))
+    assert o2 is not None and o2[:3] == (10, 10, "L")
+    with pytest.raises(ValueError):
+        J.encode_gray12_jpeg([4096], 1, 1)
+
+    # CMYK and YCCK: reconstruction near the direct ink->RGB identity
+    w, h = 19, 13
+    cmyk = bytes(
+        min(255, x * 9 + y * 5 + c * 13)
+        for y in range(h) for x in range(w) for c in range(4)
+    )
+    a = np.frombuffer(cmyk, dtype=np.uint8).reshape(h, w, 4).astype(float)
+    ref = np.clip(
+        np.rint((255 - a[..., :3]) * (255 - a[..., 3:4]) / 255.0), 0, 255
+    )
+    for ycck, tol in ((False, 6), (True, 8)):
+        enc = J.encode_cmyk_jpeg(cmyk, w, h, ycck=ycck)
+        out = J.decode_jpeg(enc)
+        assert out is not None and out[:3] == (19, 13, "RGB"), ycck
+        got = np.frombuffer(out[3], dtype=np.uint8).reshape(h, w, 3)
+        assert np.abs(ref - got.astype(float)).max() <= tol, ycck
+    # both ride the public pixel surface
+    assert multimodal.decode_image_pixels(enc)[:3] == (19, 13, "RGB")
+    assert multimodal.decode_image_pixels(
+        J.encode_gray12_jpeg(smooth, 25, 17)
+    )[:3] == (25, 17, "L")
+
+    # no-raise contract: truncation + bit flips
+    rng = _r.Random(11)
+    for enc in (
+        J.encode_gray12_jpeg(smooth, 25, 17),
+        J.encode_cmyk_jpeg(cmyk, 19, 13, ycck=True),
+    ):
+        for i in range(0, len(enc), 9):
+            r = J.decode_jpeg(enc[:i])
+            assert r is None or len(r) == 4
+        for _ in range(150):
+            ba = bytearray(enc)
+            for _ in range(rng.randint(1, 4)):
+                ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+            r = J.decode_jpeg(bytes(ba))
+            assert r is None or len(r) == 4
+    # deterministic fixture pins: codec changes must be deliberate
+    assert hashlib.md5(J.encode_gray12_jpeg(smooth, 25, 17)).hexdigest() == \
+        "af10d0661f8be32eed27cda9bc63bfad"
+    assert hashlib.md5(
+        J.encode_cmyk_jpeg(cmyk, 19, 13, ycck=True)
+    ).hexdigest() == "9e1eb705964b630b0ac5fc9852db63ab"
