@@ -10,8 +10,11 @@ shift — for greyscale AND 3-component YCbCr colour at any sampling
 (the generic MCU loop handles 4:4:4, 4:2:2 and 4:2:0; chroma is
 replication-upsampled, JFIF YCbCr→RGB) — and PROGRESSIVE (SOF2)
 decode: spectral selection + successive approximation, DC/AC first
-and refinement scans, EOB runs.  Arithmetic-coded / lossless /
-12-bit modes remain the loudly-marked stub.
+and refinement scans, EOB runs.  Also decoded for real: extended
+sequential 12-bit (SOF1), Adobe CMYK/YCCK 4-component frames,
+lossless (SOF3, Annex H — this file), and sequential arithmetic
+(SOF9 — ``jpeg_arith``).  Hierarchical and arithmetic-progressive
+modes remain the loudly-marked stub.
 
 The matching encoder exists so the sandbox (which has no image
 libraries to produce fixtures) can generate REAL JPEG payloads whose
