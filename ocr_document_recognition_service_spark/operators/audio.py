@@ -1,0 +1,282 @@
+"""Compressed-audio codecs for WAV payloads — pure stdlib + numpy.
+
+Closes most of the "compressed audio" stub in `multimodal.decode_audio_meta`:
+the three compressed formats that actually appear inside WAV containers at
+web scale AND are decodable from their published specs without an audio
+library — ITU-T G.711 mu-law (format tag 7), G.711 A-law (tag 6) and
+IMA/DVI ADPCM (tag 0x11) — are decoded for REAL here.  Perceptual codecs
+(mp3/ogg/flac/aac) genuinely need a codec library absent from this
+container and stay the loudly-marked stub.
+
+Decode is table/vector math over the whole batch:
+
+- G.711 is a 256-entry lookup (tables built programmatically from the
+  G.711 segment/mantissa rules, so the construction is auditable) applied
+  with ``np.take`` — one vectorized gather per payload.
+- IMA ADPCM is sequential *within* a block by construction (each nibble
+  updates predictor+step state), so the decoder runs LOCKSTEP ACROSS
+  BLOCKS: one small numpy op per nibble position, vectorized over every
+  block of the payload — O(samples_per_block) python iterations per
+  payload instead of O(total_samples).  At corpus scale a payload has
+  thousands of blocks; this is the same "vectorize across the batch"
+  discipline as the image codecs.
+
+Encoders exist so this sandbox (no audio libs) can produce real fixtures:
+G.711 encodes to the NEAREST representable level (ties to the lower
+codeword — deterministic), IMA ADPCM is the standard quantize-and-track
+encoder.  Round-trips assert bounded error plus exact md5 pins on decoded
+bytes.
+
+Reference analog: the loader stage decodes media on ingest
+(modeling_recognizer/src/data/image_loader.py:20-31); the reference has no
+audio path, so scope here is the WAV container the multimodal plumbing
+already parses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------
+# G.711 mu-law / A-law (256-entry decode tables, nearest-level encode)
+# ---------------------------------------------------------------------
+
+
+def _build_ulaw_table() -> np.ndarray:
+    """G.711 mu-law byte -> linear int16 (the 16-bit-scaled convention,
+    max |x| = 32124): invert, split sign/segment/mantissa, expand with
+    the 0x84 bias."""
+    t = np.empty(256, dtype=np.int16)
+    for u in range(256):
+        v = ~u & 0xFF
+        sign = v & 0x80
+        seg = (v >> 4) & 0x07
+        mant = v & 0x0F
+        x = (((mant << 3) + 0x84) << seg) - 0x84
+        t[u] = -x if sign else x
+    return t
+
+
+def _build_alaw_table() -> np.ndarray:
+    """G.711 A-law byte -> linear int16 (max |x| = 32256): XOR 0x55,
+    split sign/segment/mantissa; segment 0 is linear, higher segments
+    shift with the implicit-1 0x108 bias.  Sign bit SET means positive
+    (the A-law convention, opposite feel to two's complement)."""
+    t = np.empty(256, dtype=np.int16)
+    for a in range(256):
+        v = a ^ 0x55
+        sign = v & 0x80
+        seg = (v >> 4) & 0x07
+        mant = v & 0x0F
+        if seg == 0:
+            x = (mant << 4) + 8
+        else:
+            x = ((mant << 4) + 0x108) << (seg - 1)
+        t[a] = x if sign else -x
+    return t
+
+
+ULAW_TABLE = _build_ulaw_table()
+ALAW_TABLE = _build_alaw_table()
+
+# nearest-level encode support: table values sorted once, byte kept by
+# value order; ties between equal-distance neighbours go to the LOWER
+# linear value (deterministic, documented)
+_ULAW_ORDER = np.argsort(ULAW_TABLE, kind="stable").astype(np.uint8)
+_ULAW_SORTED = ULAW_TABLE[_ULAW_ORDER].astype(np.int32)
+_ALAW_ORDER = np.argsort(ALAW_TABLE, kind="stable").astype(np.uint8)
+_ALAW_SORTED = ALAW_TABLE[_ALAW_ORDER].astype(np.int32)
+
+
+def g711_decode(data: bytes, law: str) -> np.ndarray:
+    """G.711 payload bytes -> int16 samples (vectorized table gather)."""
+    table = ULAW_TABLE if law == "ulaw" else ALAW_TABLE
+    return table[np.frombuffer(data, dtype=np.uint8)]
+
+
+def _nearest_encode(x: np.ndarray, sorted_vals: np.ndarray,
+                    order: np.ndarray) -> bytes:
+    """Encode int16 samples to the nearest representable G.711 level."""
+    x = np.asarray(x, dtype=np.int32)
+    hi = np.searchsorted(sorted_vals, x)  # first >= x
+    hi = np.clip(hi, 0, len(sorted_vals) - 1)
+    lo = np.clip(hi - 1, 0, len(sorted_vals) - 1)
+    pick_lo = (np.abs(sorted_vals[lo] - x) <= np.abs(sorted_vals[hi] - x))
+    idx = np.where(pick_lo, lo, hi)
+    return order[idx].tobytes()
+
+
+def g711_encode(samples, law: str) -> bytes:
+    """int16 samples -> G.711 bytes (nearest level, ties low)."""
+    if law == "ulaw":
+        return _nearest_encode(samples, _ULAW_SORTED, _ULAW_ORDER)
+    return _nearest_encode(samples, _ALAW_SORTED, _ALAW_ORDER)
+
+
+# ---------------------------------------------------------------------
+# IMA / DVI ADPCM (WAV format tag 0x11)
+# ---------------------------------------------------------------------
+
+IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8],
+    dtype=np.int32,
+)
+
+
+def ima_samples_per_block(block_align: int, channels: int) -> int:
+    """Frames a full IMA block yields: 1 header sample + 2 samples per
+    data byte per channel (data area is word-interleaved 4-byte runs)."""
+    return (block_align - 4 * channels) * 2 // channels + 1
+
+
+def ima_adpcm_decode(
+    data: bytes, channels: int, block_align: int
+) -> np.ndarray | None:
+    """IMA ADPCM data-chunk bytes -> int16 samples, shape
+    ``(n_frames, channels)``.
+
+    Block layout (the IMA/DVI WAV mapping): per channel a 4-byte header
+    (int16 predictor = the block's first output sample, uint8 step
+    index, reserved), then the nibble stream in 4-byte words
+    interleaved channel-by-channel; low nibble of each byte first.
+
+    Vectorized LOCKSTEP ACROSS BLOCKS: state arrays (predictor, index)
+    of length n_blocks per channel, one numpy update per nibble
+    position.  A trailing partial block decodes its complete words;
+    callers clip to the ``fact``-chunk frame count.  None for
+    malformed geometry (block_align not a multiple of 4*channels or
+    too small)."""
+    ch = channels
+    if ch < 1 or block_align < 8 * ch or block_align % (4 * ch):
+        return None
+    data = bytes(data)
+    n_full = len(data) // block_align
+    rem = len(data) - n_full * block_align
+    chunks = []
+    if n_full:
+        chunks.append((data[: n_full * block_align], n_full, block_align))
+    # partial tail block: keep whole 4*ch word groups past the header
+    if rem >= 4 * ch:
+        tail_align = 4 * ch + (rem - 4 * ch) // (4 * ch) * (4 * ch)
+        start = n_full * block_align
+        chunks.append((data[start:start + tail_align], 1, tail_align))
+    if not chunks:
+        return None
+    outs = []
+    for raw, n_blocks, align in chunks:
+        blocks = np.frombuffer(raw, dtype=np.uint8).reshape(n_blocks, align)
+        headers = blocks[:, : 4 * ch].reshape(n_blocks, ch, 4)
+        pred = (
+            headers[:, :, 0].astype(np.int32)
+            | (headers[:, :, 1].astype(np.int32) << 8)
+        )
+        pred = np.where(pred >= 0x8000, pred - 0x10000, pred)  # int16
+        index = np.clip(headers[:, :, 2].astype(np.int32), 0, 88)
+        spb = ima_samples_per_block(align, ch)
+        out = np.empty((n_blocks, spb, ch), dtype=np.int16)
+        out[:, 0, :] = pred.astype(np.int16)
+        if spb > 1:
+            n_groups = (align - 4 * ch) // (4 * ch)
+            words = blocks[:, 4 * ch:].reshape(n_blocks, n_groups, ch, 4)
+            lo = words & 0x0F
+            hi = words >> 4
+            # nibble index s (0-based) within a channel:
+            # group s//8, byte (s%8)//2, low nibble when s even
+            nibs = np.empty((n_blocks, n_groups, ch, 8), dtype=np.uint8)
+            nibs[..., 0::2] = lo
+            nibs[..., 1::2] = hi
+            for s in range(spb - 1):
+                nib = nibs[:, s // 8, :, s % 8].astype(np.int32)
+                step = IMA_STEP_TABLE[index]
+                diff = step >> 3
+                diff += np.where(nib & 4, step, 0)
+                diff += np.where(nib & 2, step >> 1, 0)
+                diff += np.where(nib & 1, step >> 2, 0)
+                pred = np.where(nib & 8, pred - diff, pred + diff)
+                pred = np.clip(pred, -32768, 32767)
+                index = np.clip(index + IMA_INDEX_TABLE[nib], 0, 88)
+                out[:, s + 1, :] = pred.astype(np.int16)
+        outs.append(out.reshape(n_blocks * spb, ch))
+    return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+def ima_adpcm_encode(
+    samples: np.ndarray, channels: int, block_align: int
+) -> bytes:
+    """int16 samples shape (n_frames, channels) -> IMA ADPCM data-chunk
+    bytes (fixture encoder, plain per-sample loop).  The final partial
+    block is PADDED by repeating the last frame so every block is
+    complete — standard writer behaviour; the true frame count rides in
+    the ``fact`` chunk."""
+    x = np.asarray(samples, dtype=np.int32).reshape(-1, channels)
+    ch = channels
+    if block_align < 8 * ch or block_align % (4 * ch):
+        raise ValueError("block_align must be a multiple of 4*channels, >= 8*channels")
+    spb = ima_samples_per_block(block_align, ch)
+    n = x.shape[0]
+    if n == 0:
+        return b""
+    n_blocks = (n + spb - 1) // spb
+    if n_blocks * spb > n:
+        pad = np.repeat(x[-1:], n_blocks * spb - n, axis=0)
+        x = np.concatenate([x, pad])
+    step_t = IMA_STEP_TABLE
+    out = bytearray()
+    index = [0] * ch
+    for b in range(n_blocks):
+        frames = x[b * spb:(b + 1) * spb]
+        pred = [int(frames[0, c]) for c in range(ch)]
+        for c in range(ch):
+            out += int(pred[c] & 0xFFFF).to_bytes(2, "little")
+            out += bytes([index[c], 0])
+        nibbles: list[list[int]] = [[] for _ in range(ch)]
+        for s in range(1, spb):
+            for c in range(ch):
+                step = int(step_t[index[c]])
+                delta = int(frames[s, c]) - pred[c]
+                nib = 0
+                if delta < 0:
+                    nib = 8
+                    delta = -delta
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                # decoder-mirror state update
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred[c] += -diff if nib & 8 else diff
+                pred[c] = max(-32768, min(32767, pred[c]))
+                index[c] = max(0, min(88, index[c] + int(IMA_INDEX_TABLE[nib])))
+                nibbles[c].append(nib)
+        # pack: 4-byte words interleaved per channel, low nibble first
+        n_groups = (spb - 1) // 8
+        for g in range(n_groups):
+            for c in range(ch):
+                for byte_i in range(4):
+                    lo = nibbles[c][g * 8 + byte_i * 2]
+                    hi = nibbles[c][g * 8 + byte_i * 2 + 1]
+                    out.append(lo | (hi << 4))
+    return bytes(out)

@@ -20,9 +20,11 @@ PCM8/PCM16 samples decode for real (duration/peak/RMS/md5, r6), and
 MJPEG-in-AVI frames decode for real through the repo's own JPEG stack
 (r6); sequential arithmetic-coded JPEG (SOF9) decodes for real via
 the QM-coder in ``operators.jpeg_arith`` (r6), and 12-bit (SOF1,
-16-bit DQT) and Adobe CMYK/YCCK JPEG decode for real too (r6).  Only
-formats beyond all paths (hierarchical/arith-progressive JPEG,
-non-AVI video, compressed audio codecs) remain the loudly-marked
+16-bit DQT) and Adobe CMYK/YCCK JPEG decode for real too (r6).
+G.711 mu-law/A-law and IMA ADPCM WAV audio decode for real via
+``operators.audio`` (r6).  Only formats beyond all paths
+(hierarchical/arith-progressive JPEG, non-AVI video, perceptual audio
+codecs like mp3/ogg/flac) remain the loudly-marked
 ``NotImplementedError``/deterministic-fake stub — the one concession
 to this container having no image/audio libs.
 """
@@ -210,18 +212,21 @@ AUDIO_META_TYPE = StructType(
 
 def parse_wav(
     b: bytes,
-) -> tuple[int, int, int, int, int, int, int] | None:
+) -> tuple[int, int, int, int, int, int, int, int] | None:
     """Full RIFF/WAVE chunk walk — pure stdlib, no audio library.
     Returns ``(sample_rate, channels, bits, n_samples, audio_format,
-    data_off, data_len)`` where ``data_off``/``data_len`` locate the
-    data chunk's bytes actually PRESENT in the payload (a declared size
-    past the end of a truncated payload is clipped).  None for non-WAV
-    or malformed payloads."""
+    data_off, data_len, block_align)`` where ``data_off``/``data_len``
+    locate the data chunk's bytes actually PRESENT in the payload (a
+    declared size past the end of a truncated payload is clipped).
+    ``n_samples`` is the FRAME count: bytes/block for sample-per-block
+    formats, block geometry clipped to the ``fact`` chunk for IMA
+    ADPCM (whose final block is writer-padded).  None for non-WAV or
+    malformed payloads."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     pos, n = 12, len(b)
     fmt = None
-    data_off = data_size = None
+    data_off = data_size = fact_samples = None
     while pos + 8 <= n:
         cid = b[pos:pos + 4]
         size = int.from_bytes(b[pos + 4:pos + 8], "little")
@@ -233,6 +238,10 @@ def parse_wav(
             block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
             fmt = (rate, channels, bits, block_align, audio_format)
+        elif cid == b"fact" and len(body) >= 4:
+            # true frame count for block/compressed formats (the data
+            # area over-counts: final ADPCM block is writer-padded)
+            fact_samples = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
             data_off = pos + 8
             data_size = min(size, n - data_off)
@@ -242,14 +251,36 @@ def parse_wav(
     rate, channels, bits, block_align, audio_format = fmt
     if not (rate and channels and bits and block_align):
         return None
+    if audio_format == 0x11:
+        # IMA ADPCM: block_align covers many frames — count from block
+        # geometry, then clip to the fact chunk's true frame count
+        from . import audio as _audio
+
+        if block_align < 8 * channels or block_align % (4 * channels):
+            return None
+        spb = _audio.ima_samples_per_block(block_align, channels)
+        n_samples = (data_size // block_align) * spb
+        rem = data_size % block_align
+        if rem >= 4 * channels:
+            tail = 4 * channels + (rem - 4 * channels) // (4 * channels) * (
+                4 * channels
+            )
+            n_samples += _audio.ima_samples_per_block(tail, channels)
+        if fact_samples is not None:
+            n_samples = min(n_samples, fact_samples)
+    else:
+        n_samples = data_size // block_align
+        if fact_samples is not None and audio_format != 1:
+            n_samples = min(n_samples, fact_samples)
     return (
         rate,
         channels,
         bits,
-        data_size // block_align,
+        n_samples,
         audio_format,
         data_off,
         data_size,
+        block_align,
     )
 
 
@@ -263,35 +294,68 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
 def decode_wav_samples(
     b: bytes,
     parsed: tuple[int, int, int, int, int, int, int] | None = None,
-) -> tuple[int, int, int, int, float, float, float, str] | None:
-    """Real PCM sample decode over the data chunk ``parse_wav``
-    locates: ``(rate, channels, bits, n_frames, duration_sec, peak,
-    rms, sample_md5)``, or None when the payload is not PCM8/PCM16 WAV
-    (non-WAV, IEEE-float WAV, exotic bit depths — those stay
-    header-only).  peak/rms are normalized to full scale in [0, 1];
-    n_frames/duration reflect the samples actually present (truncated
-    payloads clip).  *parsed* lets a caller that already ran
+) -> tuple[int, int, int, int, float, float, float, str, str] | None:
+    """Real sample decode over the data chunk ``parse_wav`` locates:
+    ``(rate, channels, bits, n_frames, duration_sec, peak, rms,
+    sample_md5, codec)``, or None when the payload's samples are not
+    decodable here (non-WAV, IEEE-float WAV, exotic bit depths,
+    perceptual codecs — those stay header-only).  Decoded formats:
+    PCM8/PCM16 (``codec='pcm'``), G.711 mu-law/A-law (``'ulaw'`` /
+    ``'alaw'``) and IMA ADPCM (``'adpcm'`` — block-lockstep numpy, see
+    ``operators/audio.py``).  peak/rms are normalized to full scale in
+    [0, 1]; n_frames/duration reflect the samples actually present
+    (truncated payloads clip; ADPCM writer-padding clips to the fact
+    chunk).  ``sample_md5`` certifies the decode: raw data bytes for
+    PCM (decode is identity modulo dtype), DECODED int16-LE bytes for
+    the compressed codecs.  *parsed* lets a caller that already ran
     ``parse_wav`` skip the second chunk walk (the batched UDF hot
     loop).  Analog of the reference's loader-stage contract
     (modeling_recognizer/src/data/image_loader.py:20-31) for the audio
     modality: decode-on-ingest, emit per-item stats."""
     import numpy as np
 
+    from . import audio as _audio
+
     full = parse_wav(b) if parsed is None else parsed
     if full is None:
         return None
-    rate, channels, bits, _, audio_format, data_off, data_len = full
-    if audio_format != 1 or bits not in (8, 16):
-        return None
-    block = channels * bits // 8
-    n_frames = data_len // block
-    raw = b[data_off:data_off + n_frames * block]
-    if bits == 16:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    (rate, channels, bits, n_samples, audio_format,
+     data_off, data_len, block_align) = full
+    if audio_format == 1 and bits in (8, 16):
+        block = channels * bits // 8
+        n_frames = data_len // block
+        raw = b[data_off:data_off + n_frames * block]
+        if bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+            full_scale = 32768.0
+        else:
+            x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+            full_scale = 128.0
+        md5 = hashlib.md5(raw).hexdigest()
+        codec = "pcm"
+    elif audio_format in (6, 7) and bits == 8:
+        # G.711: one byte per sample per channel, table decode to int16
+        n_frames = data_len // channels
+        raw = b[data_off:data_off + n_frames * channels]
+        dec = _audio.g711_decode(raw, "alaw" if audio_format == 6 else "ulaw")
+        x = dec.astype(np.float64)
         full_scale = 32768.0
+        md5 = hashlib.md5(dec.astype("<i2").tobytes()).hexdigest()
+        codec = "alaw" if audio_format == 6 else "ulaw"
+    elif audio_format == 0x11 and bits == 4:
+        frames = _audio.ima_adpcm_decode(
+            b[data_off:data_off + data_len], channels, block_align
+        )
+        if frames is None:
+            return None
+        frames = frames[:n_samples]  # fact-chunk clip of writer padding
+        n_frames = frames.shape[0]
+        x = frames.astype(np.float64).reshape(-1)
+        full_scale = 32768.0
+        md5 = hashlib.md5(frames.astype("<i2").tobytes()).hexdigest()
+        codec = "adpcm"
     else:
-        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
-        full_scale = 128.0
+        return None
     if x.size:
         peak = float(np.max(np.abs(x)) / full_scale)
         rms = float(np.sqrt(np.mean(x * x)) / full_scale)
@@ -305,27 +369,59 @@ def decode_wav_samples(
         n_frames / rate,
         peak,
         rms,
-        hashlib.md5(raw).hexdigest(),
+        md5,
+        codec,
     )
 
 
 def synthetic_wav_payload(i: int) -> bytes:
     """Deterministic minimal WAV: valid RIFF/fmt/data chunks, junk
-    samples — exercises the real PCM sample-decode path.  Variants:
-    PCM16 (default), PCM8 (``i % 5 == 4``), and IEEE-float format 3
-    (``i % 8 == 6``, header-only downstream)."""
+    samples — exercises the real sample-decode paths.  Variants:
+    PCM16 (default), IEEE-float format 3 (``i % 8 == 6``, header-only
+    downstream), G.711 mu-law / A-law and IMA ADPCM (``i % 11 in
+    (7, 9, 10)`` — junk PCM16 run through the repo's own encoders, so
+    decode is real), PCM8 (``i % 5 == 4``)."""
+    import numpy as np
+
+    from . import audio as _audio
+
     rate = (8000, 16000, 44100)[i % 3]
     channels = 1 + i % 2
+    n_samples = 100 + (i * 37) % 900
     audio_format, bits = 1, 16
     if i % 8 == 6:
         audio_format, bits = 3, 32
+    elif i % 11 == 7:
+        audio_format, bits = 7, 8  # G.711 mu-law
+    elif i % 11 == 9:
+        audio_format, bits = 6, 8  # G.711 A-law
+    elif i % 11 == 10:
+        audio_format, bits = 0x11, 4  # IMA ADPCM
     elif i % 5 == 4:
         bits = 8
-    block = channels * bits // 8
-    n_samples = 100 + (i * 37) % 900
-    data = (hashlib.md5(str(i).encode()).digest() * (n_samples * block // 16 + 1))[
-        : n_samples * block
-    ]
+    def junk(n_bytes: int) -> bytes:
+        return (hashlib.md5(str(i).encode()).digest()
+                * (n_bytes // 16 + 1))[:n_bytes]
+
+    fact = b""
+    if audio_format in (6, 7, 0x11):
+        # junk PCM16 run through the repo's own encoders — real decode
+        pcm16 = np.frombuffer(
+            junk(n_samples * channels * 2), dtype="<i2"
+        ).reshape(n_samples, channels)
+        if audio_format == 0x11:
+            block = 36 * channels  # 4-byte header + 8 data words per ch
+            data = _audio.ima_adpcm_encode(pcm16, channels, block)
+            fact = (b"fact" + (4).to_bytes(4, "little")
+                    + n_samples.to_bytes(4, "little"))
+        else:
+            block = channels
+            data = _audio.g711_encode(
+                pcm16.reshape(-1), "alaw" if audio_format == 6 else "ulaw"
+            )
+    else:
+        block = channels * bits // 8
+        data = junk(n_samples * block)
     fmt = (
         audio_format.to_bytes(2, "little")
         + channels.to_bytes(2, "little")
@@ -334,11 +430,16 @@ def synthetic_wav_payload(i: int) -> bytes:
         + block.to_bytes(2, "little")
         + bits.to_bytes(2, "little")
     )
+    if audio_format == 0x11:
+        # cbSize + wSamplesPerBlock extension the IMA mapping specifies
+        spb = _audio.ima_samples_per_block(block, channels)
+        fmt += (2).to_bytes(2, "little") + spb.to_bytes(2, "little")
     body = (
         b"WAVE"
         + b"fmt "
         + len(fmt).to_bytes(4, "little")
         + fmt
+        + fact
         + b"data"
         + len(data).to_bytes(4, "little")
         + data
@@ -349,13 +450,16 @@ def synthetic_wav_payload(i: int) -> bytes:
 def decode_audio_meta(df: DataFrame, col: str = "payload") -> DataFrame:
     """Arrow-batched audio decode, three tiers:
 
-    - ``decoder='pcm'`` — real PCM8/PCM16 WAV sample decode (numpy over
-      the data chunk): duration, full-scale peak/RMS, raw-sample md5;
+    - ``decoder in ('pcm', 'ulaw', 'alaw', 'adpcm')`` — real WAV sample
+      decode (numpy over the data chunk; G.711 table gather, IMA ADPCM
+      block-lockstep — see ``operators/audio.py``): duration,
+      full-scale peak/RMS, sample md5;
     - ``decoder='header'`` — WAV whose samples we don't decode (IEEE
       float, exotic bit depths): header fields only;
-    - ``decoder='stub'`` — non-WAV audio (mp3/ogg/flac need a codec
-      library absent from this container): deterministic fake fields,
-      clearly marked (see ``decode_image_pixels`` for the stub policy).
+    - ``decoder='stub'`` — non-WAV audio (mp3/ogg/flac are perceptual
+      codecs needing a library absent from this container):
+      deterministic fake fields, clearly marked (see
+      ``decode_image_pixels`` for the stub policy).
     """
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -377,9 +481,9 @@ def decode_audio_meta(df: DataFrame, col: str = "payload") -> DataFrame:
                 # (header-tier rows used to re-parse — review finding)
                 full = parse_wav(b)
                 if full is not None:
-                    pcm = decode_wav_samples(b, parsed=full)
-                    if pcm is not None:
-                        rows.append((*pcm, "pcm"))
+                    dec = decode_wav_samples(b, parsed=full)
+                    if dec is not None:
+                        rows.append(dec)  # 9-tuple ends with its codec
                     else:
                         rows.append(
                             (*full[:4], None, None, None, None, "header")

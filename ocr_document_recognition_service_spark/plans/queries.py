@@ -2802,9 +2802,10 @@ def x_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     "x_audio_meta",
     # deterministic end-to-end: oracle = pinned expected values
     pinned_oracles.sql_for("x_audio_meta"),
-    "audio binary plumbing: real PCM8/PCM16 WAV sample decode (numpy "
-    "over the data chunk — duration / full-scale peak / RMS / raw-"
-    "sample md5), header-only for float WAV, stub fallback for non-WAV",
+    "audio binary plumbing: real WAV sample decode (PCM8/PCM16 plus "
+    "G.711 mu-law/A-law table decode and block-lockstep IMA ADPCM — "
+    "duration / full-scale peak / RMS / sample md5), header-only for "
+    "float WAV, stub fallback for non-WAV",
 )
 def x_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import multimodal

@@ -342,7 +342,7 @@ def test_parse_wav_header_and_audio_meta(spark):
     import hashlib
     import math
 
-    for i in (0, 1, 2, 7):
+    for i in (0, 1, 2, 3):
         b = multimodal.synthetic_wav_payload(i)
         rate, ch, bits, n = multimodal.parse_wav_header(b)
         assert rate in (8000, 16000, 44100) and ch in (1, 2) and bits == 16
@@ -365,8 +365,9 @@ def test_parse_wav_header_and_audio_meta(spark):
         + b"data" + len(data).to_bytes(4, "little") + data
     )
     wav = b"RIFF" + len(body).to_bytes(4, "little") + body
-    rate, ch, bits, n, dur, peak, rms, md5 = multimodal.decode_wav_samples(wav)
-    assert (rate, ch, bits, n) == (8000, 1, 16, 4)
+    (rate, ch, bits, n, dur, peak, rms, md5,
+     codec) = multimodal.decode_wav_samples(wav)
+    assert (rate, ch, bits, n, codec) == (8000, 1, 16, 4, "pcm")
     assert dur == 4 / 8000 and peak == 1.0
     want_rms = math.sqrt(sum(s * s for s in samples) / 4) / 32768
     assert abs(rms - want_rms) < 1e-12
@@ -398,6 +399,10 @@ def test_parse_wav_header_and_audio_meta(spark):
             (1, b"not audio"),                          # stub
             (4, multimodal.synthetic_wav_payload(4)),   # PCM8
             (6, multimodal.synthetic_wav_payload(6)),   # IEEE float
+            (7, multimodal.synthetic_wav_payload(7)),   # G.711 mu-law
+            (9, multimodal.synthetic_wav_payload(9)),   # G.711 A-law
+            (10, multimodal.synthetic_wav_payload(10)),  # IMA ADPCM mono
+            (21, multimodal.synthetic_wav_payload(21)),  # IMA ADPCM stereo
         ],
         "id: long, payload: binary",
     )
@@ -412,6 +417,74 @@ def test_parse_wav_header_and_audio_meta(spark):
     assert got[4]["decoder"] == "pcm" and got[4]["bits"] == 8
     assert got[6]["decoder"] == "header" and got[6]["bits"] == 32
     assert got[6]["sample_md5"] is None
+    for i, codec in ((7, "ulaw"), (9, "alaw"), (10, "adpcm"), (21, "adpcm")):
+        assert got[i]["decoder"] == codec and got[i]["bits"] in (4, 8)
+        assert got[i]["sample_md5"] is not None and 0 < got[i]["rms"] <= 1
+        assert got[i]["n_samples"] == 100 + (i * 37) % 900  # fact clip
+    assert got[21]["channels"] == 2
+
+
+def test_g711_and_adpcm_codecs():
+    """Hand-computed G.711 codewords, round-trip error bounds, ADPCM
+    block structure (header sample, fact-chunk clip of writer padding,
+    partial tail blocks, stereo word interleave)."""
+    import numpy as np
+
+    from ocr_document_recognition_service_spark.operators import audio
+
+    # hand-expanded mu-law codewords: 0xFF is the inverted all-zeros
+    # word -> 0; 0x7F is negative zero -> 0; one step above zero is
+    # 0xFE -> +8 (mant 1: ((1<<3)+0x84)<<0 - 0x84 = 8)
+    assert audio.ULAW_TABLE[0xFF] == 0 and audio.ULAW_TABLE[0x7F] == 0
+    assert audio.ULAW_TABLE[0xFE] == 8
+    assert int(audio.ULAW_TABLE.max()) == 32124
+    # A-law: 0x55 xors to zero word -> segment 0 mantissa 0 -> -8
+    # (sign bit CLEAR means negative in A-law); 0xD5 is +8
+    assert audio.ALAW_TABLE[0x55] == -8 and audio.ALAW_TABLE[0xD5] == 8
+    assert int(audio.ALAW_TABLE.max()) == 32256
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(-32768, 32768, 4096).astype(np.int16)
+    for law, table_max in (("ulaw", 32124), ("alaw", 32256)):
+        dec = audio.g711_decode(audio.g711_encode(x, law), law)
+        err = np.abs(dec.astype(np.int32) - x.astype(np.int32))
+        # in-range samples land within half the largest step (512);
+        # beyond the top level the error is the clip distance
+        in_range = np.abs(x.astype(np.int32)) <= table_max
+        assert err[in_range].max() <= 512
+        assert err.max() <= 32767 - table_max + 512
+        # decode of every byte is exactly the table (vectorized gather)
+        all_bytes = bytes(range(256))
+        table = audio.ULAW_TABLE if law == "ulaw" else audio.ALAW_TABLE
+        assert np.array_equal(audio.g711_decode(all_bytes, law), table)
+
+    # ADPCM: a smooth signal round-trips within the quantizer's reach
+    t = np.arange(1500)
+    sig = (9000 * np.sin(t / 18.0)).astype(np.int16).reshape(-1, 1)
+    enc = audio.ima_adpcm_encode(sig, 1, 36)
+    spb = audio.ima_samples_per_block(36, 1)
+    assert spb == 65 and len(enc) % 36 == 0
+    dec = audio.ima_adpcm_decode(enc, 1, 36)
+    assert dec.shape[0] % spb == 0 and dec.shape[0] >= 1500
+    # header sample of each block is emitted verbatim
+    assert dec[0, 0] == sig[0, 0]
+    err = np.abs(dec[:1500, 0].astype(np.int32) - sig[:, 0].astype(np.int32))
+    assert float(np.sqrt((err.astype(float) ** 2).mean())) < 300
+    # stereo: channels decode independently through the word interleave
+    sig2 = np.stack(
+        [(8000 * np.sin(t / 15.0)).astype(np.int16),
+         (6000 * np.cos(t / 25.0)).astype(np.int16)], axis=1)
+    dec2 = audio.ima_adpcm_decode(audio.ima_adpcm_encode(sig2, 2, 72), 2, 72)
+    for c in range(2):
+        e = np.abs(dec2[:1500, c].astype(np.int32)
+                   - sig2[:, c].astype(np.int32))
+        assert float(np.sqrt((e.astype(float) ** 2).mean())) < 300
+    # truncated payload: whole word-groups of the tail block survive
+    cut = audio.ima_adpcm_decode(enc[:len(enc) - 12], 1, 36)
+    assert 0 < cut.shape[0] < dec.shape[0]
+    # malformed geometry is None, never an exception
+    assert audio.ima_adpcm_decode(b"x" * 100, 1, 7) is None
+    assert audio.ima_adpcm_decode(b"", 1, 36) is None
 
 
 def test_sample_video_frames_shape_and_determinism(spark):
