@@ -12,9 +12,9 @@ replication-upsampled, JFIF YCbCr→RGB) — and PROGRESSIVE (SOF2)
 decode: spectral selection + successive approximation, DC/AC first
 and refinement scans, EOB runs.  Also decoded for real: extended
 sequential 12-bit (SOF1), Adobe CMYK/YCCK 4-component frames,
-lossless (SOF3, Annex H — this file), and sequential arithmetic
-(SOF9 — ``jpeg_arith``).  Hierarchical and arithmetic-progressive
-modes remain the loudly-marked stub.
+lossless (SOF3, Annex H — this file), and arithmetic frames both
+sequential (SOF9) and progressive (SOF10) — ``jpeg_arith``.  Only
+hierarchical modes remain the loudly-marked stub.
 
 The matching encoder exists so the sandbox (which has no image
 libraries to produce fixtures) can generate REAL JPEG payloads whose
@@ -698,9 +698,13 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
             from .jpeg_arith import decode_arith_jpeg
 
             return decode_arith_jpeg(b)  # sequential arithmetic frame
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA,
+        elif marker == 0xCA:
+            from .jpeg_arith import decode_arith_progressive
+
+            return decode_arith_progressive(b)  # progressive arithmetic
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # hierarchical / arith-progressive
+            return None  # hierarchical / differential frames
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps) or ns == 0:
@@ -1155,7 +1159,14 @@ def _decode_progressive(b: bytes) -> tuple[int, int, str, bytes] | None:
         pos += 2 + ln
     if w is None or not comps or not saw_eoi:
         return None
-    # reconstruct: dequantize + IDCT every block
+    return _reconstruct_progressive(comps, coefs, qts, mx, my, w, h,
+                                    hmax, vmax)
+
+
+def _reconstruct_progressive(comps, coefs, qts, mx, my, w, h, hmax, vmax):
+    """Dequantize + IDCT every accumulated coefficient block, then the
+    shared upsample/color tail — used by both the Huffman (SOF2) and
+    arithmetic (SOF10, ``jpeg_arith``) progressive decoders."""
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
         qt = qts.get(tq)

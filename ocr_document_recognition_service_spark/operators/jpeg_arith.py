@@ -1,17 +1,22 @@
-"""Arithmetic-coded JPEG (ITU-T T.81 Annex D/F QM-coder, SOF9).
+"""Arithmetic-coded JPEG (ITU-T T.81 QM-coder): sequential SOF9
+(Annex D/F) AND progressive SOF10 (Annex G.2).
 
 Closes the last declared image stub (`multimodal.decode_image_pixels`
 routed arithmetic frames to the loud NotImplementedError path; the
 reference loads every format via cv2/Pillow —
-`core/pipelines/loaders/image_loader.py:20-31`).  Extended sequential
-DCT with arithmetic entropy coding (process SOF9) now decodes for
-REAL: the adaptive binary QM-coder with the standard 113-state
-probability-estimation machine, the DC difference model (sign +
-magnitude-category tree + magnitude bits, conditioned on the previous
-difference via the DAC L/U bounds) and the AC model (per-index
-EOB/significance decisions, fixed-probability sign, low/high
-magnitude bands split at Kx) — greyscale and 3-component YCbCr at
-4:4:4 / 4:2:0, restart intervals included.
+`core/pipelines/loaders/image_loader.py:20-31`).  DCT frames with
+arithmetic entropy coding now decode for REAL: the adaptive binary
+QM-coder with the standard 113-state probability-estimation machine,
+the DC difference model (sign + magnitude-category tree + magnitude
+bits, conditioned on the previous difference via the DAC L/U bounds)
+and the AC model (per-index EOB/significance decisions,
+fixed-probability sign, low/high magnitude bands split at Kx) —
+greyscale and 3-component YCbCr at 4:4:4 / 4:2:0, restart intervals
+included.  The progressive process (SOF10) layers the SOF2 scan
+structure on the same coder: spectral-selection AC bands, successive
+approximation with fixed-bin DC correction bits and the
+EOB/significance/correction AC-refinement contexts, statistics reset
+per scan and per restart.
 
 Two deliberate asymmetries vs the Huffman codec in ``jpeg.py``:
 
@@ -52,10 +57,13 @@ from .jpeg import (
     QT_CHROM,
     QT_LUM,
     ZIGZAG,
+    _entropy_end,
     _fdct,
     _finish_planes,
     _idct,
     _pad_plane,
+    _quantized_blocks,
+    _reconstruct_progressive,
     _rgb_to_ycbcr,
     _seg,
 )
@@ -432,27 +440,34 @@ def _encode_dc(
     return nctx
 
 
-def _decode_ac_block(
-    dec: ArithDecoder, stats: bytearray, fixed: bytearray, kx: int
-) -> list[int]:
-    """63 AC coefficients in zigzag order (index 1..63 of the
-    returned 64-list; [0] stays 0).
+def _decode_ac_band(
+    dec: ArithDecoder,
+    stats: bytearray,
+    fixed: bytearray,
+    kx: int,
+    zz: list[int],
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """AC coefficients of the zigzag band [*ss*, *se*] into *zz*
+    (values point-transform-shifted left by *al* — the sequential
+    case is the full band at al=0).
 
     Per index k: EOB decision at 3(k-1); significance at 3(k-1)+1
     (zeros walk the run forward); sign on the fixed bin; magnitude —
     two decisions on 3(k-1)+2, then doublings in the shared band
     (189 for k ≤ Kx, 217 above); magnitude bits on band+14."""
-    zz = [0] * 64
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats, st):
             break  # EOB
         while dec.decode(stats, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
-                raise ValueError("AC run past block end")
+            if k > se:
+                raise ValueError("AC run past band end")
         sign = dec.decode(fixed, 0)
         st += 2
         m = 0
@@ -473,29 +488,43 @@ def _decode_ac_block(
             if dec.decode(stats, st):
                 v |= m
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = (-v if sign else v) << al
         k += 1
+
+
+def _decode_ac_block(
+    dec: ArithDecoder, stats: bytearray, fixed: bytearray, kx: int
+) -> list[int]:
+    """63 AC coefficients in zigzag order (index 1..63 of the
+    returned 64-list; [0] stays 0) — the full band at shift 0."""
+    zz = [0] * 64
+    _decode_ac_band(dec, stats, fixed, kx, zz, 1, 63, 0)
     return zz
 
 
-def _encode_ac_block(
+def _encode_ac_band(
     enc: ArithEncoder,
     stats: bytearray,
     fixed: bytearray,
     kx: int,
-    zz: list[int],
+    vals: list[int],
+    ss: int,
+    se: int,
 ) -> None:
-    ke = max((k for k in range(1, 64) if zz[k]), default=0)
-    k = 1
+    """Mirror of ``_decode_ac_band``'s decision sequence over the
+    zigzag band [*ss*, *se*] — *vals* holds the (already point-
+    transformed) coefficients indexed by zigzag position."""
+    ke = max((k for k in range(ss, se + 1) if vals[k]), default=ss - 1)
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(stats, st, 0)  # not EOB
-        while zz[k] == 0:
+        while vals[k] == 0:
             enc.encode(stats, st + 1, 0)
             st += 3
             k += 1
         enc.encode(stats, st + 1, 1)
-        v = zz[k]
+        v = vals[k]
         sign = 1 if v < 0 else 0
         enc.encode(fixed, 0, sign)
         f = (-v if sign else v) - 1
@@ -523,8 +552,18 @@ def _encode_ac_block(
             mm >>= 1
             enc.encode(stats, st, 1 if f & mm else 0)
         k += 1
-    if ke < 63:
-        enc.encode(stats, 3 * ke, 1)  # EOB at index ke+1
+    if ke < se:
+        enc.encode(stats, 3 * ke, 1)  # EOB decision at index ke+1
+
+
+def _encode_ac_block(
+    enc: ArithEncoder,
+    stats: bytearray,
+    fixed: bytearray,
+    kx: int,
+    zz: list[int],
+) -> None:
+    _encode_ac_band(enc, stats, fixed, kx, zz, 1, 63)
 
 
 # ---------------------------------------------------------------------
@@ -898,3 +937,509 @@ def decode_arith_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
         return None
 
     return _finish_planes(comps, planes, w, h, hmax, vmax)
+
+
+# ---------------------------------------------------------------------
+# Progressive arithmetic JPEG (SOF10, T.81 Annex G.2)
+# ---------------------------------------------------------------------
+# The progressive scan structure (spectral selection + successive
+# approximation, multi-scan coefficient accumulation) is the SOF2 one;
+# the entropy layer is the QM coder above.  Annex G.2's scan-type
+# models: DC first scans reuse the sequential DC model on point-
+# transformed values; DC refinement codes one correction bit per block
+# on the non-adaptive fixed bin; AC first scans are the sequential AC
+# model restricted to the band; AC refinement walks the band with
+# EOB-decision / newly-nonzero-significance / correction-bit contexts
+# (3 per index, same stats layout as the first scans) plus the fixed
+# bin for new signs.  Statistics and the coder reset at every scan
+# start and every restart marker.
+
+
+def _split_rst_segments(scan: bytes) -> list[bytes]:
+    """Split one scan's entropy data at RSTn markers (stuffed 0xFF
+    bytes are always followed by 0x00, so FF Dx is a real marker)."""
+    segments = []
+    seg_start = 0
+    i = 0
+    while i < len(scan) - 1:
+        if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7:
+            segments.append(scan[seg_start:i])
+            seg_start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(scan[seg_start:])
+    return segments
+
+
+def _arith_prog_scan(
+    data, scomps, Ss, Se, Ah, Al, comps, coefs, cdims,
+    dc_cond, ac_cond, mx, my, dri,
+):
+    """Decode one progressive-arithmetic scan into the coefficient
+    arrays (decision sequences documented on the helpers; this walks
+    blocks in the same interleaved/non-interleaved order as the
+    Huffman ``_prog_scan``)."""
+    is_dc = Ss == 0
+    if is_dc and Se != 0:
+        raise ValueError("DC scan with Se != 0")
+    if not is_dc and len(scomps) != 1:
+        raise ValueError("AC scan must be single-component")
+    segments = _split_rst_segments(data) if dri else [data]
+    seg_idx = 0
+
+    def fresh_state():
+        return (
+            ArithDecoder(segments[seg_idx]),
+            {},  # dc table id -> stats bytearray
+            {},  # ac table id -> stats bytearray
+            bytearray([_FIXED_BIN]),
+        )
+
+    dec, dc_stats, ac_stats, fixed = fresh_state()
+    preds = [0] * len(scomps)
+    dc_ctx = [0] * len(scomps)
+    unit = 0
+
+    def maybe_restart():
+        nonlocal dec, dc_stats, ac_stats, fixed, preds, dc_ctx, seg_idx
+        if dri and unit and unit % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            dec, dc_stats, ac_stats, fixed = fresh_state()
+            preds = [0] * len(scomps)
+            dc_ctx = [0] * len(scomps)
+
+    def dc_block(si, td, coef):
+        if Ah == 0:
+            lb, ub = dc_cond.get(td, (_DEFAULT_L, _DEFAULT_U))
+            stats = dc_stats.setdefault(td, bytearray(_DC_STAT_BINS))
+            diff, dc_ctx[si] = _decode_dc(dec, stats, dc_ctx[si], lb, ub)
+            preds[si] += diff
+            coef[0] = preds[si] << Al
+        else:
+            coef[0] |= dec.decode(fixed, 0) << Al
+
+    if is_dc and len(scomps) > 1:
+        # interleaved DC scan over the full MCU grid
+        for myy in range(my):
+            for mxx in range(mx):
+                maybe_restart()
+                for si, (ci, td, _) in enumerate(scomps):
+                    _, hs, vs, _ = comps[ci]
+                    for v in range(vs):
+                        for hh in range(hs):
+                            dc_block(
+                                si, td,
+                                coefs[ci][myy * vs + v][mxx * hs + hh],
+                            )
+                unit += 1
+        return
+    # non-interleaved: one component, block-raster over its own dims
+    ci, td, ta = scomps[0]
+    cbh, cbw = cdims[ci]
+    kx = ac_cond.get(ta, _DEFAULT_KX)
+    for by in range(cbh):
+        for bx in range(cbw):
+            maybe_restart()
+            coef = coefs[ci][by][bx]
+            if is_dc:
+                dc_block(0, td, coef)
+            elif Ah == 0:
+                stats = ac_stats.setdefault(ta, bytearray(_AC_STAT_BINS))
+                _decode_ac_band(dec, stats, fixed, kx, coef, Ss, Se, Al)
+            else:
+                stats = ac_stats.setdefault(ta, bytearray(_AC_STAT_BINS))
+                _decode_ac_refine(dec, stats, fixed, coef, Ss, Se, Al)
+            unit += 1
+
+
+def _decode_ac_refine(
+    dec: ArithDecoder,
+    stats: bytearray,
+    fixed: bytearray,
+    coef: list[int],
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """AC successive-approximation refinement (T.81 G.2): per band
+    index — an EOB decision at 3(k-1) once past the previous stage's
+    last nonzero (kex); then a run of zero-history positions each
+    answering a significance decision at st+1 (st advancing by 3),
+    previously-nonzero positions answering a correction-bit decision
+    at st+2 (st frozen), new signs on the fixed bin."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex > 0 and coef[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(stats, st):
+            break  # EOB
+        while True:
+            c = coef[k]
+            if c:
+                if dec.decode(stats, st + 2):
+                    coef[k] = c + (p1 if c > 0 else m1)
+                break
+            if dec.decode(stats, st + 1):
+                coef[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("refinement run past band end")
+        k += 1
+
+
+def _encode_ac_refine(
+    enc: ArithEncoder,
+    stats: bytearray,
+    fixed: bytearray,
+    zz: list[int],
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """Exact mirror of ``_decode_ac_refine``: temp is the magnitude at
+    the current precision (abs then shift — truncation toward zero);
+    temp > 1 means nonzero history (correction bit = temp's low bit),
+    temp == 1 newly nonzero, temp == 0 still insignificant."""
+    temp = [0] * (se + 1)
+    for k in range(ss, se + 1):
+        temp[k] = abs(zz[k]) >> al
+    ke = se
+    while ke >= ss and temp[ke] == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and temp[kex] >> 1 == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(stats, st, 0)  # not EOB yet
+        while True:
+            t = temp[k]
+            if t:
+                if t > 1:
+                    enc.encode(stats, st + 2, t & 1)
+                else:
+                    enc.encode(stats, st + 1, 1)
+                    enc.encode(fixed, 0, 1 if zz[k] < 0 else 0)
+                break
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
+        enc.encode(stats, 3 * (k - 1), 1)  # EOB
+
+
+def decode_arith_progressive(b: bytes) -> tuple[int, int, str, bytes] | None:
+    """SOF10 frame → (w, h, 'L'|'RGB', pixels); None for anything this
+    path does not cover, via the shared no-raise contract in
+    ``decode_jpeg`` (scan-level errors raise ValueError and are caught
+    there)."""
+    qts: dict[int, list[int]] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []
+    coefs: list = []
+    cdims: list[tuple[int, int]] = []
+    hmax = vmax = 1
+    mx = my = 0
+    dri = 0
+    pos = 2
+    n = len(b)
+    saw_eoi = False
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            saw_eoi = True
+            break
+        if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+            pos += 2
+            continue
+        ln = int.from_bytes(b[pos + 2:pos + 4], "big")
+        body = b[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    return None
+                tbl = list(body[i + 1:i + 65])
+                inv = [0] * 64
+                for k, z in enumerate(ZIGZAG):
+                    inv[z] = tbl[k]
+                qts[tq] = inv
+                i += 65
+        elif marker == 0xCC:  # DAC (may be redefined between scans)
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0x0F
+                val = body[i + 1]
+                if tc == 0:
+                    lb, ub = val & 0x0F, val >> 4
+                    if not (0 <= lb <= ub <= 15):
+                        return None
+                    dc_cond[tb] = (lb, ub)
+                else:
+                    if not 1 <= val <= 63:
+                        return None
+                    ac_cond[tb] = val
+                i += 2
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[0:2], "big")
+        elif marker == 0xCA:
+            if comps:
+                return None  # one frame only
+            prec = body[0]
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if prec != 8 or ncomp not in (1, 3):
+                return None
+            for c in range(ncomp):
+                cid = body[6 + 3 * c]
+                samp = body[7 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, body[8 + 3 * c]))
+            if ncomp == 1:
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax < 1 or vmax < 1:
+                return None
+            if not w or not h or w * h > _MAX_PIXELS:
+                return None
+            mx = (w + 8 * hmax - 1) // (8 * hmax)
+            my = (h + 8 * vmax - 1) // (8 * vmax)
+            if (mx * hmax * 8) * (my * vmax * 8) > (_MAX_PIXELS << 2):
+                return None
+            for cid, hs, vs, tq in comps:
+                coefs.append(
+                    [[[0] * 64 for _ in range(mx * hs)]
+                     for _ in range(my * vs)]
+                )
+                cw = (w * hs + hmax - 1) // hmax
+                ch = (h * vs + vmax - 1) // vmax
+                cdims.append(((ch + 7) // 8, (cw + 7) // 8))
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # mixed/other frame types
+        elif marker == 0xDA:
+            if not comps:
+                return None
+            ns = body[0]
+            scomps = []
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                td, ta = body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F
+                ci = next(
+                    (i for i, cc in enumerate(comps) if cc[0] == cid), None
+                )
+                if ci is None:
+                    return None
+                scomps.append((ci, td, ta))
+            Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+            Ah = body[3 + 2 * ns] >> 4
+            Al = body[3 + 2 * ns] & 0x0F
+            data_start = pos + 2 + ln
+            data_end = _entropy_end(b, data_start)
+            _arith_prog_scan(
+                b[data_start:data_end], scomps, Ss, Se, Ah, Al,
+                comps, coefs, cdims, dc_cond, ac_cond, mx, my, dri,
+            )
+            pos = data_end
+            continue
+        pos += 2 + ln
+    if w is None or not comps or not saw_eoi:
+        return None
+    return _reconstruct_progressive(comps, coefs, qts, mx, my, w, h,
+                                    hmax, vmax)
+
+
+def encode_arith_progressive_jpeg(
+    px: bytes,
+    w: int,
+    h: int,
+    mode: str = "L",
+    subsample: bool = False,
+    dc_restart: int = 0,
+    conditioning: tuple[int, int, int] = (_DEFAULT_L, _DEFAULT_U, _DEFAULT_KX),
+) -> bytes:
+    """Pixels → SOF10 progressive-arithmetic JFIF JPEG with the same
+    libjpeg-style scan script as ``encode_progressive_jpeg`` — DC
+    first (Al=1, optional restart markers) → per-component AC bands
+    1-5 and 6-63 at Al=2 → two AC refinement passes (Al=1 then 0) →
+    DC refinement — so the decoder must exercise spectral selection
+    AND successive approximation through the QM coder.  Quantization
+    is shared with every other JPEG encoder here, so the decode must
+    be byte-equal to the baseline decode of the same source."""
+    lb, ub, kx = conditioning
+    qt_l = np.array(QT_LUM, dtype=np.float64).reshape(8, 8)
+    qt_c = np.array(QT_CHROM, dtype=np.float64).reshape(8, 8)
+    color = mode != "L"
+    if color and subsample:
+        mx, my = (w + 15) // 16, (h + 15) // 16
+        y, cb, cr = _rgb_to_ycbcr(px, w, h)
+
+        def down(p):
+            p = _pad_plane(p, my * 2, mx * 2)
+            return (
+                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+            ) / 4.0
+
+        planes = [
+            _quantized_blocks(
+                _pad_plane(y, my * 2, mx * 2), qt_l, my * 2, mx * 2
+            ),
+            _quantized_blocks(down(cb), qt_c, my, mx),
+            _quantized_blocks(down(cr), qt_c, my, mx),
+        ]
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        cdims = [
+            ((h + 7) // 8, (w + 7) // 8),
+            (((h + 1) // 2 + 7) // 8, ((w + 1) // 2 + 7) // 8),
+            (((h + 1) // 2 + 7) // 8, ((w + 1) // 2 + 7) // 8),
+        ]
+    elif color:
+        bw0, bh0 = (w + 7) // 8, (h + 7) // 8
+        mx, my = bw0, bh0
+        y, cb, cr = _rgb_to_ycbcr(px, w, h)
+        planes = [
+            _quantized_blocks(y, qt_l, bh0, bw0),
+            _quantized_blocks(cb, qt_c, bh0, bw0),
+            _quantized_blocks(cr, qt_c, bh0, bw0),
+        ]
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        cdims = [(bh0, bw0)] * 3
+    else:
+        bw0, bh0 = (w + 7) // 8, (h + 7) // 8
+        mx, my = bw0, bh0
+        img = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(
+            np.float64
+        )
+        planes = [_quantized_blocks(img, qt_l, bh0, bw0)]
+        comps = [(1, 1, 1, 0)]
+        cdims = [(bh0, bw0)]
+    comp_tables = [(0, 0), (1, 1), (1, 1)][: len(comps)]
+    n_tables = 2 if color else 1
+
+    # headers: SOI, APP0, DQT(s), SOF10, DAC
+    app0 = _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(QT_LUM[i] for i in ZIGZAG))
+    dac = bytes([0x00, (ub << 4) | lb, 0x10, kx])
+    if color:
+        dqt += _seg(0xDB, bytes([0x01]) + bytes(QT_CHROM[i] for i in ZIGZAG))
+        dac += bytes([0x01, (ub << 4) | lb, 0x11, kx])
+    sof_body = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        bytes([cid, (hs << 4) | vs, tq]) for cid, hs, vs, tq in comps
+    )
+    out = bytearray(
+        b"\xff\xd8" + app0 + dqt + _seg(0xCA, sof_body) + _seg(0xCC, dac)
+    )
+
+    def sos(scomp_sel, Ss, Se, Ah, Al):
+        body = bytes([len(scomp_sel)])
+        for cid, td, ta in scomp_sel:
+            body += bytes([cid, (td << 4) | ta])
+        return _seg(0xDA, body + bytes([Ss, Se, (Ah << 4) | Al]))
+
+    def mcu_blocks():
+        """(ci, zz) in interleaved MCU order."""
+        for myy in range(my):
+            for mxx in range(mx):
+                for ci, (_, hs, vs, _) in enumerate(comps):
+                    for v in range(vs):
+                        for hh in range(hs):
+                            yield ci, planes[ci][myy * vs + v][mxx * hs + hh]
+
+    def ac_blocks(ci):
+        cbh, cbw = cdims[ci]
+        for by in range(cbh):
+            for bx in range(cbw):
+                yield planes[ci][by][bx]
+
+    # scan 1: DC first, interleaved, Al=1, optional restart markers
+    # (DRI applies to this scan, then redefined to 0)
+    if dc_restart:
+        out += _seg(0xDD, dc_restart.to_bytes(2, "big"))
+    out += sos(
+        [(comps[ci][0], comp_tables[ci][0], 0) for ci in range(len(comps))],
+        0, 0, 0, 1,
+    )
+    state = _ArithScanState(n_tables, n_tables)
+    preds = [0] * len(comps)
+    dc_ctx = [0] * len(comps)
+    unit = 0
+    rst = 0
+    blocks_per_mcu = sum(hs * vs for _, hs, vs, _ in comps)
+    for bi, (ci, zz) in enumerate(mcu_blocks()):
+        if (dc_restart and bi and bi % (dc_restart * blocks_per_mcu) == 0):
+            out += state.enc.flush()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            state = _ArithScanState(n_tables, n_tables)
+            preds = [0] * len(comps)
+            dc_ctx = [0] * len(comps)
+        val = zz[0] >> 1  # DC point transform: arithmetic shift
+        dct = comp_tables[ci][0]
+        dc_ctx[ci] = _encode_dc(
+            state.enc, state.dc_stats[dct], dc_ctx[ci],
+            val - preds[ci], lb, ub,
+        )
+        preds[ci] = val
+        unit += 1
+    out += state.enc.flush()
+    if dc_restart:
+        out += _seg(0xDD, (0).to_bytes(2, "big"))
+
+    def pt_ac(v: int, al: int) -> int:
+        return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+    # per-component AC first scans: bands 1-5 then 6-63 at Al=2
+    for ci in range(len(comps)):
+        act = comp_tables[ci][1]
+        for (ss_, se_) in ((1, 5), (6, 63)):
+            out += sos([(comps[ci][0], 0, act)], ss_, se_, 0, 2)
+            state = _ArithScanState(n_tables, n_tables)
+            for zz in ac_blocks(ci):
+                vals = [0] * 64
+                for k in range(ss_, se_ + 1):
+                    vals[k] = pt_ac(zz[k], 2)
+                _encode_ac_band(
+                    state.enc, state.ac_stats[act], state.fixed, kx,
+                    vals, ss_, se_,
+                )
+            out += state.enc.flush()
+    # AC refinement passes: Ah=2→Al=1, then Ah=1→Al=0
+    for (ah, al) in ((2, 1), (1, 0)):
+        for ci in range(len(comps)):
+            act = comp_tables[ci][1]
+            out += sos([(comps[ci][0], 0, act)], 1, 63, ah, al)
+            state = _ArithScanState(n_tables, n_tables)
+            for zz in ac_blocks(ci):
+                _encode_ac_refine(
+                    state.enc, state.ac_stats[act], state.fixed,
+                    zz, 1, 63, al,
+                )
+            out += state.enc.flush()
+    # DC refinement: Ah=1, Al=0 (interleaved, fixed-bin bits)
+    out += sos(
+        [(comps[ci][0], comp_tables[ci][0], 0) for ci in range(len(comps))],
+        0, 0, 1, 0,
+    )
+    state = _ArithScanState(n_tables, n_tables)
+    for ci, zz in mcu_blocks():
+        state.enc.encode(state.fixed, 0, zz[0] & 1)
+    out += state.enc.flush()
+    return bytes(out) + b"\xff\xd9"

@@ -22,8 +22,9 @@ MJPEG-in-AVI frames decode for real through the repo's own JPEG stack
 the QM-coder in ``operators.jpeg_arith`` (r6), and 12-bit (SOF1,
 16-bit DQT) and Adobe CMYK/YCCK JPEG decode for real too (r6).
 G.711 mu-law/A-law and IMA ADPCM WAV audio decode for real via
-``operators.audio`` (r6).  Only formats beyond all paths
-(hierarchical/arith-progressive JPEG, non-AVI video, perceptual audio
+``operators.audio`` (r6), and progressive-arithmetic (SOF10) JPEG
+joins the decoded set (r6).  Only formats beyond all paths
+(hierarchical JPEG, non-AVI video, perceptual audio
 codecs like mp3/ogg/flac) remain the loudly-marked
 ``NotImplementedError``/deterministic-fake stub — the one concession
 to this container having no image/audio libs.
@@ -1113,13 +1114,13 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     Huffman entropy decode incl. progressive first/refinement scans,
     dequantize, IDCT, chroma upsample); LOSSLESS (SOF3) JPEG decodes
     for real (r6: T.81 Annex H predictive coding, all 7 predictors,
-    restarts, 2-16 bit); sequential ARITHMETIC (SOF9) JPEG decodes
-    for real too (r6: ``operators.jpeg_arith`` QM-coder, T.81 Annex
-    D/F), as do 12-bit extended sequential (SOF1) and Adobe
-    CMYK/YCCK frames (r6); raises NotImplementedError only for
-    formats none of those paths cover (hierarchical /
-    arith-progressive JPEG, non-AVI video …), which is the remaining
-    loudly-marked stub surface."""
+    restarts, 2-16 bit); ARITHMETIC JPEG decodes for real too — both
+    sequential (SOF9) and progressive (SOF10) — via the
+    ``operators.jpeg_arith`` QM-coder (T.81 Annex D/F/G.2), as do
+    12-bit extended sequential (SOF1) and Adobe CMYK/YCCK frames
+    (r6); raises NotImplementedError only for formats none of those
+    paths cover (hierarchical JPEG, non-AVI video …), which is the
+    remaining loudly-marked stub surface."""
     b = bytes(payload)
     out = _decode_bmp(b) or _decode_png(b) or _decode_gif(b)
     if out is None:
@@ -1142,9 +1143,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
             pass
     raise NotImplementedError(
         "pixel decode beyond BMP/PNG/GIF/TIFF (incl. G3/G4 fax)/JPEG "
-        "(baseline/progressive/lossless/sequential-arithmetic/"
-        "12-bit/CMYK) requires Pillow/cv2 (hierarchical or "
-        "arith-progressive JPEG, non-AVI video); install "
+        "(baseline/progressive/lossless/arithmetic-sequential+"
+        "progressive/12-bit/CMYK) requires Pillow/cv2 (hierarchical "
+        "JPEG, non-AVI video); install "
         "on the cluster and this same call decodes every format"
     )
 

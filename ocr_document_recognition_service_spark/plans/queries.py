@@ -2910,7 +2910,8 @@ def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
     pinned_oracles.sql_for("x_image_pixels"),
     "REAL pixel decode through the Spark plumbing: BMP + GIF + PNG (grey/RGB/"
     "palette/interlaced) + JPEG (baseline grey/colour, progressive, "
-    "lossless SOF3, arithmetic SOF9, 12-bit SOF1 AND Adobe YCCK, r6) "
+    "lossless SOF3, arithmetic SOF9 AND arith-progressive SOF10, "
+    "12-bit SOF1, Adobe YCCK, r6) "
     "+ bilevel TIFF scans (packed bits AND CCITT G4/T.6 MMR fax, r5) "
     "decoded inside an Arrow-batched pandas UDF, pixels md5-hashed "
     "per row (narrow exchange); undecodable payloads report "
@@ -2934,8 +2935,9 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
         if kind == 4:
             # grey JPEG ladder: baseline / progressive / LOSSLESS
             # (SOF3 predictive, r6) / ARITHMETIC (SOF9 QM-coder, r6) /
-            # 12-BIT extended sequential (SOF1, r6)
-            v = (i // 7) % 5
+            # 12-BIT extended sequential (SOF1, r6) / ARITH-
+            # PROGRESSIVE (SOF10, r6)
+            v = (i // 7) % 6
             px = multimodal._px_stream(i, 16 * 16)
             if v == 2:
                 return jpeg.encode_lossless_jpeg(
@@ -2947,13 +2949,18 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
                 return jpeg.encode_gray12_jpeg(
                     [s << 4 | (s >> 4) for s in px], 16, 16
                 )
+            if v == 5:
+                return jpeg_arith.encode_arith_progressive_jpeg(
+                    px, 16, 16, "L"
+                )
             enc = jpeg.encode_progressive_jpeg if v else jpeg.encode_gray_jpeg
             return enc(px, 16, 16)
         if kind == 5:
             # colour JPEG ladder: 4:4:4 / 4:2:0 / LOSSLESS RGB with
             # restart markers / ARITHMETIC 4:2:0 with restarts /
-            # Adobe YCCK print scan (r6)
-            v = (i // 7) % 5
+            # Adobe YCCK print scan (r6) / ARITH-PROGRESSIVE 4:2:0
+            # with DC-scan restarts (SOF10, r6)
+            v = (i // 7) % 6
             px = multimodal._px_stream(i, 16 * 16 * 3)
             if v == 2:
                 return jpeg.encode_lossless_jpeg(
@@ -2968,6 +2975,10 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
             if v == 4:
                 ink = multimodal._px_stream(i, 16 * 16 * 4)
                 return jpeg.encode_cmyk_jpeg(ink, 16, 16, ycck=True)
+            if v == 5:
+                return jpeg_arith.encode_arith_progressive_jpeg(
+                    px, 16, 16, "RGB", subsample=True, dc_restart=2
+                )
             return jpeg.encode_rgb_jpeg(px, 16, 16, subsample=bool(v))
         # kind 6: bilevel document scan — rotate the full fax ladder:
         # packed bits, MH RLE (comp 2), T.4 G3 1-D and 2-D (comp 3),

@@ -2162,6 +2162,81 @@ def test_arith_jpeg_equals_huffman_and_survives_fuzz():
         "d782f9cc538cf39a4466b5222caed627"
 
 
+def test_arith_progressive_jpeg_equals_baseline_and_survives_fuzz():
+    """r6: progressive arithmetic-coded (SOF10) JPEG — the SOF2 scan
+    structure (spectral selection, successive approximation, DC/AC
+    first + refinement scans) over the Annex D QM-coder with the
+    Annex G.2 models (fixed-bin DC correction bits, banded AC first,
+    EOB/significance/correction AC refinement).  Quantization is
+    shared with every other JPEG path, so the multi-scan decode must
+    be byte-equal to the BASELINE decode of the same source — one
+    oracle certifies the whole scan pipeline (same conformance caveat
+    as SOF9: no external producer in the sandbox)."""
+    import random as _r
+
+    import numpy as np
+
+    from ocr_document_recognition_service_spark.operators import jpeg as J
+    from ocr_document_recognition_service_spark.operators import jpeg_arith as A
+
+    npr = np.random.default_rng(23)
+
+    def pix(n):
+        return bytes(npr.integers(0, 256, n, dtype=np.uint8))
+
+    # cross-codec equality across geometries incl. non-multiple-of-8
+    for w, h in ((37, 23), (8, 8), (1, 1), (16, 16)):
+        px = pix(w * h)
+        assert J.decode_jpeg(A.encode_arith_progressive_jpeg(px, w, h)) \
+            == J.decode_jpeg(J.encode_gray_jpeg(px, w, h)), (w, h)
+    for w, h, sub in ((19, 31, False), (50, 34, True), (16, 16, True)):
+        px = pix(w * h * 3)
+        assert J.decode_jpeg(
+            A.encode_arith_progressive_jpeg(px, w, h, "RGB", subsample=sub)
+        ) == J.decode_jpeg(J.encode_rgb_jpeg(px, w, h, subsample=sub)), (w, h)
+    # DC-scan restart markers (coder + statistics + predictors reset)
+    px = pix(40 * 33)
+    plain = J.decode_jpeg(J.encode_gray_jpeg(px, 40, 33))
+    for ri in (1, 3, 1000):
+        assert J.decode_jpeg(
+            A.encode_arith_progressive_jpeg(px, 40, 33, dc_restart=ri)
+        ) == plain, ri
+    # non-default DAC conditioning changes the bytes, not the pixels
+    base = A.encode_arith_progressive_jpeg(px, 40, 33)
+    for cond in ((0, 0, 1), (2, 4, 16), (15, 15, 63)):
+        alt = A.encode_arith_progressive_jpeg(px, 40, 33,
+                                              conditioning=cond)
+        assert alt != base and J.decode_jpeg(alt) == plain, cond
+    # rides the public decode surface
+    enc = A.encode_arith_progressive_jpeg(pix(16 * 16), 16, 16, "L")
+    out = multimodal.decode_image_pixels(enc)
+    assert out[:3] == (16, 16, "L") and len(out[3]) == 256
+    # no-raise contract: truncations and bit flips return None/frame
+    rng = _r.Random(29)
+    enc = A.encode_arith_progressive_jpeg(
+        pix(24 * 17 * 3), 24, 17, "RGB", subsample=True, dc_restart=2
+    )
+    for i in range(0, len(enc), 7):
+        r = J.decode_jpeg(enc[:i])
+        assert r is None or len(r) == 4
+    rejected = 0
+    for _ in range(200):
+        ba = bytearray(enc)
+        for _ in range(rng.randint(1, 4)):
+            ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+        r = J.decode_jpeg(bytes(ba))
+        assert r is None or len(r) == 4
+        if r is None:
+            rejected += 1
+    assert rejected > 30
+    # deterministic fixture pin: any codec change must be deliberate
+    doc = bytes((x * 11 + y * 3) % 256 for y in range(24) for x in range(32))
+    enc = A.encode_arith_progressive_jpeg(doc, 32, 24, "L")
+    assert J.decode_jpeg(enc) == J.decode_jpeg(J.encode_gray_jpeg(doc, 32, 24))
+    assert hashlib.md5(enc).hexdigest() == \
+        "7e207a8ac3e1910561170905a818c621"
+
+
 def test_segment_dedup_hand_cases_and_plan(spark):
     """r6: sub-document exact dedup (the C4/RefinedWeb paragraph
     scrub).  Hand-computed keep decisions: first occurrence in
