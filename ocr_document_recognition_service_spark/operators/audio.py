@@ -142,6 +142,24 @@ def ima_samples_per_block(block_align: int, channels: int) -> int:
     return (block_align - 4 * channels) * 2 // channels + 1
 
 
+def ima_frame_count(data_len: int, channels: int, block_align: int) -> int:
+    """Frames ``ima_adpcm_decode`` will yield for a *data_len*-byte
+    data area: full blocks plus the whole word-groups of a trailing
+    partial block.  The single source of truth for frame geometry —
+    ``parse_wav``'s header-tier count and the decoder's actual output
+    both derive from this, so they cannot drift (pinned by a
+    cut-length sweep in the tests)."""
+    spb = ima_samples_per_block(block_align, channels)
+    n = (data_len // block_align) * spb
+    rem = data_len % block_align
+    if rem >= 4 * channels:
+        tail = 4 * channels + (rem - 4 * channels) // (4 * channels) * (
+            4 * channels
+        )
+        n += ima_samples_per_block(tail, channels)
+    return n
+
+
 def ima_adpcm_decode(
     data: bytes, channels: int, block_align: int
 ) -> np.ndarray | None:

@@ -913,6 +913,74 @@ def _finish_planes(comps, planes, w, h, hmax, vmax, prec=8, adobe=None):
     return w, h, "RGB", rgb.tobytes()
 
 
+def _parse_dqt(body: bytes, qts: dict) -> bool:
+    """One DQT segment into *qts* (natural order) — the 8-bit-only
+    form shared by the multi-scan decoders (SOF2 here, SOF9/SOF10 in
+    ``jpeg_arith``); False on 16-bit entries those paths reject."""
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0x0F
+        if pq != 0:
+            return False
+        tbl = list(body[i + 1:i + 65])
+        inv = [0] * 64
+        for k, z in enumerate(ZIGZAG):
+            inv[z] = tbl[k]
+        qts[tq] = inv
+        i += 65
+    return True
+
+
+def _parse_frame_header(body: bytes):
+    """SOF body → (w, h, comps, hmax, vmax, mx, my), applying the
+    shared 8-bit / component-count / dimension-bomb guards; None when
+    rejected.  Single-component frames normalize to 1×1 sampling
+    (T.81 A.2.2).  One implementation for SOF2/SOF9/SOF10 so a guard
+    fix can never diverge between the entropy paths."""
+    prec = body[0]
+    h = int.from_bytes(body[1:3], "big")
+    w = int.from_bytes(body[3:5], "big")
+    ncomp = body[5]
+    if prec != 8 or ncomp not in (1, 3):
+        return None
+    comps = []
+    for c in range(ncomp):
+        cid = body[6 + 3 * c]
+        samp = body[7 + 3 * c]
+        comps.append((cid, samp >> 4, samp & 0x0F, body[8 + 3 * c]))
+    if ncomp == 1:
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1:
+        return None
+    if not w or not h or w * h > _MAX_PIXELS:
+        return None  # dimension bomb / degenerate frame
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    # padded coef grid (15× samp factors) must stay bounded too
+    if (mx * hmax * 8) * (my * vmax * 8) > (_MAX_PIXELS << 2):
+        return None
+    return w, h, comps, hmax, vmax, mx, my
+
+
+def _alloc_prog_coefs(comps, w, h, hmax, vmax, mx, my):
+    """Zeroed per-component coefficient grids (padded interleaved
+    coverage) + true block dims (non-interleaved scan coverage) for
+    the progressive decoders."""
+    coefs, cdims = [], []
+    for cid, hs, vs, tq in comps:
+        # interleaved coverage (mx*hs) always ≥ the non-interleaved
+        # ceil(cw/8); allocate the larger
+        coefs.append(
+            [[[0] * 64 for _ in range(mx * hs)] for _ in range(my * vs)]
+        )
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        cdims.append(((ch + 7) // 8, (cw + 7) // 8))
+    return coefs, cdims
+
+
 def _entropy_end(b: bytes, start: int) -> int:
     """Index of the first real marker (not stuffing, not RSTn) after
     *start* — the end of a scan's entropy-coded data."""
@@ -1068,17 +1136,8 @@ def _decode_progressive(b: bytes) -> tuple[int, int, str, bytes] | None:
         ln = int.from_bytes(b[pos + 2:pos + 4], "big")
         body = b[pos + 4:pos + 2 + ln]
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    return None
-                tbl = list(body[i + 1:i + 65])
-                inv = [0] * 64
-                for k, z in enumerate(ZIGZAG):
-                    inv[z] = tbl[k]
-                qts[tq] = inv
-                i += 65
+            if not _parse_dqt(body, qts):
+                return None
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -1093,41 +1152,12 @@ def _decode_progressive(b: bytes) -> tuple[int, int, str, bytes] | None:
         elif marker == 0xC2:
             if comps:
                 return None  # one frame only
-            prec = body[0]
-            h = int.from_bytes(body[1:3], "big")
-            w = int.from_bytes(body[3:5], "big")
-            ncomp = body[5]
-            if prec != 8 or ncomp not in (1, 3):
+            hdr = _parse_frame_header(body)
+            if hdr is None:
                 return None
-            for c in range(ncomp):
-                cid = body[6 + 3 * c]
-                samp = body[7 + 3 * c]
-                comps.append(
-                    (cid, samp >> 4, samp & 0x0F, body[8 + 3 * c])
-                )
-            if ncomp == 1:
-                comps = [(comps[0][0], 1, 1, comps[0][3])]
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            if hmax < 1 or vmax < 1:
-                return None
-            if not w or not h or w * h > _MAX_PIXELS:
-                return None  # dimension bomb / degenerate frame
-            mx = (w + 8 * hmax - 1) // (8 * hmax)
-            my = (h + 8 * vmax - 1) // (8 * vmax)
-            # padded coef grid (15× samp factors) must stay bounded too
-            if (mx * hmax * 8) * (my * vmax * 8) > (_MAX_PIXELS << 2):
-                return None
-            for cid, hs, vs, tq in comps:
-                # interleaved coverage (mx*hs) always ≥ the
-                # non-interleaved ceil(cw/8); allocate the larger
-                coefs.append(
-                    [[[0] * 64 for _ in range(mx * hs)]
-                     for _ in range(my * vs)]
-                )
-                cw = (w * hs + hmax - 1) // hmax
-                ch = (h * vs + vmax - 1) // vmax
-                cdims.append(((ch + 7) // 8, (cw + 7) // 8))
+            w, h, comps, hmax, vmax, mx, my = hdr
+            coefs, cdims = _alloc_prog_coefs(comps, w, h, hmax, vmax,
+                                             mx, my)
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # mixed/other frame types

@@ -53,15 +53,17 @@ import struct
 import numpy as np
 
 from .jpeg import (
-    _MAX_PIXELS,
     QT_CHROM,
     QT_LUM,
     ZIGZAG,
+    _alloc_prog_coefs,
     _entropy_end,
     _fdct,
     _finish_planes,
     _idct,
     _pad_plane,
+    _parse_dqt,
+    _parse_frame_header,
     _quantized_blocks,
     _reconstruct_progressive,
     _rgb_to_ycbcr,
@@ -748,6 +750,27 @@ def encode_arith_jpeg(
 # ---------------------------------------------------------------------
 
 
+def _parse_dac(body: bytes, dc_cond: dict, ac_cond: dict) -> bool:
+    """One DAC segment (arithmetic conditioning) into the per-table
+    dicts — shared by the SOF9 and SOF10 decoders; False on
+    out-of-range L/U/Kx values."""
+    i = 0
+    while i + 1 < len(body):
+        tc, tb = body[i] >> 4, body[i] & 0x0F
+        val = body[i + 1]
+        if tc == 0:
+            lb, ub = val & 0x0F, val >> 4
+            if not (0 <= lb <= ub <= 15):
+                return False
+            dc_cond[tb] = (lb, ub)
+        else:
+            if not 1 <= val <= 63:
+                return False
+            ac_cond[tb] = val
+        i += 2
+    return True
+
+
 def decode_arith_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
     """SOF9 frame → (w, h, 'L'|'RGB', pixels); None for anything this
     path does not cover (12-bit, CMYK) or malformed payloads, via the
@@ -774,52 +797,18 @@ def decode_arith_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
         ln = int.from_bytes(b[pos + 2:pos + 4], "big")
         body = b[pos + 4:pos + 2 + ln]
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    return None
-                tbl = list(body[i + 1:i + 65])
-                inv = [0] * 64
-                for k, z in enumerate(ZIGZAG):
-                    inv[z] = tbl[k]
-                qts[tq] = inv
-                i += 65
+            if not _parse_dqt(body, qts):
+                return None
         elif marker == 0xCC:  # DAC: arithmetic conditioning
-            i = 0
-            while i + 1 < len(body):
-                tc, tb = body[i] >> 4, body[i] & 0x0F
-                val = body[i + 1]
-                if tc == 0:
-                    lb, ub = val & 0x0F, val >> 4
-                    if not (0 <= lb <= ub <= 15):
-                        return None
-                    dc_cond[tb] = (lb, ub)
-                else:
-                    if not 1 <= val <= 63:
-                        return None
-                    ac_cond[tb] = val
-                i += 2
+            if not _parse_dac(body, dc_cond, ac_cond):
+                return None
         elif marker == 0xDD:
             dri = int.from_bytes(body[0:2], "big")
         elif marker == 0xC9:
-            prec = body[0]
-            h = int.from_bytes(body[1:3], "big")
-            w = int.from_bytes(body[3:5], "big")
-            ncomp = body[5]
-            if prec != 8 or ncomp not in (1, 3):
+            hdr = _parse_frame_header(body)
+            if hdr is None:
                 return None
-            if not w or not h or w * h > _MAX_PIXELS:
-                return None
-            for c in range(ncomp):
-                comps.append(
-                    (
-                        body[6 + 3 * c],
-                        body[7 + 3 * c] >> 4,
-                        body[7 + 3 * c] & 0x0F,
-                        body[8 + 3 * c],
-                    )
-                )
+            w, h, comps, hmax, vmax, mx, my = hdr
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps) or ns == 0:
@@ -831,17 +820,6 @@ def decode_arith_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
             break
         pos += 2 + ln
     if scan_off is None or w is None or not comps:
-        return None
-    if len(comps) == 1:
-        # non-interleaved single-component scan (T.81 A.2.2)
-        comps = [(comps[0][0], 1, 1, comps[0][3])]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1:
-        return None
-    mx = (w + 8 * hmax - 1) // (8 * hmax)
-    my = (h + 8 * vmax - 1) // (8 * vmax)
-    if (mx * hmax * 8) * (my * vmax * 8) > (_MAX_PIXELS << 2):
         return None
     end = b.rfind(b"\xff\xd9")
     if end < scan_off:
@@ -866,23 +844,7 @@ def decode_arith_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
             )
         )
 
-    # RSTn segmentation (identical convention to the Huffman path:
-    # stuffed 0xFF bytes are always followed by 0x00, so FF Dx can
-    # only be a real restart marker)
-    segments = []
-    if dri:
-        seg_start = 0
-        i = 0
-        while i < len(scan) - 1:
-            if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7:
-                segments.append(scan[seg_start:i])
-                seg_start = i + 2
-                i += 2
-            else:
-                i += 1
-        segments.append(scan[seg_start:])
-    else:
-        segments = [scan]
+    segments = _split_rst_segments(scan) if dri else [scan]
 
     n_dc = max(t[1] for t in tables) + 1
     n_ac = max(t[2] for t in tables) + 1
@@ -1171,67 +1133,22 @@ def decode_arith_progressive(b: bytes) -> tuple[int, int, str, bytes] | None:
         ln = int.from_bytes(b[pos + 2:pos + 4], "big")
         body = b[pos + 4:pos + 2 + ln]
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    return None
-                tbl = list(body[i + 1:i + 65])
-                inv = [0] * 64
-                for k, z in enumerate(ZIGZAG):
-                    inv[z] = tbl[k]
-                qts[tq] = inv
-                i += 65
+            if not _parse_dqt(body, qts):
+                return None
         elif marker == 0xCC:  # DAC (may be redefined between scans)
-            i = 0
-            while i + 1 < len(body):
-                tc, tb = body[i] >> 4, body[i] & 0x0F
-                val = body[i + 1]
-                if tc == 0:
-                    lb, ub = val & 0x0F, val >> 4
-                    if not (0 <= lb <= ub <= 15):
-                        return None
-                    dc_cond[tb] = (lb, ub)
-                else:
-                    if not 1 <= val <= 63:
-                        return None
-                    ac_cond[tb] = val
-                i += 2
+            if not _parse_dac(body, dc_cond, ac_cond):
+                return None
         elif marker == 0xDD:
             dri = int.from_bytes(body[0:2], "big")
         elif marker == 0xCA:
             if comps:
                 return None  # one frame only
-            prec = body[0]
-            h = int.from_bytes(body[1:3], "big")
-            w = int.from_bytes(body[3:5], "big")
-            ncomp = body[5]
-            if prec != 8 or ncomp not in (1, 3):
+            hdr = _parse_frame_header(body)
+            if hdr is None:
                 return None
-            for c in range(ncomp):
-                cid = body[6 + 3 * c]
-                samp = body[7 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 0x0F, body[8 + 3 * c]))
-            if ncomp == 1:
-                comps = [(comps[0][0], 1, 1, comps[0][3])]
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            if hmax < 1 or vmax < 1:
-                return None
-            if not w or not h or w * h > _MAX_PIXELS:
-                return None
-            mx = (w + 8 * hmax - 1) // (8 * hmax)
-            my = (h + 8 * vmax - 1) // (8 * vmax)
-            if (mx * hmax * 8) * (my * vmax * 8) > (_MAX_PIXELS << 2):
-                return None
-            for cid, hs, vs, tq in comps:
-                coefs.append(
-                    [[[0] * 64 for _ in range(mx * hs)]
-                     for _ in range(my * vs)]
-                )
-                cw = (w * hs + hmax - 1) // hmax
-                ch = (h * vs + vmax - 1) // vmax
-                cdims.append(((ch + 7) // 8, (cw + 7) // 8))
+            w, h, comps, hmax, vmax, mx, my = hdr
+            coefs, cdims = _alloc_prog_coefs(comps, w, h, hmax, vmax,
+                                             mx, my)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # mixed/other frame types

@@ -259,14 +259,7 @@ def parse_wav(
 
         if block_align < 8 * channels or block_align % (4 * channels):
             return None
-        spb = _audio.ima_samples_per_block(block_align, channels)
-        n_samples = (data_size // block_align) * spb
-        rem = data_size % block_align
-        if rem >= 4 * channels:
-            tail = 4 * channels + (rem - 4 * channels) // (4 * channels) * (
-                4 * channels
-            )
-            n_samples += _audio.ima_samples_per_block(tail, channels)
+        n_samples = _audio.ima_frame_count(data_size, channels, block_align)
         if fact_samples is not None:
             n_samples = min(n_samples, fact_samples)
     else:
@@ -294,7 +287,7 @@ def parse_wav_header(b: bytes) -> tuple[int, int, int, int] | None:
 
 def decode_wav_samples(
     b: bytes,
-    parsed: tuple[int, int, int, int, int, int, int] | None = None,
+    parsed: tuple[int, int, int, int, int, int, int, int] | None = None,
 ) -> tuple[int, int, int, int, float, float, float, str, str] | None:
     """Real sample decode over the data chunk ``parse_wav`` locates:
     ``(rate, channels, bits, n_frames, duration_sec, peak, rms,
@@ -335,8 +328,11 @@ def decode_wav_samples(
         md5 = hashlib.md5(raw).hexdigest()
         codec = "pcm"
     elif audio_format in (6, 7) and bits == 8:
-        # G.711: one byte per sample per channel, table decode to int16
-        n_frames = data_len // channels
+        # G.711: one byte per sample per channel, table decode to
+        # int16; n_samples carries parse_wav's fact-chunk clip (fact
+        # is authoritative for non-PCM WAV — writers pad data chunks),
+        # so stats/md5 must not include the padding either
+        n_frames = min(data_len // channels, n_samples)
         raw = b[data_off:data_off + n_frames * channels]
         dec = _audio.g711_decode(raw, "alaw" if audio_format == 6 else "ulaw")
         x = dec.astype(np.float64)

@@ -423,6 +423,34 @@ def test_parse_wav_header_and_audio_meta(spark):
         assert got[i]["n_samples"] == 100 + (i * 37) % 900  # fact clip
     assert got[21]["channels"] == 2
 
+    # a fact chunk clips G.711 too (fact is authoritative for non-PCM
+    # WAV: writers pad data chunks) — stats and md5 must exclude the
+    # padding, matching what the header tier reports
+    import numpy as np
+
+    from ocr_document_recognition_service_spark.operators import audio
+
+    payload = audio.g711_encode(
+        np.array([0, 1000, -2000, 30000, 30000, 30000], dtype=np.int16),
+        "ulaw",
+    )
+    fmt_g = (
+        (7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    body_g = (
+        b"WAVEfmt " + len(fmt_g).to_bytes(4, "little") + fmt_g
+        + b"fact" + (4).to_bytes(4, "little") + (3).to_bytes(4, "little")
+        + b"data" + len(payload).to_bytes(4, "little") + payload
+    )
+    wav_g = b"RIFF" + len(body_g).to_bytes(4, "little") + body_g
+    out_g = multimodal.decode_wav_samples(wav_g)
+    assert out_g[3] == 3 and out_g[-1] == "ulaw"  # clipped to fact
+    want = audio.g711_decode(payload[:3], "ulaw").astype("<i2").tobytes()
+    assert out_g[7] == hashlib.md5(want).hexdigest()
+    assert out_g[5] < 0.9  # the padded 30000s are excluded from peak
+
 
 def test_g711_and_adpcm_codecs():
     """Hand-computed G.711 codewords, round-trip error bounds, ADPCM
@@ -482,6 +510,16 @@ def test_g711_and_adpcm_codecs():
     # truncated payload: whole word-groups of the tail block survive
     cut = audio.ima_adpcm_decode(enc[:len(enc) - 12], 1, 36)
     assert 0 < cut.shape[0] < dec.shape[0]
+    # ima_frame_count is in LOCKSTEP with the decoder at every cut
+    # length (mono and stereo) — parse_wav's header-tier count can
+    # never drift from what decode actually yields
+    enc2 = audio.ima_adpcm_encode(sig2, 2, 72)
+    for raw, ch, ba in ((enc, 1, 36), (enc2, 2, 72)):
+        for cut_len in range(0, len(raw) + 1, 3):
+            got = audio.ima_adpcm_decode(raw[:cut_len], ch, ba)
+            n = 0 if got is None else got.shape[0]
+            assert n == audio.ima_frame_count(cut_len, ch, ba), (
+                ch, ba, cut_len)
     # malformed geometry is None, never an exception
     assert audio.ima_adpcm_decode(b"x" * 100, 1, 7) is None
     assert audio.ima_adpcm_decode(b"", 1, 36) is None
