@@ -537,15 +537,167 @@ def parse_avi_mjpeg(b: bytes) -> list[tuple[int, int]] | None:
     return frames
 
 
+_MOV_TOP_ATOMS = frozenset(
+    (b"ftyp", b"moov", b"mdat", b"free", b"skip", b"wide", b"pnot")
+)
+_MOV_MAX_SAMPLES = 1 << 20  # crafted sample tables must stay bounded
+
+
+def _mov_atoms(b: bytes, pos: int, end: int):
+    """Yield ``(type, body_start, body_end)`` for the QuickTime atoms
+    in ``b[pos:end]`` — 32-bit sizes, the 64-bit extended-size form
+    (size==1) and the to-end-of-enclosure form (size==0)."""
+    while pos + 8 <= end:
+        size = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            size = int.from_bytes(b[pos + 8:pos + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr:
+            return  # malformed: would not advance
+        yield typ, pos + hdr, min(pos + size, end)
+        pos += size
+
+
+def _mov_descend(b: bytes, pos: int, end: int,
+                 path: tuple[bytes, ...]) -> tuple[int, int] | None:
+    """Follow a container-atom *path* (e.g. mdia→minf→stbl), returning
+    the final atom's body span."""
+    for want in path:
+        found = None
+        for typ, s, e in _mov_atoms(b, pos, end):
+            if typ == want:
+                found = (s, e)
+                break
+        if found is None:
+            return None
+        pos, end = found
+    return pos, end
+
+
+def parse_mov_mjpeg(b: bytes) -> list[tuple[int, int]] | None:
+    """(offset, size) of every sample of the first Motion-JPEG video
+    track in a QuickTime/MOV (or ISO-BMFF) container — the full
+    sample-table walk: ``stsd`` picks the track whose codec fourcc is
+    ``jpeg``/``mjpa`` (Motion-JPEG A frames are JFIF), ``stco``/
+    ``co64`` give chunk file-offsets, ``stsc`` maps samples to chunks
+    (run-length form), ``stsz`` sizes each sample.  None for payloads
+    that are not MOV-shaped or hold no MJPEG track (an H.264 mp4 walks
+    cleanly to None — the honest stub path downstream)."""
+    if len(b) < 12 or b[4:8] not in _MOV_TOP_ATOMS:
+        return None
+    moov = None
+    for typ, s, e in _mov_atoms(b, 0, len(b)):
+        if typ == b"moov":
+            moov = (s, e)
+            break
+    if moov is None:
+        return None
+    for typ, s, e in _mov_atoms(b, *moov):
+        if typ != b"trak":
+            continue
+        span = _mov_descend(b, s, e, (b"mdia", b"minf", b"stbl"))
+        if span is None:
+            continue
+        tabs = {
+            t: (s2, e2)
+            for t, s2, e2 in _mov_atoms(b, *span)
+            if t in (b"stsd", b"stsz", b"stco", b"co64", b"stsc")
+        }
+        if b"stsd" not in tabs or b"stsz" not in tabs:
+            continue
+        ds, de = tabs[b"stsd"]
+        # stsd: ver/flags + entry count, then entries (size + fourcc)
+        if de - ds < 16 or b[ds + 12:ds + 16] not in (b"jpeg", b"mjpa"):
+            continue
+        zs, ze = tabs[b"stsz"]
+        if ze - zs < 12:
+            continue
+        uniform = int.from_bytes(b[zs + 4:zs + 8], "big")
+        n_samples = int.from_bytes(b[zs + 8:zs + 12], "big")
+        if not 0 < n_samples <= _MOV_MAX_SAMPLES:
+            continue
+        if uniform:
+            sizes = [uniform] * n_samples
+        else:
+            if ze - zs < 12 + 4 * n_samples:
+                continue
+            sizes = [
+                int.from_bytes(b[zs + 12 + 4 * i:zs + 16 + 4 * i], "big")
+                for i in range(n_samples)
+            ]
+        if b"co64" in tabs:
+            cs, ce = tabs[b"co64"]
+            width = 8
+        elif b"stco" in tabs:
+            cs, ce = tabs[b"stco"]
+            width = 4
+        else:
+            continue
+        n_chunks = int.from_bytes(b[cs + 4:cs + 8], "big")
+        if ce - cs < 8 + width * n_chunks:
+            continue
+        offsets = [
+            int.from_bytes(
+                b[cs + 8 + width * i:cs + 8 + width * (i + 1)], "big"
+            )
+            for i in range(n_chunks)
+        ]
+        # stsc runs: (first_chunk 1-based, samples_per_chunk); absent
+        # table (or QT writers' common degenerate case) = 1 per chunk
+        runs = [(1, 1)]
+        if b"stsc" in tabs:
+            ss, se_ = tabs[b"stsc"]
+            n_runs = int.from_bytes(b[ss + 4:ss + 8], "big")
+            if se_ - ss >= 8 + 12 * n_runs and n_runs:
+                runs = [
+                    (
+                        int.from_bytes(
+                            b[ss + 8 + 12 * i:ss + 12 + 12 * i], "big"
+                        ),
+                        int.from_bytes(
+                            b[ss + 12 + 12 * i:ss + 16 + 12 * i], "big"
+                        ),
+                    )
+                    for i in range(n_runs)
+                ]
+        samples: list[tuple[int, int]] = []
+        si = 0
+        run_i = 0
+        for chunk_i in range(1, n_chunks + 1):
+            while run_i + 1 < len(runs) and runs[run_i + 1][0] <= chunk_i:
+                run_i += 1
+            off = offsets[chunk_i - 1]
+            for _ in range(runs[run_i][1]):
+                if si >= n_samples:
+                    break
+                size = sizes[si]
+                if 0 < size and off + size <= len(b):
+                    samples.append((off, size))
+                off += size
+                si += 1
+        return samples
+    return None
+
+
 def extract_avi_frames(
     b: bytes, n_frames: int
 ) -> list[tuple[int, int, int, str, bytes]] | None:
-    """Up to *n_frames* evenly-sampled REAL decoded frames from an
-    MJPEG-in-AVI payload: ``(src_frame, width, height, mode, pixels)``
-    per sampled frame, decoded by the repo's own baseline-JPEG stack
-    (``operators.jpeg``).  None when the payload is not AVI or holds
-    no decodable MJPEG frames."""
+    """Up to *n_frames* evenly-sampled REAL decoded frames from a
+    Motion-JPEG payload in either container this path parses — RIFF/
+    AVI (``parse_avi_mjpeg``) or QuickTime/MOV (``parse_mov_mjpeg``) —
+    as ``(src_frame, width, height, mode, pixels)`` per sampled frame,
+    decoded by the repo's own baseline-JPEG stack (``operators.jpeg``).
+    None when the payload is neither container or holds no decodable
+    MJPEG frames."""
     offs = parse_avi_mjpeg(b)
+    if offs is None:
+        offs = parse_mov_mjpeg(b)
     if not offs:
         return None
     total = len(offs)
@@ -606,6 +758,73 @@ def synthetic_avi_payload(
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def synthetic_mov_payload(
+    i: int, n_src_frames: int = 10, w: int = 24, h: int = 16
+) -> bytes:
+    """Deterministic MJPEG-in-MOV fixture: real baseline JPEGs (the
+    repo's own encoder) as samples in an ``mdat`` atom, indexed by a
+    full QuickTime sample table — ``stsd`` (fourcc ``jpeg``), ``stsz``
+    size table, a two-run ``stsc`` (first chunk holds 4 samples, the
+    second the rest — exercising the run-length map), and ``stco`` or
+    the 64-bit ``co64`` (odd *i*) chunk offsets."""
+    from . import jpeg as _jpeg
+
+    def atom(typ: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+    frames = []
+    for k in range(n_src_frames):
+        px = bytes(
+            # same ramp as synthetic_avi_payload: the same (i, k) frame
+            # in either container decodes byte-equal (cross-container
+            # parity oracle in tests)
+            (x * 7 + y * 13 + i * 29 + k * 41) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        frames.append(_jpeg.encode_gray_jpeg(px, w, h))
+    sizes = [len(f) for f in frames]
+    ftyp = atom(b"ftyp", b"qt  " + (0).to_bytes(4, "big") + b"qt  ")
+    mdat = atom(b"mdat", b"".join(frames))
+    base = len(ftyp) + 8  # first sample starts after the mdat header
+    split = min(4, n_src_frames)
+    chunk_offs = [base]
+    if n_src_frames > split:
+        chunk_offs.append(base + sum(sizes[:split]))
+    stsd_entry = (86).to_bytes(4, "big") + b"jpeg" + b"\x00" * 78
+    stsd = atom(
+        b"stsd",
+        (0).to_bytes(4, "big") + (1).to_bytes(4, "big") + stsd_entry,
+    )
+    stsz = atom(
+        b"stsz",
+        (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + n_src_frames.to_bytes(4, "big")
+        + b"".join(s.to_bytes(4, "big") for s in sizes),
+    )
+    runs = [(1, split, 1)]
+    if n_src_frames > split:
+        runs.append((2, n_src_frames - split, 1))
+    stsc = atom(
+        b"stsc",
+        (0).to_bytes(4, "big") + len(runs).to_bytes(4, "big")
+        + b"".join(
+            fc.to_bytes(4, "big") + spc.to_bytes(4, "big")
+            + di.to_bytes(4, "big")
+            for fc, spc, di in runs
+        ),
+    )
+    width = 8 if i % 2 else 4
+    stco = atom(
+        b"co64" if width == 8 else b"stco",
+        (0).to_bytes(4, "big") + len(chunk_offs).to_bytes(4, "big")
+        + b"".join(o.to_bytes(width, "big") for o in chunk_offs),
+    )
+    stbl = atom(b"stbl", stsd + stsz + stsc + stco)
+    moov = atom(b"moov", atom(b"trak", atom(b"mdia", atom(b"minf", stbl))))
+    return ftyp + mdat + moov
+
+
 def sample_video_frames(
     df: DataFrame,
     n_frames: int = 4,
@@ -617,14 +836,16 @@ def sample_video_frames(
     shape a real decoder needs at 100 TB: frames explode WITHIN a
     partition, no shuffle).
 
-    MJPEG-in-AVI decodes for REAL (``decoder='mjpeg'``): RIFF walk →
-    evenly-sampled ``00dc`` chunks → the repo's own baseline-JPEG
-    decode; ``frame`` carries raw row-major pixels with ``src_frame``/
-    ``width``/``height`` populated.  Other containers (mp4/mkv/h264
-    need a codec library absent from this container) keep the
-    deterministic content-hash fake with ``decoder='stub'``; a full
-    backend (PyAV/ffmpeg) slots in beside ``extract_avi_frames``
-    without touching the Spark plan."""
+    Motion-JPEG decodes for REAL (``decoder='mjpeg'``) from BOTH
+    containers it ships in — RIFF/AVI (``00dc`` chunk walk) and
+    QuickTime/MOV (full ``stsd``/``stsz``/``stsc``/``stco``/``co64``
+    sample-table walk) — evenly-sampled frames through the repo's own
+    baseline-JPEG decode; ``frame`` carries raw row-major pixels with
+    ``src_frame``/``width``/``height`` populated.  Compressed-codec
+    containers (H.264 mp4 / mkv / vp9 need a codec library absent
+    from this container) keep the deterministic content-hash fake
+    with ``decoder='stub'``; a full backend (PyAV/ffmpeg) slots in
+    beside ``extract_avi_frames`` without touching the Spark plan."""
     import hashlib as _hl
 
     def _frames_of(payload: bytes) -> list[bytes]:

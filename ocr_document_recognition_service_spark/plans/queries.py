@@ -3015,12 +3015,13 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
     "x_video_frames",
     # deterministic end-to-end: oracle = pinned expected values
     pinned_oracles.sql_for("x_video_frames"),
-    "video frame sampling: REAL MJPEG-in-AVI decode (RIFF walk -> "
-    "evenly-sampled 00dc chunks -> the repo's own baseline-JPEG "
-    "decoder) beside the stub fallback for non-AVI payloads; "
-    "mapInPandas fan-out to one row per sampled frame; frames leave "
-    "as md5 digests — the narrow per-row fingerprint a 100 TB "
-    "pipeline ships instead of raw frame bytes",
+    "video frame sampling: REAL Motion-JPEG decode from BOTH shipping "
+    "containers — RIFF/AVI (00dc chunk walk) and QuickTime/MOV (full "
+    "stsd/stsz/stsc/stco/co64 sample-table walk) — through the repo's "
+    "own baseline-JPEG decoder, beside the stub fallback for "
+    "compressed-codec payloads; mapInPandas fan-out to one row per "
+    "sampled frame; frames leave as md5 digests — the narrow per-row "
+    "fingerprint a 100 TB pipeline ships instead of raw frame bytes",
 )
 def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import multimodal
@@ -3028,15 +3029,20 @@ def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     pages = _synthetic_pages_df(spark, 50).select(
         "url", F.col("html").alias("payload")
     )
-    avis = spark.createDataFrame(
+    videos = spark.createDataFrame(
         [
             (f"avi://{i:04d}", multimodal.synthetic_avi_payload(i))
             for i in range(10)
+        ]
+        + [
+            # alternating stco / co64 chunk-offset forms (odd i = co64)
+            (f"mov://{i:04d}", multimodal.synthetic_mov_payload(i))
+            for i in range(5)
         ],
         "url: string, payload: binary",
     )
     frames = multimodal.sample_video_frames(
-        pages.unionByName(avis), n_frames=4
+        pages.unionByName(videos), n_frames=4
     )
     return frames.select(
         "url",

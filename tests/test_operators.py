@@ -594,6 +594,69 @@ def test_mjpeg_avi_real_frame_decode(spark):
     assert len(stub) == 4 and all(r["decoder"] == "stub" for r in stub)
 
 
+def test_mjpeg_mov_sample_table_decode(spark):
+    """QuickTime/MOV Motion-JPEG: the stsd/stsz/stsc/stco sample-table
+    walk recovers every embedded JPEG (two-run stsc, both stco and the
+    64-bit co64 form), frames decode byte-equal to decoding the
+    samples directly, and non-MJPEG mp4s fall through to None."""
+    from ocr_document_recognition_service_spark.operators import jpeg as J
+
+    for i in (2, 3):  # even -> stco, odd -> co64
+        mov = multimodal.synthetic_mov_payload(i, n_src_frames=10, w=24, h=16)
+        offs = multimodal.parse_mov_mjpeg(mov)
+        assert offs is not None and len(offs) == 10
+        for off, size in offs:
+            assert mov[off:off + 2] == b"\xff\xd8"
+        frames = multimodal.extract_avi_frames(mov, 4)
+        assert [f[0] for f in frames] == [0, 3, 6, 9]
+        for src, w, h, mode, px in frames:
+            assert (w, h, mode) == (24, 16, "L")
+            off, size = offs[src]
+            assert px == J.decode_jpeg(mov[off:off + size])[3]
+
+    # cross-container parity: identical source pixels via AVI and MOV
+    # decode to identical frames (same i seeds the same pixel ramp)
+    avi = multimodal.synthetic_avi_payload(5, n_src_frames=10, w=24, h=16)
+    mov = multimodal.synthetic_mov_payload(5, n_src_frames=10, w=24, h=16)
+    fa = multimodal.extract_avi_frames(avi, 3)
+    fm = multimodal.extract_avi_frames(mov, 3)
+    assert [f[4] for f in fa] == [f[4] for f in fm]
+
+    # the stsc two-run map: chunk 1 holds 4 samples, chunk 2 the rest,
+    # so sample offsets are contiguous within each chunk
+    offs = multimodal.parse_mov_mjpeg(mov)
+    for a, b in zip(offs, offs[1:]):
+        assert b[0] >= a[0] + a[1] or b[0] > a[0]  # strictly forward
+    assert offs[4][0] == offs[3][0] + offs[3][1]  # chunk-2 start abuts
+
+    # an H.264-shaped mp4 (avc1 stsd) walks cleanly to None
+    h264 = multimodal.synthetic_mov_payload(1, n_src_frames=3)
+    j = h264.index(b"jpeg", 20)  # the stsd fourcc, not the ftyp brand
+    h264 = h264[:j] + b"avc1" + h264[j + 4:]
+    assert multimodal.parse_mov_mjpeg(h264) is None
+
+    # truncated / malformed atoms never crash the walk
+    good = multimodal.synthetic_mov_payload(0, n_src_frames=4)
+    for cut in (10, 40, len(good) // 2, len(good) - 3):
+        multimodal.parse_mov_mjpeg(good[:cut])  # may be None; no raise
+    assert multimodal.parse_mov_mjpeg(b"\x00" * 3) is None
+    assert multimodal.parse_mov_mjpeg(b"not a mov container here") is None
+
+    # Spark path: MOV rows decode real, alongside the stub fallback
+    df = spark.createDataFrame(
+        [("v://mov", mov), ("p://x", b"not a video")],
+        "url: string, payload: binary",
+    )
+    rows = multimodal.sample_video_frames(df, n_frames=3).collect()
+    real = sorted(
+        (r for r in rows if r["url"] == "v://mov"),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["src_frame"] for r in real] == [0, 4, 9]
+    assert all(r["decoder"] == "mjpeg" and r["width"] == 24 for r in real)
+    assert bytes(real[0]["frame"]) == fm[0][4]
+
+
 def test_asof_join_matches_python_reference(spark):
     """As-of semantics vs a brute-force reference: greatest right.ts <=
     left.ts per key, inclusive ties, left-outer NULLs."""
