@@ -495,6 +495,52 @@ def test_parse_skips_non_response_records(tmp_path):
     assert ts is not None and ts.year == 2024
 
 
+def test_header_fields_noncanonical_and_duplicates():
+    """The raw-bytes-key fast path must keep strip/lower semantics for
+    writers that deviate from canonical casing, keep last-occurrence-
+    wins for duplicated keys, and both entry points must agree."""
+    import datetime as dt
+
+    body = b"HTTP/1.1 200 OK\r\n\r\nhi"
+    oddball = (
+        b"WARC/1.0\r\n"
+        b"warc-type: response\r\n"                  # lowercase key
+        b"WARC-TARGET-URI:   https://odd.example/a  \r\n"  # caps + pad
+        b"Warc-Date : 2024-06-01T00:00:00Z\r\n"     # space before colon
+        b"content-LENGTH: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    dup = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://first.example/\r\n"
+        b"WARC-Target-URI: https://last.example/\r\n"  # last wins
+        b"WARC-Date: 2024-06-02T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    blob = oddball + dup
+    recs = list(warc.parse_warc_bytes(blob))
+    assert [r[0] for r in recs] == [
+        "https://odd.example/a", "https://last.example/",
+    ]
+    assert recs[0][1] == dt.datetime(2024, 6, 1)
+    assert all(r[2] == b"hi" for r in recs)
+    assert list(warc.iter_warc_chunks([blob])) == recs
+
+    # absent keys (warcinfo-shaped) return None/0, never raise
+    assert warc._header_fields(b"WARC/1.0\r\nWARC-Type: warcinfo") == (
+        0, "warcinfo", None, None,
+    )
+    # non-numeric / negative lengths clamp to 0
+    assert warc._header_fields(
+        b"WARC/1.0\r\nContent-Length: -9"
+    )[0] == 0
+    assert warc._header_fields(
+        b"WARC/1.0\r\nContent-Length: 12cows"
+    )[0] == 0
+
+
 def test_truncated_gz_archive_torn_page(tmp_path, corpus_rows):
     """A partially-written .warc.gz (torn upload / in-flight crawl file)
     must STOP the record stream, not raise — otherwise the per-file
