@@ -681,7 +681,11 @@ def parse_mov_mjpeg(b: bytes) -> list[tuple[int, int]] | None:
                     samples.append((off, size))
                 off += size
                 si += 1
-        return samples
+        if samples:
+            return samples
+        # a JPEG-fourcc trak whose offsets all fall outside the file
+        # (dead preview track, truncated-and-remuxed mdat) yields zero
+        # samples — keep scanning later traks like any malformed table
     return None
 
 

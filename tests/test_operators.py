@@ -626,7 +626,7 @@ def test_mjpeg_mov_sample_table_decode(spark):
     # so sample offsets are contiguous within each chunk
     offs = multimodal.parse_mov_mjpeg(mov)
     for a, b in zip(offs, offs[1:]):
-        assert b[0] >= a[0] + a[1] or b[0] > a[0]  # strictly forward
+        assert b[0] >= a[0] + a[1]  # forward AND non-overlapping
     assert offs[4][0] == offs[3][0] + offs[3][1]  # chunk-2 start abuts
 
     # an H.264-shaped mp4 (avc1 stsd) walks cleanly to None
@@ -655,6 +655,32 @@ def test_mjpeg_mov_sample_table_decode(spark):
     assert [r["src_frame"] for r in real] == [0, 4, 9]
     assert all(r["decoder"] == "mjpeg" and r["width"] == 24 for r in real)
     assert bytes(real[0]["frame"]) == fm[0][4]
+
+
+def test_parse_mov_dead_first_trak_continues():
+    """A JPEG-fourcc trak whose chunk offsets all fall OUTSIDE the file
+    (dead preview track / truncated-and-remuxed mdat) yields zero
+    in-bounds samples — the walk must continue to the next trak, not
+    return the empty list (review-caught early return)."""
+    good = multimodal.synthetic_mov_payload(2, n_src_frames=6, w=24, h=16)
+    want = multimodal.parse_mov_mjpeg(good)
+    assert want is not None and len(want) == 6
+
+    # surgery: moov is the trailing atom, its body is one trak atom
+    m = good.rfind(b"moov") - 4
+    moov_body = good[m + 8:]
+    assert moov_body[4:8] == b"trak"
+    # dead twin: same tables, stco entries patched to past-EOF offsets
+    dead = bytearray(moov_body)
+    s = bytes(dead).index(b"stco")
+    n = int.from_bytes(dead[s + 8:s + 12], "big")
+    for k in range(n):
+        dead[s + 12 + 4 * k:s + 16 + 4 * k] = (0x7FFFFFF0).to_bytes(4, "big")
+    assert bytes(dead) != moov_body
+    new_body = bytes(dead) + moov_body
+    patched = good[:m] + (8 + len(new_body)).to_bytes(4, "big") \
+        + b"moov" + new_body
+    assert multimodal.parse_mov_mjpeg(patched) == want
 
 
 def test_asof_join_matches_python_reference(spark):

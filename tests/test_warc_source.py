@@ -519,11 +519,27 @@ def test_header_fields_noncanonical_and_duplicates():
         b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
         + body + b"\r\n\r\n"
     )
-    blob = oddball + dup
+    # duplicates under MIXED casings must still resolve to the LAST
+    # occurrence (a canonical-probe fast path would wrongly pick the
+    # canonically-cased one — review-caught divergence)
+    mixed = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://canonical.example/\r\n"
+        b"warc-target-uri: https://mixed-last.example/\r\n"
+        b"warc-date: 2024-06-03T00:00:00Z\r\n"
+        b"WARC-DATE: 2024-06-04T00:00:00Z\r\n"
+        b"warc-date: 2024-06-05T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+    blob = oddball + dup + mixed
     recs = list(warc.parse_warc_bytes(blob))
     assert [r[0] for r in recs] == [
         "https://odd.example/a", "https://last.example/",
+        "https://mixed-last.example/",
     ]
+    assert recs[2][1] == dt.datetime(2024, 6, 5)
     assert recs[0][1] == dt.datetime(2024, 6, 1)
     assert all(r[2] == b"hi" for r in recs)
     assert list(warc.iter_warc_chunks([blob])) == recs
