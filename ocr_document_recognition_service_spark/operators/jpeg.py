@@ -702,9 +702,13 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
             from .jpeg_arith import decode_arith_progressive
 
             return decode_arith_progressive(b)  # progressive arithmetic
+        elif marker == 0xDE:
+            from .jpeg_hier import decode_hier_jpeg
+
+            return decode_hier_jpeg(b)  # hierarchical pyramid (Annex J)
         elif marker in (0xC5, 0xC6, 0xC7,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # hierarchical / differential frames
+            return None  # differential frames outside a DHP hierarchy
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps) or ns == 0:

@@ -22,10 +22,12 @@ MJPEG-in-AVI frames decode for real through the repo's own JPEG stack
 the QM-coder in ``operators.jpeg_arith`` (r6), and 12-bit (SOF1,
 16-bit DQT) and Adobe CMYK/YCCK JPEG decode for real too (r6).
 G.711 mu-law/A-law and IMA ADPCM WAV audio decode for real via
-``operators.audio`` (r6), and progressive-arithmetic (SOF10) JPEG
-joins the decoded set (r6).  Only formats beyond all paths
-(hierarchical JPEG, non-AVI video, perceptual audio
-codecs like mp3/ogg/flac) remain the loudly-marked
+``operators.audio`` (r6), and progressive-arithmetic (SOF10) and
+HIERARCHICAL (Annex J greyscale pyramid, ``operators.jpeg_hier``)
+JPEG join the decoded set (r6) — every T.81 coding mode now decodes
+for real.  Only formats beyond all paths (colour hierarchical JPEG,
+compressed-codec video like H.264/VP9/AV1, perceptual audio codecs
+like mp3/ogg/flac) remain the loudly-marked
 ``NotImplementedError``/deterministic-fake stub — the one concession
 to this container having no image/audio libs.
 """
@@ -1338,9 +1340,12 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     restarts, 2-16 bit); ARITHMETIC JPEG decodes for real too — both
     sequential (SOF9) and progressive (SOF10) — via the
     ``operators.jpeg_arith`` QM-coder (T.81 Annex D/F/G.2), as do
-    12-bit extended sequential (SOF1) and Adobe CMYK/YCCK frames
-    (r6); raises NotImplementedError only for formats none of those
-    paths cover (hierarchical JPEG, non-AVI video …), which is the
+    12-bit extended sequential (SOF1), Adobe CMYK/YCCK frames, and
+    HIERARCHICAL (DHP) greyscale pyramids — SOF0 base + EXP-expanded
+    SOF5 differential refinements + SOF7 lossless correction
+    (``operators.jpeg_hier``, T.81 Annex J) — all r6; raises
+    NotImplementedError only for formats none of those paths cover
+    (colour hierarchical JPEG, non-MJPEG video …), which is the
     remaining loudly-marked stub surface."""
     b = bytes(payload)
     out = _decode_bmp(b) or _decode_png(b) or _decode_gif(b)
@@ -1365,9 +1370,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     raise NotImplementedError(
         "pixel decode beyond BMP/PNG/GIF/TIFF (incl. G3/G4 fax)/JPEG "
         "(baseline/progressive/lossless/arithmetic-sequential+"
-        "progressive/12-bit/CMYK) requires Pillow/cv2 (hierarchical "
-        "JPEG, non-AVI video); install "
-        "on the cluster and this same call decodes every format"
+        "progressive/12-bit/CMYK/hierarchical-grey) requires "
+        "Pillow/cv2 (colour hierarchical JPEG, non-MJPEG video); "
+        "install on the cluster and this same call decodes every format"
     )
 
 

@@ -2911,14 +2911,15 @@ def x_warc_extract(spark: SparkSession, sf: str) -> DataFrame:
     "REAL pixel decode through the Spark plumbing: BMP + GIF + PNG (grey/RGB/"
     "palette/interlaced) + JPEG (baseline grey/colour, progressive, "
     "lossless SOF3, arithmetic SOF9 AND arith-progressive SOF10, "
-    "12-bit SOF1, Adobe YCCK, r6) "
-    "+ bilevel TIFF scans (packed bits AND CCITT G4/T.6 MMR fax, r5) "
+    "12-bit SOF1, Adobe YCCK, HIERARCHICAL Annex-J pyramid, r6) "
+    "+ bilevel TIFF scans (packed bits AND CCITT G3/G4 fax incl. "
+    "MinIsBlack, r5/r6) "
     "decoded inside an Arrow-batched pandas UDF, pixels md5-hashed "
     "per row (narrow exchange); undecodable payloads report "
     "decoder='stub' instead of failing the batch",
 )
 def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators import jpeg, jpeg_arith, multimodal, tiff
+    from ..operators import jpeg, jpeg_arith, jpeg_hier, multimodal, tiff
 
     def mk(i: int) -> bytes:
         kind = i % 7
@@ -2936,9 +2937,15 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
             # grey JPEG ladder: baseline / progressive / LOSSLESS
             # (SOF3 predictive, r6) / ARITHMETIC (SOF9 QM-coder, r6) /
             # 12-BIT extended sequential (SOF1, r6) / ARITH-
-            # PROGRESSIVE (SOF10, r6)
-            v = (i // 7) % 6
+            # PROGRESSIVE (SOF10, r6) / HIERARCHICAL Annex-J pyramid
+            # with exact lossless correction (r6: pixel_md5 == the
+            # source stream's md5 by construction)
+            v = (i // 7) % 7
             px = multimodal._px_stream(i, 16 * 16)
+            if v == 6:
+                return jpeg_hier.encode_hier_gray_jpeg(
+                    px, 16, 16, levels=3
+                )
             if v == 2:
                 return jpeg.encode_lossless_jpeg(
                     px, 16, 16, predictor=4
@@ -2959,9 +2966,14 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
             # colour JPEG ladder: 4:4:4 / 4:2:0 / LOSSLESS RGB with
             # restart markers / ARITHMETIC 4:2:0 with restarts /
             # Adobe YCCK print scan (r6) / ARITH-PROGRESSIVE 4:2:0
-            # with DC-scan restarts (SOF10, r6)
-            v = (i // 7) % 6
+            # with DC-scan restarts (SOF10, r6) / PROGRESSIVE-HUFFMAN
+            # 4:2:0 colour (r6 — the scan-script shape web photos ship)
+            v = (i // 7) % 7
             px = multimodal._px_stream(i, 16 * 16 * 3)
+            if v == 6:
+                return jpeg.encode_progressive_jpeg(
+                    px, 16, 16, color=True, subsample=True
+                )
             if v == 2:
                 return jpeg.encode_lossless_jpeg(
                     px, 16, 16, mode="RGB", predictor=7,
@@ -2982,20 +2994,21 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
             return jpeg.encode_rgb_jpeg(px, 16, 16, subsample=bool(v))
         # kind 6: bilevel document scan — rotate the full fax ladder:
         # packed bits, MH RLE (comp 2), T.4 G3 1-D and 2-D (comp 3),
-        # G4 (comp 4), and the MinIsBlack-G4 shape the spec permits
+        # G4 (comp 4), and the MinIsBlack shapes the spec permits for
+        # G4 and (r6) MH RLE
         scan = bytes(
             0 if v < 96 else 255 for v in multimodal._px_stream(i, 24 * 18)
         )
-        variant = i // 7  # 0..5 over the 42-image set
-        comp = (1, 2, 3, 3, 4, 4)[variant]
+        variant = i // 7  # 0..6 over the 49-image set
+        comp = (1, 2, 3, 3, 4, 4, 2)[variant]
         return tiff.encode_tiff(
             scan, 24, 18, mode="1", compression=comp,
             t4_options=1 if variant == 3 else 0,
-            photometric=1 if variant == 5 else 0,
+            photometric=1 if variant in (5, 6) else 0,
         )
 
     imgs = spark.createDataFrame(
-        [(f"img://{i:04d}", mk(i)) for i in range(42)]
+        [(f"img://{i:04d}", mk(i)) for i in range(49)]
         + [("not-image://0", b"<html>bytes</html>")],
         "url: string, payload: binary",
     )

@@ -2505,3 +2505,100 @@ def test_jpeg_12bit_and_cmyk_decode():
     assert hashlib.md5(
         J.encode_cmyk_jpeg(cmyk, 19, 13, ycck=True)
     ).hexdigest() == "9e1eb705964b630b0ac5fc9852db63ab"
+
+
+def test_jpeg_hierarchical_pyramid_decode():
+    """r6: hierarchical (T.81 Annex J) JPEG — DHP geometry, SOF0 base
+    frame, EXP-expanded SOF5 differential refinements, SOF7
+    differential-lossless correction.  With that final correction the
+    decoded pyramid is BYTE-EQUAL to the source (the strongest oracle
+    a self-generated fixture can carry — residuals close the loop
+    exactly); a single-frame hierarchy must decode byte-equal to the
+    plain baseline encoding of the same pixels (envelope oracle).
+    Closes the last stdlib-feasible JPEG stub: every T.81 coding mode
+    now decodes for real.  Same conformance caveat as the other
+    codecs: no external hierarchical producer in this container."""
+    import random as _r
+
+    import numpy as np
+
+    from ocr_document_recognition_service_spark.operators import jpeg as J
+    from ocr_document_recognition_service_spark.operators import (
+        jpeg_hier as JH,
+    )
+
+    w, h = 37, 29  # odd dims exercise the 2W-1 EXP crop at every level
+    px = bytes((x * 7 + y * 13) % 256 for y in range(h) for x in range(w))
+
+    # exactness oracle: lossless-corrected pyramids, several depths,
+    # through the PUBLIC dispatch (DHP routes from decode_jpeg)
+    for levels in (1, 2, 3, 4):
+        enc = JH.encode_hier_gray_jpeg(px, w, h, levels=levels)
+        assert J.decode_jpeg(enc) == (w, h, "L", px), levels
+    # even dims and degenerate geometry
+    sq = bytes((x * 11 + y * 3) % 256 for y in range(16) for x in range(24))
+    assert J.decode_jpeg(
+        JH.encode_hier_gray_jpeg(sq, 24, 16, levels=3)
+    ) == (24, 16, "L", sq)
+    assert J.decode_jpeg(
+        JH.encode_hier_gray_jpeg(b"\x9c", 1, 1, levels=2)
+    ) == (1, 1, "L", b"\x9c")
+
+    # envelope oracle: one non-differential frame under DHP ==
+    # the plain baseline codec, byte-equal
+    one = JH.encode_hier_gray_jpeg(px, w, h, levels=1, lossless_final=False)
+    assert J.decode_jpeg(one)[3] == J.decode_jpeg(
+        J.encode_gray_jpeg(px, w, h)
+    )[3]
+
+    # lossy pyramid (no correction frame): bounded quantization error
+    lossy = JH.encode_hier_gray_jpeg(px, w, h, levels=3,
+                                     lossless_final=False)
+    out = J.decode_jpeg(lossy)
+    assert out is not None and out[:3] == (w, h, "L")
+    err = np.abs(
+        np.frombuffer(out[3], np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    )
+    assert err.max() <= 96 and err.mean() < 16  # Annex K tables, sharp ramp
+
+    # restart intervals thread through every frame kind (SOF0/SOF5/SOF7)
+    for ri in (1, 3, 17):
+        enc = JH.encode_hier_gray_jpeg(px, w, h, levels=3,
+                                       restart_interval=ri)
+        assert J.decode_jpeg(enc) == (w, h, "L", px), ri
+
+    # structural rejections (all via the no-raise contract):
+    full = JH.encode_hier_gray_jpeg(px, w, h, levels=3)
+    # (a) a differential frame with no DHP in the stream is malformed
+    sof5 = full.index(b"\xff\xc5")
+    assert J.decode_jpeg(b"\xff\xd8" + full[sof5:]) is None
+    # (b) a pyramid that never reaches the DHP geometry: cut after the
+    # first frame's entropy data and close with EOI
+    cut = full.index(b"\xff\xc5")
+    assert J.decode_jpeg(full[:cut] + b"\xff\xd9") is None
+    # (c) colour hierarchies are out of scope: patch DHP's Nf to 3
+    dhp = full.index(b"\xff\xde")
+    bad = bytearray(full)
+    bad[dhp + 9] = 3
+    assert J.decode_jpeg(bytes(bad)) is None
+
+    # no-raise fuzz: truncations + bit flips, many must reject cleanly
+    rng = _r.Random(7)
+    rejected = 0
+    for i in range(0, len(full), 3):
+        r = J.decode_jpeg(full[:i])
+        assert r is None or len(r) == 4
+    for _ in range(300):
+        ba = bytearray(full)
+        for _ in range(rng.randint(1, 4)):
+            ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+        r = J.decode_jpeg(bytes(ba))
+        assert r is None or len(r) == 4
+        if r is None:
+            rejected += 1
+    assert rejected > 100
+
+    # public pixel surface + deterministic fixture pin
+    assert multimodal.decode_image_pixels(full) == (w, h, "L", px)
+    assert hashlib.md5(full).hexdigest() == "2d8559955bf6b48e407694481c831374"
