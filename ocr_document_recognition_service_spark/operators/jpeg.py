@@ -251,19 +251,18 @@ _CHR_DC = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
 _CHR_AC = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
 
 
-def _encode_block(
+def _encode_quantized(
     out: _BitWriter,
-    block: np.ndarray,
-    qt: np.ndarray,
+    zz: list[int],
     prev_dc: int,
     dc_codes,
     ac_codes,
-    center: float = 128.0,
 ) -> int:
-    """FDCT + quantize + entropy-code one 8×8 sample block; returns the
-    new DC predictor."""
-    q = np.rint(_fdct(block - center) / qt).astype(int).reshape(64)
-    zz = [int(q[i]) for i in ZIGZAG]
+    """Entropy-code one quantized block (zigzag order): DC difference
+    vs *prev_dc* (pass 0 for the differential-frame PRED=0 rule), AC
+    run-length with ZRL/EOB.  The single sequential-Huffman coder
+    behind the baseline AND hierarchical encoders; returns the new DC
+    predictor (zz[0])."""
     diff = zz[0] - prev_dc
     s = _category(diff)
     c, l = dc_codes[s]
@@ -290,6 +289,22 @@ def _encode_block(
         c, l = ac_codes[0x00]  # EOB
         out.write(c, l)
     return zz[0]
+
+
+def _encode_block(
+    out: _BitWriter,
+    block: np.ndarray,
+    qt: np.ndarray,
+    prev_dc: int,
+    dc_codes,
+    ac_codes,
+    center: float = 128.0,
+) -> int:
+    """FDCT + quantize + entropy-code one 8×8 sample block; returns the
+    new DC predictor."""
+    q = np.rint(_fdct(block - center) / qt).astype(int).reshape(64)
+    zz = [int(q[i]) for i in ZIGZAG]
+    return _encode_quantized(out, zz, prev_dc, dc_codes, ac_codes)
 
 
 def _seg(marker: int, body: bytes) -> bytes:
@@ -659,15 +674,7 @@ def _decode_jpeg_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
         elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
             adobe = body[11]
         elif marker == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
-                cnt = sum(bits)
-                vals = list(body[i + 17:i + 17 + cnt])
-                tree = _decode_tree(bits, vals)
-                (ac_trees if tc else dc_trees)[th] = tree
-                i += 17 + cnt
+            _parse_dht(body, dc_trees, ac_trees)
         elif marker == 0xDD:
             dri = int.from_bytes(body[0:2], "big")
         elif marker in (0xC0, 0xC1):
@@ -917,6 +924,20 @@ def _finish_planes(comps, planes, w, h, hmax, vmax, prec=8, adobe=None):
     return w, h, "RGB", rgb.tobytes()
 
 
+def _parse_dht(body: bytes, dc_trees: dict, ac_trees: dict) -> None:
+    """One DHT segment into the class-0 / class-1 tree dicts — the
+    single implementation behind every decoder's marker walk (review
+    r6: this loop had grown five hand-rolled copies)."""
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0x0F
+        bits = list(body[i + 1:i + 17])
+        cnt = sum(bits)
+        vals = list(body[i + 17:i + 17 + cnt])
+        (ac_trees if tc else dc_trees)[th] = _decode_tree(bits, vals)
+        i += 17 + cnt
+
+
 def _parse_dqt(body: bytes, qts: dict) -> bool:
     """One DQT segment into *qts* (natural order) — the 8-bit-only
     form shared by the multi-scan decoders (SOF2 here, SOF9/SOF10 in
@@ -1143,14 +1164,7 @@ def _decode_progressive(b: bytes) -> tuple[int, int, str, bytes] | None:
             if not _parse_dqt(body, qts):
                 return None
         elif marker == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
-                cnt = sum(bits)
-                vals = list(body[i + 17:i + 17 + cnt])
-                (ac_trees if tc else dc_trees)[th] = _decode_tree(bits, vals)
-                i += 17 + cnt
+            _parse_dht(body, dc_trees, ac_trees)
         elif marker == 0xDD:
             dri = int.from_bytes(body[0:2], "big")
         elif marker == 0xC2:
@@ -1797,15 +1811,7 @@ def _decode_lossless(b: bytes) -> tuple[int, int, str, bytes] | None:
         ln = int.from_bytes(b[pos + 2:pos + 4], "big")
         body = b[pos + 4:pos + 2 + ln]
         if marker == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
-                cnt = sum(bits)
-                vals = list(body[i + 17:i + 17 + cnt])
-                if tc == 0:
-                    dc_trees[th] = _decode_tree(bits, vals)
-                i += 17 + cnt
+            _parse_dht(body, dc_trees, {})  # class-1 tables unused
         elif marker == 0xDD:
             dri = int.from_bytes(body[0:2], "big")
         elif marker == 0xC3:

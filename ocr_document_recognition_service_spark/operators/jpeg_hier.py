@@ -58,7 +58,9 @@ from .jpeg import (
     ZIGZAG,
     _BitWriter,
     _category,
-    _decode_tree,
+    _encode_quantized,
+    _parse_dht,
+    _parse_dqt,
     _entropy_end,
     _fdct,
     _idct,
@@ -204,35 +206,11 @@ def _seq_encode_plane(
             block = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
             q = np.rint(_fdct(block - center) / qt).astype(np.int64)
             zz = [int(q.reshape(64)[z]) for z in ZIGZAG]
-            if differential:
-                dc_sym = zz[0]  # coded directly, PRED = 0
-            else:
-                dc_sym = zz[0] - pred
-                pred = zz[0]
-            s = _category(dc_sym)
-            c, ln = _LUM_DC[s]
-            out.write(c, ln)
-            if s:
-                out.write(dc_sym if dc_sym > 0 else dc_sym + (1 << s) - 1, s)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                v = zz[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    c, ln = _LUM_AC[0xF0]
-                    out.write(c, ln)
-                    run -= 16
-                s = _category(v)
-                c, ln = _LUM_AC[(run << 4) | s]
-                out.write(c, ln)
-                out.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < 63:
-                c, ln = _LUM_AC[0x00]
-                out.write(c, ln)
+            # differential frames code DC directly (PRED = 0): feed the
+            # shared coder a zero predictor and discard its running one
+            pred = _encode_quantized(
+                out, zz, 0 if differential else pred, _LUM_DC, _LUM_AC
+            )
             # decoder-mirror reconstruction of this block
             deq = np.zeros(64, dtype=np.float64)
             for kk, z in enumerate(ZIGZAG):
@@ -324,7 +302,7 @@ def decode_hier_jpeg(b: bytes) -> tuple[int, int, str, bytes] | None:
 def _decode_hier_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
     if b[:2] != b"\xff\xd8":
         return None
-    qts: dict[int, np.ndarray] = {}
+    qts: dict[int, list[int]] = {}  # natural order (_parse_dqt)
     dc_trees: dict[int, dict] = {}
     ac_trees: dict[int, dict] = {}
     dri = 0
@@ -345,26 +323,10 @@ def _decode_hier_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
         ln = int.from_bytes(b[pos + 2:pos + 4], "big")
         body = b[pos + 4:pos + 2 + ln]
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0x0F
-                if pq != 0:
-                    return None  # 16-bit tables: 12-bit out of scope
-                tbl = list(body[i + 1:i + 65])
-                inv = [0] * 64
-                for k, z in enumerate(ZIGZAG):
-                    inv[z] = tbl[k]
-                qts[tq] = np.array(inv, dtype=np.float64).reshape(8, 8)
-                i += 65
+            if not _parse_dqt(body, qts):
+                return None  # 16-bit tables: 12-bit out of scope
         elif marker == 0xC4:
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0x0F
-                bits = list(body[i + 1:i + 17])
-                cnt = sum(bits)
-                vals = list(body[i + 17:i + 17 + cnt])
-                (ac_trees if tc else dc_trees)[th] = _decode_tree(bits, vals)
-                i += 17 + cnt
+            _parse_dht(body, dc_trees, ac_trees)
         elif marker == 0xDD:
             dri = int.from_bytes(body[0:2], "big")
         elif marker == 0xDE:  # DHP — full-resolution frame header
@@ -421,9 +383,10 @@ def _decode_hier_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
             if kind == "seq":
                 dc_tree = dc_trees.get(td)
                 ac_tree = ac_trees.get(ta)
-                qt = qts.get(0)
-                if dc_tree is None or ac_tree is None or qt is None:
+                qt_nat = qts.get(0)
+                if dc_tree is None or ac_tree is None or qt_nat is None:
                     return None
+                qt = np.array(qt_nat, dtype=np.float64).reshape(8, 8)
                 plane = _seq_decode_plane(
                     scan, fw, fh, qt, dc_tree, ac_tree, dri, differential
                 )
@@ -438,7 +401,10 @@ def _decode_hier_checked(b: bytes) -> tuple[int, int, str, bytes] | None:
                 if tree is None:
                     return None
                 diff = _ll_diff_decode(scan, fw, fh, tree, dri)
-                ref = ((ref + diff) & 0xFFFF) & 0xFF
+                # mod-2^16 residual arithmetic reduced to the
+                # 8-bit output lattice (== one & 0xFF for two's-
+                # complement ints)
+                ref = (ref + diff) & 0xFF
             cur = None
             pos = scan_end
             continue
