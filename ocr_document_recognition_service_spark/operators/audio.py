@@ -5,7 +5,9 @@ the three compressed formats that actually appear inside WAV containers at
 web scale AND are decodable from their published specs without an audio
 library — ITU-T G.711 mu-law (format tag 7), G.711 A-law (tag 6) and
 IMA/DVI ADPCM (tag 0x11) — are decoded for REAL here.  Perceptual codecs
-(mp3/ogg/flac/aac) genuinely need a codec library absent from this
+(mp3/ogg/aac) genuinely need a codec library absent from this
+(FLAC is LOSSLESS, not perceptual — it decodes for real in
+``operators/flac.py``)
 container and stay the loudly-marked stub.
 
 Decode is table/vector math over the whole batch:

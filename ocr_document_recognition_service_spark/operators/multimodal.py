@@ -27,7 +27,8 @@ HIERARCHICAL (Annex J greyscale pyramid, ``operators.jpeg_hier``)
 JPEG join the decoded set (r6) — every T.81 coding mode now decodes
 for real.  Only formats beyond all paths (colour hierarchical JPEG,
 compressed-codec video like H.264/VP9/AV1, perceptual audio codecs
-like mp3/ogg/flac) remain the loudly-marked
+like mp3/ogg — FLAC is lossless and decodes for real via
+``operators/flac.py``, r6) remain the loudly-marked
 ``NotImplementedError``/deterministic-fake stub — the one concession
 to this container having no image/audio libs.
 """
@@ -446,20 +447,68 @@ def synthetic_wav_payload(i: int) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def synthetic_flac_payload(i: int) -> bytes:
+    """Deterministic FLAC fixture via the repo's own encoder
+    (``operators/flac.py`` — decode is REAL and byte-exact): junk-
+    derived PCM rotated through subframe kinds (verbatim / constant /
+    fixed orders / LPC), stereo decorrelation modes, Rice method 1,
+    partitioned residuals and 8/16-bit depths."""
+    import numpy as np
+
+    from . import flac as _flac
+
+    n = 300 + (i * 53) % 700
+    seed = hashlib.md5(f"flac{i}".encode()).digest()
+    raw = (seed * (n * 4 // 16 + 1))[:n * 4]
+    base = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    # cumsum makes the junk LPC-predictable enough to exercise the
+    # small-residual Rice paths; modulo keeps 16-bit range
+    mono = (np.cumsum(base[:n] % 997) % 60000) - 30000
+    rate = (8000, 22050, 44100)[i % 3]
+    variant = i % 6
+    if variant == 0:
+        return _flac.encode_flac(mono, rate, subframe="verbatim")
+    if variant == 1:
+        return _flac.encode_flac(
+            np.full(n, int(mono[0]), dtype=np.int64), rate,
+            subframe="constant",
+        )
+    if variant == 2:
+        return _flac.encode_flac(
+            mono, rate, subframe="fixed", fixed_order=i % 5,
+            partition_order=2, block_size=256,
+        )
+    if variant == 3:
+        return _flac.encode_flac(
+            np.clip(mono // 256, -128, 127), rate, bits=8,
+            subframe="lpc", rice2=True,
+        )
+    stereo = np.stack([mono, (mono * 3) // 4 + (i % 50)], axis=1)
+    mode = ("left_side", "right_side", "mid_side")[i % 3]
+    return _flac.encode_flac(
+        stereo, rate, channel_mode=mode,
+        subframe="fixed" if variant == 4 else "lpc",
+    )
+
+
 def decode_audio_meta(df: DataFrame, col: str = "payload") -> DataFrame:
-    """Arrow-batched audio decode, three tiers:
+    """Arrow-batched audio decode, four tiers:
 
     - ``decoder in ('pcm', 'ulaw', 'alaw', 'adpcm')`` — real WAV sample
       decode (numpy over the data chunk; G.711 table gather, IMA ADPCM
       block-lockstep — see ``operators/audio.py``): duration,
       full-scale peak/RMS, sample md5;
+    - ``decoder='flac'`` — real FLAC decode (``operators/flac.py``:
+      all subframe/residual/stereo-decorrelation forms, CRC + md5
+      verified), same stats contract;
     - ``decoder='header'`` — WAV whose samples we don't decode (IEEE
       float, exotic bit depths): header fields only;
-    - ``decoder='stub'`` — non-WAV audio (mp3/ogg/flac are perceptual
-      codecs needing a library absent from this container):
+    - ``decoder='stub'`` — remaining non-WAV audio (mp3/ogg are
+      PERCEPTUAL codecs needing a library absent from this container):
       deterministic fake fields, clearly marked (see
       ``decode_image_pixels`` for the stub policy).
     """
+    from .flac import decode_flac_stats
     from pyspark.sql.pandas.functions import pandas_udf
 
     cols = [
@@ -488,6 +537,11 @@ def decode_audio_meta(df: DataFrame, col: str = "payload") -> DataFrame:
                             (*full[:4], None, None, None, None, "header")
                         )
                     continue
+                if b[:4] == b"fLaC":
+                    dec = decode_flac_stats(b)
+                    if dec is not None:
+                        rows.append(dec)
+                        continue
                 h = hashlib.md5(b).digest()
                 rows.append(
                     (

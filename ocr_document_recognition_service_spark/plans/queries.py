@@ -2804,8 +2804,9 @@ def x_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     pinned_oracles.sql_for("x_audio_meta"),
     "audio binary plumbing: real WAV sample decode (PCM8/PCM16 plus "
     "G.711 mu-law/A-law table decode and block-lockstep IMA ADPCM — "
-    "duration / full-scale peak / RMS / sample md5), header-only for "
-    "float WAV, stub fallback for non-WAV",
+    "duration / full-scale peak / RMS / sample md5), real FLAC decode "
+    "(all subframe/stereo-decorrelation forms, CRC+md5 verified, r6), "
+    "header-only for float WAV, stub fallback for perceptual codecs",
 )
 def x_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import multimodal
@@ -2814,6 +2815,10 @@ def x_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
         [
             (f"wav://{i:04d}", multimodal.synthetic_wav_payload(i))
             for i in range(40)
+        ]
+        + [
+            (f"flac://{i:04d}", multimodal.synthetic_flac_payload(i))
+            for i in range(12)
         ]
         + [("not-audio://0", b"<html><p>page bytes</p></html>")],
         "url: string, payload: binary",

@@ -525,6 +525,102 @@ def test_g711_and_adpcm_codecs():
     assert audio.ima_adpcm_decode(b"", 1, 36) is None
 
 
+def test_flac_codec_roundtrips_and_rejects(spark):
+    """r6: FLAC decodes for REAL (operators/flac.py — the full public
+    spec).  FLAC is lossless, so every encode knob must round-trip
+    BYTE-EQUAL: subframe kinds (constant/verbatim/fixed 0-4/LPC),
+    stereo decorrelation (left/right/mid-side with the bps+1 side
+    channel), Rice method 0/1, partitioned + escape residuals, wasted
+    bits, 8/12/16/20/24-bit depths.  CRC-8/CRC-16/STREAMINFO-md5 all
+    verify: bit flips reject instead of emitting wrong samples.  Same
+    conformance caveat as the other codecs: no external FLAC producer
+    in this container — encoder/decoder validate each other + the
+    in-stream md5 oracle."""
+    import random as _r
+
+    import numpy as np
+
+    from ocr_document_recognition_service_spark.operators import flac
+
+    rng = np.random.default_rng(7)
+    mono = (
+        rng.integers(-2000, 2000, 700).cumsum() % 20000 - 10000
+    ).astype(np.int64)
+    stereo = np.stack([mono, (mono * 3) // 4 + 17], axis=1)
+
+    def rt(samples, **kw):
+        enc = flac.encode_flac(samples, 44100, **kw)
+        dec = flac.decode_flac(enc)
+        assert dec is not None, kw
+        want = np.asarray(samples)
+        if want.ndim == 1:
+            want = want[:, None]
+        assert (dec[3] == want).all(), kw
+        return enc
+
+    for sf in ("verbatim", "constant", "fixed", "lpc"):
+        src = np.zeros(500, dtype=np.int64) if sf == "constant" \
+            else mono[:500]
+        rt(src, subframe=sf)
+    for cm in ("indep", "left_side", "right_side", "mid_side"):
+        rt(stereo, channel_mode=cm)
+    for order in range(5):
+        rt(mono, subframe="fixed", fixed_order=order)
+    rt(mono[:512], partition_order=3)
+    rt(mono, rice2=True, partition_order=2)
+    rt((mono[:256] % 8) - 4, subframe="fixed", fixed_order=1,
+       escape_raw=12)
+    rt((mono // 4) << 2, wasted_bits=2)
+    rt(np.clip(mono // 256, -128, 127), bits=8)
+    rt(np.clip(mono // 16, -2048, 2047), bits=12)
+    rt(np.clip(mono * 16, -(1 << 19), (1 << 19) - 1), bits=20)
+    rt(np.clip(mono * 256, -(1 << 23), (1 << 23) - 1), bits=24)
+    rt(mono, block_size=192)  # the natural block-size code path
+    rt(mono, block_size=99)
+
+    # integrity: truncations and flips reject via CRC/md5, never raise
+    enc = flac.encode_flac(stereo, 44100, channel_mode="mid_side",
+                           partition_order=2)
+    for cut in range(0, len(enc), 3):
+        out = flac.decode_flac(enc[:cut])
+        assert out is None or len(out) == 4
+    r = _r.Random(3)
+    rejected = 0
+    for _ in range(400):
+        ba = bytearray(enc)
+        ba[r.randrange(len(ba))] ^= 1 << r.randrange(8)
+        if flac.decode_flac(bytes(ba)) is None:
+            rejected += 1
+    assert rejected > 380  # only ignored-header-field flips survive
+    assert flac.decode_flac(b"not flac") is None
+    assert flac.decode_flac(b"") is None
+
+    # Spark path: flac rows land in the real tier next to WAV + stub
+    df = spark.createDataFrame(
+        [
+            ("a://flac", multimodal.synthetic_flac_payload(4)),
+            ("a://wav", multimodal.synthetic_wav_payload(0)),
+            ("a://junk", b"\x00\x01mystery"),
+        ],
+        "url: string, payload: binary",
+    )
+    rows = {
+        r["url"]: r["audio_meta"]
+        for r in multimodal.decode_audio_meta(df).collect()
+    }
+    assert rows["a://flac"]["decoder"] == "flac"
+    assert rows["a://flac"]["channels"] == 2
+    st = flac.decode_flac_stats(multimodal.synthetic_flac_payload(4))
+    assert rows["a://flac"]["sample_md5"] == st[7]
+    assert rows["a://wav"]["decoder"] == "pcm"
+    assert rows["a://junk"]["decoder"] == "stub"
+
+    # deterministic fixture pin: any codec change must be deliberate
+    assert hashlib.md5(
+        flac.encode_flac(mono, 44100)
+    ).hexdigest() == "7d15c78d7fbd2f4a73465cf62ca34085"
+
+
 def test_sample_video_frames_shape_and_determinism(spark):
     df = spark.createDataFrame(
         [(f"u{i}", b"payload-%d" % i) for i in range(6)] + [("null", None)],
