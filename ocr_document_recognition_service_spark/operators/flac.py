@@ -4,7 +4,10 @@ Narrows the perceptual-audio stub to genuinely-perceptual codecs
 (mp3/ogg): FLAC is LOSSLESS, fully specified in public documents (the
 xiph.org format spec / RFC 9639), and integer-exact — so it decodes
 for real here with no external library, the same posture as the
-JPEG/TIFF/G.711/ADPCM stack (the reference loads audio through
+JPEG/TIFF/G.711/ADPCM stack.  Coverage is the classic 8-24-bit
+surface; the 32-bit depth RFC 9639 added (and depths like 4-7 bits
+STREAMINFO can express) REJECT cleanly to the stub tier rather than
+decode (the reference loads audio through
 soundfile/ffmpeg — `modeling_recognizer/src/data/image_loader.py:20-31` is the
 loader-stage contract this mirrors for audio payloads).
 
@@ -51,6 +54,11 @@ _SAMPLE_RATES = {
 }
 
 _SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+_SAMPLE_RATE_CODES = {v: k for k, v in _SAMPLE_RATES.items()}
+_BLOCK_SIZE_CODES = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+                     256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+                     8192: 13, 16384: 14, 32768: 15}
 
 _MAX_SAMPLES = 1 << 26  # decode-size guard, same policy as the images
 
@@ -251,6 +259,9 @@ def _write_residual(
     w.write(order, 4)
     nparts = 1 << order
     assert block_size % nparts == 0
+    assert (block_size >> order) >= pred_order, (
+        "first partition shorter than the predictor order"
+    )
     idx = 0
     for p in range(nparts):
         n = (block_size >> order) - (pred_order if p == 0 else 0)
@@ -283,6 +294,20 @@ def _write_residual(
 # ---------------------------------------------------------------------
 
 
+def _pack_pcm(samples: np.ndarray, bits: int) -> bytes:
+    """Decoded samples → little-endian interleaved PCM bytes (the
+    layout STREAMINFO's md5 is defined over).  24-bit packs through an
+    int32 view with every 4th byte dropped — vectorized, no per-sample
+    Python loop."""
+    width = (bits + 7) // 8
+    if width == 3:
+        quads = np.frombuffer(
+            samples.astype("<i4").tobytes(), dtype=np.uint8
+        ).reshape(-1, 4)
+        return quads[:, :3].tobytes()
+    return samples.astype("<i1" if width == 1 else "<i2").tobytes()
+
+
 def decode_flac(
     b: bytes,
 ) -> tuple[int, int, int, np.ndarray] | None:
@@ -291,10 +316,11 @@ def decode_flac(
     shared no-raise contract (corrupt/truncated/foreign payloads must
     not fail an Arrow batch — CRC-8/CRC-16/md5 mismatches reject)."""
     try:
-        return _decode_flac_checked(b)
+        full = _decode_flac_checked(b)
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
             struct.error, OverflowError):
         return None
+    return None if full is None else full[:4]
 
 
 def _decode_flac_checked(
@@ -348,6 +374,8 @@ def _decode_flac_checked(
         if got > _MAX_SAMPLES:
             return None
         pos += consumed
+        if total and got >= total:
+            break  # tolerate trailing bytes (appended tags, padding)
     samples = (
         np.concatenate(out) if out
         else np.empty((0, channels), dtype=np.int32)
@@ -356,20 +384,11 @@ def _decode_flac_checked(
         return None  # truncated stream: frames missing
     if total:
         samples = samples[:total]
+    raw = _pack_pcm(samples, bits)
     if md5 != b"\x00" * 16:
-        width = (bits + 7) // 8
-        dt = {1: "<i1", 2: "<i2", 3: None}[width]
-        if width == 3:
-            flat = samples.reshape(-1)
-            raw = bytearray()
-            for v in flat.tolist():
-                raw += int(v).to_bytes(3, "little", signed=True)
-            raw = bytes(raw)
-        else:
-            raw = samples.astype(dt).tobytes()
         if hashlib.md5(raw).digest() != md5:
             return None  # decoded PCM disagrees with the stream's oracle
-    return rate, channels, bits, samples
+    return rate, channels, bits, samples, raw
 
 
 def _decode_frame(
@@ -461,6 +480,12 @@ def _decode_frame(
         mid, side = a[0], a[1]
         m = (mid << 1) | (side & 1)
         a = np.stack([(m + side) >> 1, (m - side) >> 1])
+    # a CRC-consistent stream can still declare residuals that push
+    # samples outside the bit depth (md5 may legally be unset) — wrong
+    # samples must reject, and int32 must never wrap silently
+    lim = 1 << (bits - 1)
+    if a.size and (a.min() < -lim or a.max() >= lim):
+        raise ValueError("decoded samples exceed the declared bit depth")
     return a.T.astype(np.int32), r.byte - pos
 
 
@@ -484,11 +509,15 @@ def _decode_subframe(r: _Bits, block_size: int, bps: int) -> list[int]:
         samples = [r.signed(eff) for _ in range(order)]
         res = _read_residual(r, block_size, order)
         coefs = _FIXED_COEFS[order]
-        for i, e in enumerate(res):
+        lim = 1 << (bps + 4)  # predictor-state bound: a crafted frame
+        for i, e in enumerate(res):  # must fail fast, not grow bignums
             pred = sum(
                 c * samples[order + i - 1 - j] for j, c in enumerate(coefs)
             )
-            samples.append(pred + e)
+            v = pred + e
+            if not -lim <= v < lim:
+                raise ValueError("fixed prediction diverged")
+            samples.append(v)
     elif stype >= 32:  # LPC order 1-32
         order = stype - 31
         if order > block_size:
@@ -502,11 +531,15 @@ def _decode_subframe(r: _Bits, block_size: int, bps: int) -> list[int]:
             raise ValueError("negative qlp shift")
         coefs = [r.signed(precision) for _ in range(order)]
         res = _read_residual(r, block_size, order)
+        lim = 1 << (bps + 4)  # same fail-fast divergence bound
         for e in res:
             pred = sum(
                 c * samples[-1 - j] for j, c in enumerate(coefs)
             ) >> shift
-            samples.append(pred + e)
+            v = pred + e
+            if not -lim <= v < lim:
+                raise ValueError("LPC prediction diverged")
+            samples.append(v)
     else:
         raise ValueError("reserved subframe type")
     if len(samples) != block_size:
@@ -525,23 +558,19 @@ def decode_flac_stats(
     *sample_md5* over the DECODED little-endian interleaved PCM (the
     same bytes STREAMINFO's md5 certifies, recomputed from the actual
     decode).  None for undecodable payloads."""
-    dec = decode_flac(b)
-    if dec is None:
+    try:
+        full = _decode_flac_checked(b)
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error, OverflowError):
         return None
-    rate, channels, bits, samples = dec
+    if full is None:
+        return None
+    rate, channels, bits, samples, raw = full
     n = samples.shape[0]
     x = samples.astype(np.float64).reshape(-1)
     full_scale = float(1 << (bits - 1))
     peak = float(np.max(np.abs(x)) / full_scale) if x.size else 0.0
     rms = float(np.sqrt(np.mean(x * x)) / full_scale) if x.size else 0.0
-    width = (bits + 7) // 8
-    if width == 3:
-        raw = b"".join(
-            int(v).to_bytes(3, "little", signed=True)
-            for v in samples.reshape(-1).tolist()
-        )
-    else:
-        raw = samples.astype("<i1" if width == 1 else "<i2").tobytes()
     return (
         rate, channels, bits, n, n / rate, peak, rms,
         hashlib.md5(raw).hexdigest(), "flac",
@@ -636,15 +665,21 @@ def encode_flac(
         w.write(0x3FFE, 14)
         w.write(0, 1)
         w.write(0, 1)  # fixed-blocksize strategy
-        w.write(7, 4)  # block size: 16-bit at end of header
-        w.write(0, 4)  # sample rate: from STREAMINFO
+        # natural codes when the geometry has one (what external
+        # encoders emit — keeps those decoder branches honest), the
+        # explicit 16-bit form otherwise
+        bs_code = _BLOCK_SIZE_CODES.get(bs, 7)
+        sr_code = _SAMPLE_RATE_CODES.get(sample_rate, 0)
+        w.write(bs_code, 4)
+        w.write(sr_code, 4)
         w.write(ch_code, 4)
         ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bits]
         w.write(ss_code, 3)
         w.write(0, 1)
         for byte in _utf8_encode(frame_no):
             w.write(byte, 8)
-        w.write(bs - 1, 16)
+        if bs_code == 7:
+            w.write(bs - 1, 16)
         hdr = w.bytes()
         hdr += bytes([_crc8(hdr)])
 

@@ -484,7 +484,9 @@ def synthetic_flac_payload(i: int) -> bytes:
             subframe="lpc", rice2=True,
         )
     stereo = np.stack([mono, (mono * 3) // 4 + (i % 50)], axis=1)
-    mode = ("left_side", "right_side", "mid_side")[i % 3]
+    # NOT i % 3: the stereo variants are i % 6 in (4, 5), which pins
+    # i % 3 to (1, 2) and would make left_side unreachable (review)
+    mode = ("left_side", "right_side", "mid_side")[(i + i // 6) % 3]
     return _flac.encode_flac(
         stereo, rate, channel_mode=mode,
         subframe="fixed" if variant == 4 else "lpc",

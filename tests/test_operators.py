@@ -575,8 +575,50 @@ def test_flac_codec_roundtrips_and_rejects(spark):
     rt(np.clip(mono // 16, -2048, 2047), bits=12)
     rt(np.clip(mono * 16, -(1 << 19), (1 << 19) - 1), bits=20)
     rt(np.clip(mono * 256, -(1 << 23), (1 << 23) - 1), bits=24)
-    rt(mono, block_size=192)  # the natural block-size code path
+    # natural block-size/sample-rate codes (what external encoders
+    # emit): 192 -> code 1, 1024 -> code 10, 44100 -> rate code 9;
+    # 99 has no code and uses the explicit 16-bit form
+    rt(mono, block_size=192)
+    rt(mono, block_size=1024)
     rt(mono, block_size=99)
+
+    # trailing bytes after the last frame (appended ID3v1-style tag)
+    # must not reject the already-complete stream
+    whole = flac.encode_flac(mono, 44100)
+    tagged = whole + b"TAG" + b"\x00" * 125
+    got = flac.decode_flac(tagged)
+    assert got is not None and (got[3][:, 0] == mono).all()
+
+    # a CRC-consistent stream whose residuals push samples outside the
+    # declared bit depth must REJECT (md5 may legally be unset), not
+    # emit int32-wrapped garbage or grow bignums (review repro)
+    bs = 4
+    si = flac._BitsOut()
+    si.write(bs, 16); si.write(bs, 16); si.write(0, 24); si.write(0, 24)
+    si.write(8000, 20); si.write(0, 3); si.write(7, 5)  # mono 8-bit
+    si.write(bs, 36)
+    info = si.bytes() + b"\x00" * 16  # md5 unset: spec-legal
+    crafted = bytearray(b"fLaC")
+    crafted += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    w = flac._BitsOut()
+    w.write(0x3FFE, 14); w.write(0, 2)
+    w.write(7, 4); w.write(0, 4)      # explicit 16-bit bs, rate=info
+    w.write(0, 4); w.write(1, 3); w.write(0, 1)  # mono, 8-bit
+    w.write(0, 8)                     # frame number 0
+    w.write(bs - 1, 16)
+    hdr = w.bytes()
+    hdr += bytes([flac._crc8(hdr)])
+    sub = flac._BitsOut()
+    sub.write(0, 1); sub.write(9, 6); sub.write(0, 1)  # FIXED order 1
+    sub.write(127, 8)                 # warmup
+    sub.write(0, 2); sub.write(0, 4)  # rice method 0, 1 partition
+    sub.write(0xF, 4); sub.write(20, 5)  # escape: 20-bit raw residuals
+    for _ in range(bs - 1):
+        sub.write(300000, 20)         # legal coding, insane samples
+    frame = hdr + sub.bytes()
+    frame += flac._crc16(frame).to_bytes(2, "big")
+    crafted += frame
+    assert flac.decode_flac(bytes(crafted)) is None
 
     # integrity: truncations and flips reject via CRC/md5, never raise
     enc = flac.encode_flac(stereo, 44100, channel_mode="mid_side",
@@ -618,7 +660,7 @@ def test_flac_codec_roundtrips_and_rejects(spark):
     # deterministic fixture pin: any codec change must be deliberate
     assert hashlib.md5(
         flac.encode_flac(mono, 44100)
-    ).hexdigest() == "7d15c78d7fbd2f4a73465cf62ca34085"
+    ).hexdigest() == "61be8c9ddec162cffab8bdce009864d2"
 
 
 def test_sample_video_frames_shape_and_determinism(spark):
