@@ -23,7 +23,7 @@ there is NO low-cardinality blocking key anywhere in this module.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..charsets import HOMOGLYPH_DST, HOMOGLYPH_SRC
 from . import similarity
@@ -670,6 +670,92 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    threshold: float = 0.99,
+    cell_cap: int | None = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication — k-means the embedding space, then within each
+    cluster drop every vector ≥ *threshold* cosine-similar to a
+    smaller-id cluster-mate.  Catches near-duplicate SEMANTICS
+    (paraphrases, templated rewrites, boilerplate variants) that
+    exact/MinHash dedup cannot see, at O(N · cell population) instead
+    of O(N²): comparisons never cross cluster walls, so the CELL id is
+    the partition key at 100 TB.
+
+    Spark shape: Lloyd-trained cells (``similarity.kmeans_cells`` —
+    broadcast assign + one wide agg per round, 6dp-rounded trajectory
+    so the oracle reproduces it), then dd5's probe>index capped
+    candidate join keyed on the cell, array-native cosine in codegen.
+
+    Keep rule (deterministic, non-recursive): a vector is dropped iff
+    some INDEXED smaller-id cluster-mate scores ≥ threshold — kept or
+    itself dropped.  This is the first-occurrence chain the paper's
+    "keep one random member per duplicate group" collapses to under a
+    min-id ordering, and it needs no recursive fixpoint, so the DuckDB
+    twin mirrors it exactly.  The cap keeps the SMALLEST ids per cell,
+    so the cluster minimum is always kept — every cluster retains a
+    representative — and only pair-level recall among
+    non-representatives is truncated (the dd3/dd5/sim3 cap contract).
+
+    Returns ``(vec_id, cell, dup_of, cosine, is_dup)``: *dup_of* the
+    best-scoring keeper (rounded-cosine tie → smallest id) for audit,
+    NULL for kept rows.
+    """
+    cells = similarity.kmeans_cells(emb, n_cells, iters)
+    idx = similarity.capped_index(cells, ["cell"], "vec_id", cell_cap)
+    cand = (
+        cells.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("keeper"),
+        )
+    )
+    ea = emb.select("vec_id", F.col("embedding").alias("_ea"))
+    eb = emb.select(
+        F.col("vec_id").alias("keeper"), F.col("embedding").alias("_eb")
+    )
+    scored = (
+        cand.join(ea, "vec_id")
+        .join(eb, "keeper")
+        .withColumn(
+            "cosine",
+            F.round(
+                similarity.dot_arrays("_ea", "_eb")
+                / (
+                    similarity.norm_arrays("_ea")
+                    * similarity.norm_arrays("_eb")
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("keeper").asc()
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("keeper").alias("dup_of"), "cosine")
+    )
+    return cells.join(best, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "dup_of",
+        "cosine",
+        F.col("dup_of").isNotNull().alias("is_dup"),
     )
 
 

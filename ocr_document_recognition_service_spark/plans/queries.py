@@ -1674,6 +1674,102 @@ def dd9_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_reg(
+    "dd10_semdedup",
+    """
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::double AS x
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
+    c0 AS (SELECT vec_id AS cell, pos AS cpos, x AS cx FROM flat WHERE vec_id < 8),
+    d1 AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM flat f JOIN c0 c ON f.pos = c.cpos GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cell ASC) AS rn FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cell, f.pos AS cpos, round(avg(f.x), 6) AS cx
+      FROM flat f JOIN a1 a USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM flat f JOIN c1 c ON f.pos = c.cpos GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cell ASC) AS rn FROM d2) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT a.cell, f.pos AS cpos, round(avg(f.x), 6) AS cx
+      FROM flat f JOIN a2 a USING (vec_id) GROUP BY 1, 2
+    ),
+    d3 AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM flat f JOIN c2 c ON f.pos = c.cpos GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cell ASC) AS rn FROM d3) WHERE rn = 1
+    ),
+    cidx AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS rn
+        FROM cells
+      ) WHERE rn <= 64
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS keeper
+      FROM cells a JOIN cidx b
+        ON a.cell = b.cell AND a.vec_id > b.vec_id
+    ),
+    dots AS (
+      SELECT p.vec_id, p.keeper, sum(fa.x * fb.x) AS dot
+      FROM pairs p JOIN flat fa ON fa.vec_id = p.vec_id
+                   JOIN flat fb ON fb.vec_id = p.keeper
+                               AND fb.pos = fa.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dots.vec_id, dots.keeper,
+             round(dot / (na.nrm * nb.nrm), 4) AS cosine
+      FROM dots JOIN norms na ON dots.vec_id = na.vec_id
+                JOIN norms nb ON dots.keeper = nb.vec_id
+    ),
+    best AS (
+      SELECT vec_id, keeper AS dup_of, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cosine DESC, keeper ASC) AS rn
+        FROM scored WHERE cosine >= 0.3
+      ) WHERE rn = 1
+    )
+    SELECT c.vec_id, c.cell, b.dup_of, b.cosine,
+           b.dup_of IS NOT NULL AS is_dup
+    FROM cells c LEFT JOIN best b ON c.vec_id = b.vec_id
+    """,
+    "SemDeDup (arXiv:2303.09540): k-means cells (the sim5 Lloyd "
+    "trajectory) scope the cosine comparisons, dd5's capped "
+    "probe>index join bounds them, min-id first-occurrence keep rule "
+    "— per-vector kept/dropped verdict with the best keeper for audit",
+)
+def dd10_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.semantic_dedup(
+        load(spark, sf, "embeddings").repartition(16),
+        n_cells=8,
+        iters=2,
+        threshold=0.3,
+        cell_cap=64,
+    )
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================

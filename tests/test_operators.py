@@ -1219,6 +1219,60 @@ def test_embedding_dup_pairs_bounded_under_skew(spark):
     assert uncapped == 30 * 29 // 2
 
 
+def test_semantic_dedup_hand_case(spark):
+    """r6 dd10 (SemDeDup): two well-separated semantic clusters plus a
+    lone outlier; within each cluster every non-minimum vector must be
+    dropped as dup_of a smaller-id mate, cluster minima and the
+    outlier must be kept, and comparisons must never cross cells (the
+    outlier scores ~0 against everything)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base_a = rng.normal(0, 1, 64)
+    base_b = -base_a  # antipodal: guaranteed different k-means cells
+    rows = []
+    for i in range(4):  # cluster A: ids 0-3, tiny perturbations
+        v = base_a + rng.normal(0, 0.001, 64)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(4, 7):  # cluster B: ids 4-6
+        v = base_b + rng.normal(0, 0.001, 64)
+        rows.append((i, [float(x) for x in v]))
+    ortho = np.zeros(64)
+    ortho[0], ortho[1] = base_a[1], -base_a[0]  # ⟂ in the (0,1) plane
+    rows.append((7, [float(x) for x in ortho]))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(
+            emb, n_cells=2, iters=2, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 8
+    kept = {v for v, r in out.items() if not r["is_dup"]}
+    # cluster minima (0 and 4) kept; the orthogonal outlier kept
+    assert 0 in kept and 4 in kept and 7 in kept
+    for v in (1, 2, 3):
+        assert out[v]["is_dup"] and out[v]["dup_of"] == 0, out[v]
+        assert out[v]["cosine"] > 0.99
+    for v in (5, 6):
+        assert out[v]["is_dup"] and out[v]["dup_of"] == 4, out[v]
+    # cells partition A from B (comparisons never crossed)
+    cells_a = {out[v]["cell"] for v in (0, 1, 2, 3)}
+    cells_b = {out[v]["cell"] for v in (4, 5, 6)}
+    assert len(cells_a) == 1 and len(cells_b) == 1 and cells_a != cells_b
+
+    # cap contract: with cell_cap=1 only the minimum indexes, every
+    # other member still probes and pairs with it
+    capped = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(
+            emb, n_cells=2, iters=2, threshold=0.9, cell_cap=1
+        ).collect()
+    }
+    assert all(capped[v]["dup_of"] == 0 for v in (1, 2, 3))
+    assert all(capped[v]["dup_of"] == 4 for v in (5, 6))
+
+
 def test_simhash_width_for_corpus_scaling():
     """r6: the planes_for_corpus twin for banded SimHash — band bits
     grow with the corpus so bucket population stays ≈ target (measured
