@@ -3223,10 +3223,11 @@ _DRIVER_WINDOW: list[str] = [
     "w8_sliding_stats",
     # set operations (s2 out r6 — same EXCEPT/INTERSECT shape as s1)
     "s1_customers_no_urgent",
-    # dedup family (dd0/dd4 back in — r2; dd9 NEW r6 — first-time
-    # certification outranks dd6, whose exact-Jaccard-verify shape
-    # stays represented by dd2)
-    "dd0_dedup_apply", "dd1_exact", "dd2_word_jaccard",
+    # dedup family (dd0/dd4 back in — r2; dd9 NEW r6; dd10 NEW late-r6
+    # — first-time certification outranks dd2, whose verify-over-
+    # candidates shape stays represented by dd10 itself and by dd6 in
+    # the overflow)
+    "dd0_dedup_apply", "dd1_exact", "dd10_semdedup",
     "dd3_minhash_lsh", "dd4_simhash", "dd5_embedding_dup",
     "dd9_segment_dedup", "dd7_simhash_near", "dd8_components",
     # similarity / embeddings (sim2/sim4 back in — r2; sim6 first-ever
