@@ -23,12 +23,13 @@ the QM-coder in ``operators.jpeg_arith`` (r6), and 12-bit (SOF1,
 16-bit DQT) and Adobe CMYK/YCCK JPEG decode for real too (r6).
 G.711 mu-law/A-law and IMA ADPCM WAV audio decode for real via
 ``operators.audio`` (r6), and progressive-arithmetic (SOF10) and
-HIERARCHICAL (Annex J greyscale pyramid, ``operators.jpeg_hier``)
-JPEG join the decoded set (r6) — every T.81 coding mode now decodes
-for real.  Only formats beyond all paths (colour hierarchical JPEG,
-compressed-codec video like H.264/VP9/AV1, perceptual audio codecs
-like mp3/ogg — FLAC is lossless and decodes for real via
-``operators/flac.py``, r6) remain the loudly-marked
+HIERARCHICAL (Annex J, ``operators.jpeg_hier`` — greyscale AND
+4:4:4 colour pyramids) JPEG join the decoded set (r6) — every T.81
+coding mode now decodes for real.  Only formats beyond all paths
+(subsampled-colour hierarchical JPEG, compressed-codec video like
+H.264/VP9/AV1, perceptual audio codecs like mp3/ogg — FLAC is
+lossless and decodes for real via ``operators/flac.py``, r6) remain
+the loudly-marked
 ``NotImplementedError``/deterministic-fake stub — the one concession
 to this container having no image/audio libs.
 """
@@ -1397,11 +1398,11 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     sequential (SOF9) and progressive (SOF10) — via the
     ``operators.jpeg_arith`` QM-coder (T.81 Annex D/F/G.2), as do
     12-bit extended sequential (SOF1), Adobe CMYK/YCCK frames, and
-    HIERARCHICAL (DHP) greyscale pyramids — SOF0 base + EXP-expanded
+    HIERARCHICAL (DHP) greyscale and 4:4:4-colour pyramids — SOF0 base + EXP-expanded
     SOF5 differential refinements + SOF7 lossless correction
     (``operators.jpeg_hier``, T.81 Annex J) — all r6; raises
     NotImplementedError only for formats none of those paths cover
-    (colour hierarchical JPEG, non-MJPEG video …), which is the
+    (subsampled-colour hierarchical JPEG, non-MJPEG video …), the
     remaining loudly-marked stub surface."""
     b = bytes(payload)
     out = _decode_bmp(b) or _decode_png(b) or _decode_gif(b)
@@ -1426,8 +1427,9 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, str, bytes]:
     raise NotImplementedError(
         "pixel decode beyond BMP/PNG/GIF/TIFF (incl. G3/G4 fax)/JPEG "
         "(baseline/progressive/lossless/arithmetic-sequential+"
-        "progressive/12-bit/CMYK/hierarchical-grey) requires "
-        "Pillow/cv2 (colour hierarchical JPEG, non-MJPEG video); "
+        "progressive/12-bit/CMYK/hierarchical grey+4:4:4-colour) "
+        "requires Pillow/cv2 (subsampled-colour hierarchical JPEG, "
+        "non-MJPEG video); "
         "install on the cluster and this same call decodes every format"
     )
 

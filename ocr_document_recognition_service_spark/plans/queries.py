@@ -3040,12 +3040,18 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
             # 12-BIT extended sequential (SOF1, r6) / ARITH-
             # PROGRESSIVE (SOF10, r6) / HIERARCHICAL Annex-J pyramid
             # with exact lossless correction (r6: pixel_md5 == the
-            # source stream's md5 by construction)
-            v = (i // 7) % 7
+            # source stream's md5 by construction) / the same pyramid
+            # LOSSY (no correction frame — the pin certifies the
+            # differential-DCT reconstruction itself)
+            v = (i // 7) % 8
             px = multimodal._px_stream(i, 16 * 16)
             if v == 6:
                 return jpeg_hier.encode_hier_gray_jpeg(
                     px, 16, 16, levels=3
+                )
+            if v == 7:
+                return jpeg_hier.encode_hier_gray_jpeg(
+                    px, 16, 16, levels=3, lossless_final=False
                 )
             if v == 2:
                 return jpeg.encode_lossless_jpeg(
@@ -3068,12 +3074,18 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
             # restart markers / ARITHMETIC 4:2:0 with restarts /
             # Adobe YCCK print scan (r6) / ARITH-PROGRESSIVE 4:2:0
             # with DC-scan restarts (SOF10, r6) / PROGRESSIVE-HUFFMAN
-            # 4:2:0 colour (r6 — the scan-script shape web photos ship)
-            v = (i // 7) % 7
+            # 4:2:0 colour (r6 — the scan-script shape web photos
+            # ship) / HIERARCHICAL 4:4:4 colour pyramid with lossless
+            # correction (r6 late)
+            v = (i // 7) % 8
             px = multimodal._px_stream(i, 16 * 16 * 3)
             if v == 6:
                 return jpeg.encode_progressive_jpeg(
                     px, 16, 16, color=True, subsample=True
+                )
+            if v == 7:
+                return jpeg_hier.encode_hier_rgb_jpeg(
+                    px, 16, 16, levels=3
                 )
             if v == 2:
                 return jpeg.encode_lossless_jpeg(
@@ -3096,20 +3108,20 @@ def x_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
         # kind 6: bilevel document scan — rotate the full fax ladder:
         # packed bits, MH RLE (comp 2), T.4 G3 1-D and 2-D (comp 3),
         # G4 (comp 4), and the MinIsBlack shapes the spec permits for
-        # G4 and (r6) MH RLE
+        # G4, MH RLE and (r6 late) T.4 2-D
         scan = bytes(
             0 if v < 96 else 255 for v in multimodal._px_stream(i, 24 * 18)
         )
-        variant = i // 7  # 0..6 over the 49-image set
-        comp = (1, 2, 3, 3, 4, 4, 2)[variant]
+        variant = i // 7  # 0..7 over the 56-image set
+        comp = (1, 2, 3, 3, 4, 4, 2, 3)[variant]
         return tiff.encode_tiff(
             scan, 24, 18, mode="1", compression=comp,
-            t4_options=1 if variant == 3 else 0,
-            photometric=1 if variant in (5, 6) else 0,
+            t4_options=1 if variant in (3, 7) else 0,
+            photometric=1 if variant in (5, 6, 7) else 0,
         )
 
     imgs = spark.createDataFrame(
-        [(f"img://{i:04d}", mk(i)) for i in range(49)]
+        [(f"img://{i:04d}", mk(i)) for i in range(56)]
         + [("not-image://0", b"<html>bytes</html>")],
         "url: string, payload: binary",
     )

@@ -2794,3 +2794,57 @@ def test_jpeg_hierarchical_pyramid_decode():
     # public pixel surface + deterministic fixture pin
     assert multimodal.decode_image_pixels(full) == (w, h, "L", px)
     assert hashlib.md5(full).hexdigest() == "2d8559955bf6b48e407694481c831374"
+
+    # ---- COLOUR (4:4:4 YCbCr) hierarchies (r6 late) ----
+    from ocr_document_recognition_service_spark.operators.jpeg import (
+        _finish_planes, _rgb_to_ycbcr,
+    )
+
+    rgb = bytes(
+        (x * 5 + y * 11 + c * 37) % 256
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    # exactness: the correction frame pins the YCbCr planes to the
+    # encoder's INTEGER source, so RGB output equals the JFIF inverse
+    # of those planes — computed independently here
+    yy, cb, cr = _rgb_to_ycbcr(rgb, w, h)
+    ints = [
+        np.clip(np.rint(p), 0, 255).astype(np.uint8) for p in (yy, cb, cr)
+    ]
+    want = _finish_planes(
+        [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)], ints, w, h, 1, 1
+    )[3]
+    for levels in (1, 2, 3):
+        enc = JH.encode_hier_rgb_jpeg(rgb, w, h, levels=levels)
+        assert J.decode_jpeg(enc) == (w, h, "RGB", want), levels
+    # ...and stays within rounding distance of the true source
+    errc = np.abs(
+        np.frombuffer(want, np.uint8).astype(int)
+        - np.frombuffer(rgb, np.uint8).astype(int)
+    ).max()
+    assert errc <= 2
+    # envelope oracle: a single-frame colour hierarchy quantizes the
+    # same float planes as the plain 4:4:4 codec — byte-equal decode
+    one = JH.encode_hier_rgb_jpeg(rgb, w, h, levels=1,
+                                  lossless_final=False)
+    assert J.decode_jpeg(one)[3] == J.decode_jpeg(
+        J.encode_rgb_jpeg(rgb, w, h, subsample=False)
+    )[3]
+    # restarts thread through the interleaved-MCU colour scans
+    enc = JH.encode_hier_rgb_jpeg(rgb, w, h, levels=2,
+                                  restart_interval=3)
+    assert J.decode_jpeg(enc)[3] == want
+    # colour fuzz: truncation + flips, never raise
+    cf = JH.encode_hier_rgb_jpeg(rgb, w, h, levels=3, restart_interval=5)
+    for i in range(0, len(cf), 5):
+        r = J.decode_jpeg(cf[:i])
+        assert r is None or len(r) == 4
+    for _ in range(200):
+        ba = bytearray(cf)
+        ba[rng.randrange(len(ba))] ^= 1 << rng.randrange(8)
+        r = J.decode_jpeg(bytes(ba))
+        assert r is None or len(r) == 4
+    # colour fixture pin
+    assert hashlib.md5(
+        JH.encode_hier_rgb_jpeg(rgb, w, h, levels=3)
+    ).hexdigest() == "057c0c7b1bbf3dc77171465717093edc"
