@@ -648,26 +648,8 @@ def embedding_dup_pairs(
             F.col("a.vec_id").alias("vec_b"),
         )
     )
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_ea")
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_eb")
-    )
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn(
-            "cosine",
-            F.round(
-                similarity.dot_arrays("_ea", "_eb")
-                / (
-                    similarity.norm_arrays("_ea")
-                    * similarity.norm_arrays("_eb")
-                ),
-                4,
-            ),
-        )
+        similarity._score_pairs(cand, emb, a_col="vec_a", b_col="vec_b")
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -722,26 +704,9 @@ def semantic_dedup(
             F.col("b.vec_id").alias("keeper"),
         )
     )
-    ea = emb.select("vec_id", F.col("embedding").alias("_ea"))
-    eb = emb.select(
-        F.col("vec_id").alias("keeper"), F.col("embedding").alias("_eb")
-    )
-    scored = (
-        cand.join(ea, "vec_id")
-        .join(eb, "keeper")
-        .withColumn(
-            "cosine",
-            F.round(
-                similarity.dot_arrays("_ea", "_eb")
-                / (
-                    similarity.norm_arrays("_ea")
-                    * similarity.norm_arrays("_eb")
-                ),
-                4,
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
+    scored = similarity._score_pairs(
+        cand, emb, a_col="vec_id", b_col="keeper"
+    ).filter(F.col("cosine") >= threshold)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("keeper").asc()
     )

@@ -46,16 +46,23 @@ import struct
 import numpy as np
 
 from .jpeg import (
+    _CHR_AC,
+    _CHR_DC,
     _LL_DC,
     _LL_DC_BITS,
     _LL_DC_VALS,
     _LUM_AC,
     _LUM_DC,
     _MAX_PIXELS,
+    AC_CHROM_BITS,
+    AC_CHROM_VALS,
     AC_LUM_BITS,
     AC_LUM_VALS,
+    DC_CHROM_BITS,
+    DC_CHROM_VALS,
     DC_LUM_BITS,
     DC_LUM_VALS,
+    QT_CHROM,
     QT_LUM,
     ZIGZAG,
     _BitWriter,
@@ -69,6 +76,7 @@ from .jpeg import (
     _idct,
     _pad_plane,
     _receive_extend,
+    _rgb_to_ycbcr,
     _ScanReader,
     _seg,
 )
@@ -592,8 +600,6 @@ def encode_hier_rgb_jpeg(
     exactly, so the RGB output is the deterministic JFIF inverse
     transform of those planes (test oracle: computed independently)."""
     assert levels >= 1
-    from .jpeg import QT_CHROM, _CHR_AC, _CHR_DC, _rgb_to_ycbcr
-
     y, cb, cr = _rgb_to_ycbcr(px, w, h)
     srcs = [
         np.clip(np.rint(p), 0, 255).astype(np.int32) for p in (y, cb, cr)
@@ -614,13 +620,8 @@ def encode_hier_rgb_jpeg(
         (qt_c, _CHR_DC, _CHR_AC),
     ]
 
-    from .jpeg import (
-        AC_CHROM_BITS, AC_CHROM_VALS, DC_CHROM_BITS, DC_CHROM_VALS,
-        QT_CHROM as _QTC,
-    )
-
     dqt = _seg(0xDB, bytes([0x00]) + bytes(QT_LUM[i] for i in ZIGZAG))
-    dqt += _seg(0xDB, bytes([0x01]) + bytes(_QTC[i] for i in ZIGZAG))
+    dqt += _seg(0xDB, bytes([0x01]) + bytes(QT_CHROM[i] for i in ZIGZAG))
     dht = (
         _seg(0xC4, bytes([0x00]) + bytes(DC_LUM_BITS) + bytes(DC_LUM_VALS))
         + _seg(0xC4, bytes([0x10]) + bytes(AC_LUM_BITS) + bytes(AC_LUM_VALS))

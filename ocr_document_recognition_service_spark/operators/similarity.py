@@ -112,19 +112,28 @@ def _rank_scored(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _score_pairs(cand: DataFrame, emb: DataFrame) -> DataFrame:
-    """Attach both embedding arrays to candidate (query_id, neighbor_id)
-    pairs and compute rounded cosine per-row in codegen."""
+def _score_pairs(
+    cand: DataFrame,
+    emb: DataFrame,
+    a_col: str = "query_id",
+    b_col: str = "neighbor_id",
+) -> DataFrame:
+    """Attach both embedding arrays to candidate (*a_col*, *b_col*)
+    pairs and compute rounded cosine per-row in codegen.  The ONE copy
+    of the oracle-parity scoring contract (per-element double
+    products, array-order fold, round(…, 4)) behind the sim paths,
+    dd5 and dd10 — a parity fix here reaches every consumer and its
+    SQL twin stays in lock-step (review r6: this block had grown
+    three near-verbatim copies)."""
     qa = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        F.col("vec_id").alias(a_col), F.col("embedding").alias("_qv")
     )
     qb = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("_nv"),
+        F.col("vec_id").alias(b_col), F.col("embedding").alias("_nv")
     )
     return (
-        cand.join(qa, "query_id")
-        .join(qb, "neighbor_id")
+        cand.join(qa, a_col)
+        .join(qb, b_col)
         .withColumn(
             "cosine",
             F.round(
