@@ -238,6 +238,34 @@ def pair_recall_table(spark):
             round(time.time() - t0, 1),
         )
     )
+
+    # dd10 SemDeDup: per-VECTOR verdict recall — a truth vector is one
+    # with a smaller-id sampled mate at cosine >= 0.99 (the sample
+    # keeps whole clusters, so mates are in-sample); dd10 must flag it
+    # is_dup.  Cells sized by the headroom rule N/(cap/2); one Lloyd
+    # round keeps the 3-pass assignment cost bounded at 100k vectors.
+    t0 = time.time()
+    n_cells_dd10 = max(8, N_DOCS // 32)
+    dd10 = dedup.semantic_dedup(
+        emb, n_cells=n_cells_dd10, iters=1, threshold=0.99, cell_cap=64
+    )
+    flagged = {
+        r["vec_id"]
+        for r in dd10.filter(
+            F.col("vec_id").isin(sample_ids) & F.col("is_dup")
+        ).select("vec_id").collect()
+    }
+    true_dup_vecs = {j for (_i, j) in true_cos}
+    out.append(
+        (
+            f"dd10 SemDeDup verdicts (cells={n_cells_dd10}, iters=1, "
+            "cap=64)",
+            "vec has a smaller-id mate at cos >= 0.99",
+            len(true_dup_vecs),
+            len(flagged & true_dup_vecs),
+            round(time.time() - t0, 1),
+        )
+    )
     docs.unpersist()
     emb.unpersist()
     return out
