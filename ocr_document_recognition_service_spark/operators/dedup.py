@@ -690,23 +690,13 @@ def semantic_dedup(
     best-scoring keeper (rounded-cosine tie → smallest id) for audit,
     NULL for kept rows.
 
-    The trained centroids are COLLECTED to the driver and re-emitted
-    as literals (k tiny rows): ``cells`` feeds two consumers (probe
-    side + capped index), and without the materialization Catalyst
-    duplicates the whole Lloyd training chain — measured 2× the
-    dominant O(N·k·d) assignment cost at 100k vectors × 3125 cells.
-    Same documented trade as dd5's auto-derivation count: one small
-    eager action at plan-construction time.
+    ``cells`` feeds two consumers (probe side + capped index), so its
+    subtree runs twice — affordable ONLY because the trained centroids
+    arrive as literal rows (``similarity._literal_cents`` inside the
+    Lloyd loop): the duplicated subtree is a single broadcast-assign
+    aggregation, never the whole training chain.
     """
-    cents = similarity._kmeans_centroids(emb, n_cells, iters)
-    cents = emb.sparkSession.createDataFrame(
-        [
-            (int(r["cell"]), [float(x) for x in r["carr"]])
-            for r in cents.collect()
-        ],
-        "cell: long, carr: array<double>",
-    )
-    cells = similarity._assign_to(emb, cents)
+    cells = similarity.kmeans_cells(emb, n_cells, iters)
     idx = similarity.capped_index(cells, ["cell"], "vec_id", cell_cap)
     cand = (
         cells.alias("a")

@@ -428,6 +428,19 @@ def _assign_to(
         "cell",
         F.round(_l2_dist2("embedding", "carr"), 6).alias("dist2"),
     )
+    if n_probe == 1:
+        # primary assignment is an argmin: ONE hash aggregation whose
+        # lexicographic min(struct(dist2, cell)) matches the window's
+        # (dist2 asc, cell asc) ordering exactly.  Partial aggregation
+        # folds the N×k candidate rows MAP-SIDE, so only N rows reach
+        # the exchange — the row_number form shuffled and sorted all
+        # N×k rows (measured: dominated dd10's wall at 100k vectors ×
+        # 3125 cells, where N×k is 312M rows).
+        return (
+            d2.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "cell")).alias("_m"))
+            .select("vec_id", F.col("_m.cell").alias("cell"))
+        )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("dist2").asc(), F.col("cell").asc()
     )
@@ -446,6 +459,28 @@ def kmeans_cells(
     return _assign_to(emb, _kmeans_centroids(emb, n_cells, iters, dim))
 
 
+def _literal_cents(cents: DataFrame) -> DataFrame:
+    """Collect a (cell, carr) centroid frame — k tiny rows — and
+    re-emit it as a LITERAL local relation.  Exact: doubles round-trip
+    bit-identically through collect, so every assignment/oracle value
+    is unchanged.  Why: centroids feed broadcast crossJoins that get
+    re-evaluated once per consumer AND once per Lloyd round's lineage
+    — as a computed subquery the whole training chain re-runs each
+    time, as a literal it is free.  Measured at 100k vectors × 3125
+    cells: a literal-centroid assignment runs in ~3 s where the
+    chained form spent minutes re-deriving its inputs.  One small
+    eager driver action per round — the documented dd5-eager-count
+    trade."""
+    spark = cents.sparkSession
+    return spark.createDataFrame(
+        [
+            (int(r["cell"]), [float(x) for x in r["carr"]])
+            for r in cents.collect()
+        ],
+        "cell: long, carr: array<double>",
+    )
+
+
 def _kmeans_centroids(
     emb: DataFrame, n_cells: int = 8, iters: int = 2, dim: int = EMB_DIM
 ) -> DataFrame:
@@ -454,12 +489,15 @@ def _kmeans_centroids(
     engine reproduces the trajectory), deterministic first-k init.
     Each round is one broadcast-assign projection + ONE wide
     aggregation (dim per-position avg columns, map-side combine — the
-    MinHash wide-agg trick; no ×dim posexplode of the corpus).
-    Returns (cell, carr)."""
-    cents = _first_k_centroid_arrays(emb, n_cells)
+    MinHash wide-agg trick; no ×dim posexplode of the corpus), and
+    each round's result is MATERIALIZED as literal rows
+    (``_literal_cents``) so round r+1 — and every downstream consumer
+    — never re-evaluates round r's lineage.  Returns (cell, carr) as
+    a literal local relation."""
+    cents = _literal_cents(_first_k_centroid_arrays(emb, n_cells))
     for _ in range(iters):
         assign = _assign_to(emb, cents)
-        cents = (
+        cents = _literal_cents(
             emb.join(assign, "vec_id")
             .groupBy("cell")
             .agg(
