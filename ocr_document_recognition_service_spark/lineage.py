@@ -35,6 +35,38 @@ from .pipeline import extract_pages
 SEP = "\x01"
 
 
+def _is_vanished_file_error(exc: Exception) -> bool:
+    """True when *exc* is Spark reporting a scanned file that vanished
+    mid-read — the signature of a rival's dynamic overwrite replacing
+    pid files under our lazy listing.  Matches the structured
+    error-class field first (PySpark 4 ``getCondition`` / older
+    ``getErrorClass`` on AnalysisException/SparkException — stable
+    across versions, unlike message text) and falls back to the
+    message substrings for exception shapes that carry no error class
+    (e.g. a Py4J-wrapped executor SparkException).  The residual
+    window this can't close (rival commits between our read and our
+    append) is closed in production by the documented Iceberg swap
+    (module docstring): atomic snapshot commits instead of
+    append-parquet."""
+    classes = set()
+    for getter in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, getter, None)
+        if callable(fn):
+            try:
+                got = fn()
+            except Exception:
+                got = None
+            if got:
+                classes.add(str(got))
+    vanished = {"FAILED_READ_FILE.FILE_NOT_EXIST", "FAILED_READ_FILE"}
+    if classes & vanished or any(
+        c.startswith("FAILED_READ_FILE") for c in classes
+    ):
+        return True
+    msg = str(exc)
+    return "FAILED_READ_FILE" in msg or "FILE_NOT_EXIST" in msg
+
+
 def snapshot_id_of(input_path: str) -> int:
     """Emulated Iceberg snapshot id: crc32 fingerprint of the sorted
     (relative file name, size) listing of the input dataset."""
@@ -258,7 +290,7 @@ def run_extraction(
         # surface it as the commit-race error (output is unaffected:
         # the rival wrote identical bytes); any other read failure
         # propagates untouched.
-        if "FAILED_READ_FILE" in str(exc) or "FILE_NOT_EXIST" in str(exc):
+        if _is_vanished_file_error(exc):
             try:
                 rivals = (
                     spark.read.parquet(checkpoint_path)

@@ -30,7 +30,7 @@ encoder.  Round-trips assert bounded error plus exact md5 pins on decoded
 bytes.
 
 Reference analog: the loader stage decodes media on ingest
-(modeling_recognizer/src/data/image_loader.py:20-31); the reference has no
+(core/pipelines/loaders/image_loader.py:20-31); the reference has no
 audio path, so scope here is the WAV container the multimodal plumbing
 already parses.
 """

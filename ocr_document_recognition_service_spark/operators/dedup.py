@@ -396,6 +396,12 @@ def simhash_bits(
     corpus × words shuffle).  Values are identical to the grouped form,
     which is what the SQL oracle computes.
     """
+    if n_bits > 63:
+        raise ValueError(
+            f"simhash_bits: n_bits={n_bits} exceeds 63 — the packed "
+            "signature is one signed long; use band_signatures-style "
+            "string bands for wider signatures"
+        )
     staged = docs.select("doc_id", _words().alias("_w")).filter(
         F.size("_w") > 0
     )
@@ -593,17 +599,18 @@ def embedding_dup_pairs(
 
     Scale-safe bucketing is the DEFAULT: when neither *planes* nor
     *n_planes* is given, the hyperplane count is auto-derived as
-    ``planes_for_corpus(n_vectors)`` — from the explicit *n_vectors*
-    when the caller already knows the corpus size (a catalog row
-    count; free), else from one ``emb.count()``.  NOTE: that count is
-    an EAGER Spark job at plan-construction time — if *emb* is derived
-    from an expensive (e.g. UDF-bearing) upstream plan, pass
-    *n_vectors* or persist the input first, or the upstream subtree
-    executes once for the count and again for the returned frame.
-    Expected bucket population then stays ≈64 as N grows instead of
-    N/2^6.  Callers that need a REPRODUCIBLE plan across corpus sizes
-    (the dd5 registry query, whose SQL oracle inlines the plane
-    literals) pass *n_planes* explicitly.
+    ``planes_for_corpus(n_vectors)`` from the REQUIRED explicit
+    *n_vectors* (a catalog row count; free).  Plan construction never
+    runs a hidden Spark job (r6 verdict: the old fallback
+    ``emb.count()`` silently executed the whole upstream subtree —
+    twice, when *emb* carried a UDF stage); a caller that truly
+    doesn't know the corpus size fails loud here and can pass a cheap
+    estimate — bucket sizing only needs the magnitude (n_planes moves
+    one step per 2× error).  Expected bucket population then stays
+    ≈64 as N grows instead of N/2^6.  Callers that need a
+    REPRODUCIBLE plan across corpus sizes (the dd5 registry query,
+    whose SQL oracle inlines the plane literals) pass *n_planes*
+    explicitly.
 
     Candidates = same-bucket pairs from ``similarity.lsh_buckets`` — at
     100 TB the bucket id is the partition key.  With *n_planes* fixed
@@ -627,7 +634,12 @@ def embedding_dup_pairs(
     if planes is None:
         if n_planes is None:
             if n_vectors is None:
-                n_vectors = emb.count()
+                raise ValueError(
+                    "embedding_dup_pairs: pass n_vectors (corpus size "
+                    "or a cheap estimate — catalog row count), or an "
+                    "explicit n_planes/planes; plan construction will "
+                    "not run a hidden full-corpus count() job"
+                )
             n_planes = similarity.planes_for_corpus(n_vectors)
         planes = similarity.hyperplanes(n_planes)
     b = similarity.lsh_buckets(emb, planes)

@@ -8,7 +8,7 @@ JPEG/TIFF/G.711/ADPCM stack.  Coverage is the classic 8-24-bit
 surface; the 32-bit depth RFC 9639 added (and depths like 4-7 bits
 STREAMINFO can express) REJECT cleanly to the stub tier rather than
 decode (the reference loads audio through
-soundfile/ffmpeg — `modeling_recognizer/src/data/image_loader.py:20-31` is the
+soundfile/ffmpeg — `core/pipelines/loaders/image_loader.py:20-31` is the
 loader-stage contract this mirrors for audio payloads).
 
 Decoder surface:

@@ -308,7 +308,7 @@ def decode_wav_samples(
     the compressed codecs.  *parsed* lets a caller that already ran
     ``parse_wav`` skip the second chunk walk (the batched UDF hot
     loop).  Analog of the reference's loader-stage contract
-    (modeling_recognizer/src/data/image_loader.py:20-31) for the audio
+    (core/pipelines/loaders/image_loader.py:20-31) for the audio
     modality: decode-on-ingest, emit per-item stats."""
     import numpy as np
 

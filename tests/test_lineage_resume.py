@@ -229,3 +229,35 @@ def test_contended_commit_rival_adopts_orphans(spark, pages_parquet, tmp_path):
     )
     assert r["partitions_processed"] == 0
     assert lineage.global_md5(spark, out) == want_md5
+
+
+def test_vanished_file_error_classifier():
+    """r6 ADVICE: commit-race detection matches the STRUCTURED Spark
+    error-class field (getCondition/getErrorClass) first, falling back
+    to message substrings only for class-less exception shapes — a
+    reworded message no longer defeats detection."""
+
+    class WithCondition(Exception):
+        def getCondition(self):
+            return "FAILED_READ_FILE.FILE_NOT_EXIST"
+
+    class WithErrorClass(Exception):
+        def getErrorClass(self):
+            return "FAILED_READ_FILE"
+
+    class ClasslessMsg(Exception):
+        pass
+
+    class BrokenGetter(Exception):
+        def getCondition(self):
+            raise RuntimeError("jvm gone")
+
+    assert lineage._is_vanished_file_error(WithCondition("reworded text"))
+    assert lineage._is_vanished_file_error(WithErrorClass("reworded text"))
+    assert lineage._is_vanished_file_error(
+        ClasslessMsg("py4j: ... FILE_NOT_EXIST ...")
+    )
+    assert not lineage._is_vanished_file_error(ClasslessMsg("schema mismatch"))
+    # a broken accessor degrades to the message fallback, never raises
+    assert not lineage._is_vanished_file_error(BrokenGetter("other failure"))
+    assert lineage._is_vanished_file_error(BrokenGetter("FAILED_READ_FILE"))

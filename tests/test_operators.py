@@ -1294,6 +1294,18 @@ def test_simhash_width_for_corpus_scaling():
     assert all(w(n) <= 63 for n in (10, 10**6, 10**12))
 
 
+def test_simhash_bits_rejects_unpackable_width(spark):
+    """r6 ADVICE: n_bits > 63 can't pack into one signed long — the
+    guard fails loud at call time instead of an opaque overflow deep
+    in the plan."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="63"):
+        dedup.simhash_bits(df, n_bits=64)
+    dedup.simhash_bits(df, n_bits=63)  # boundary accepted
+
+
 def test_simhash_near_pairs_bounded_under_skew(spark):
     """N identical docs share every SimHash band value (one mega-bucket
     per band); the index-side cap bounds pairs to <= N * cap while the
@@ -1405,10 +1417,14 @@ def test_planes_for_corpus_scaling():
 
 
 def test_embedding_dup_pairs_auto_planes(spark, monkeypatch):
-    """r4 verdict: scale-safe bucketing is the DEFAULT — with no
-    planes/n_planes given, embedding_dup_pairs derives the hyperplane
-    count via planes_for_corpus from emb.count(), or from an explicit
-    n_vectors with no count scan; the derived count grows with N."""
+    """r6 verdict: scale-safe bucketing is the DEFAULT and plan
+    construction NEVER runs a hidden Spark job — the hyperplane count
+    derives via planes_for_corpus from the required explicit n_vectors
+    (no count scan), and omitting every sizing input fails loud
+    instead of silently executing the upstream subtree."""
+    import pytest
+    from pyspark.sql import DataFrame
+
     seen = []
     real = similarity.planes_for_corpus
 
@@ -1417,6 +1433,10 @@ def test_embedding_dup_pairs_auto_planes(spark, monkeypatch):
         return real(n, **kw)
 
     monkeypatch.setattr(similarity, "planes_for_corpus", spy)
+
+    def no_jobs(self, *a, **kw):  # any eager action during plan build
+        raise AssertionError("plan construction ran a Spark action")
+
     import random as _r
 
     rng = _r.Random(5)
@@ -1425,12 +1445,14 @@ def test_embedding_dup_pairs_auto_planes(spark, monkeypatch):
         for i in range(150)
     ]
     emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
-    out = dedup.embedding_dup_pairs(emb, threshold=0.99)
-    assert seen == [150]  # derived from one count()
-    out.count()  # plan executes
-    seen.clear()
-    dedup.embedding_dup_pairs(emb, n_vectors=10**6, threshold=0.99)
+    with pytest.raises(ValueError, match="n_vectors"):
+        dedup.embedding_dup_pairs(emb, threshold=0.99)
+    monkeypatch.setattr(DataFrame, "count", no_jobs)
+    monkeypatch.setattr(DataFrame, "collect", no_jobs)
+    out = dedup.embedding_dup_pairs(emb, n_vectors=10**6, threshold=0.99)
     assert seen == [10**6]  # caller-supplied size: no count scan
+    monkeypatch.undo()
+    out.count()  # plan still executes
     assert real(1_000) < real(10**6) < real(10**9)
 
 
