@@ -673,6 +673,12 @@ def semantic_dedup(
     iters: int = 2,
     threshold: float = 0.99,
     cell_cap: int | None = LSH_BUCKET_CAP,
+    n_probe: int = 1,
+    *,
+    sample_cap: int | None = None,
+    two_level: bool = False,
+    coarse_probe: int = 2,
+    coarse_iters: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication — k-means the embedding space, then within each
@@ -698,20 +704,44 @@ def semantic_dedup(
     representative — and only pair-level recall among
     non-representatives is truncated (the dd3/dd5/sim3 cap contract).
 
+    *n_probe* > 1 (r6 verdict: dd10 verdict recall 0.933 → the misses
+    are cluster mates split across a cell wall) probes each vector's P
+    nearest cells on the PROBE side only — the index side stays the
+    primary assignment, and since every keeper has exactly one primary
+    cell a (vec, keeper) pair still arises at most once, so the keep
+    rule and the DuckDB twin are unchanged in form.  Recall rises to
+    the multi-probe contract: a mate is found if the keeper's primary
+    cell is among the vector's P nearest.
+
+    *sample_cap* / *two_level* / *coarse_probe* are the r6-verdict
+    at-scale quantizer knobs (sampled Lloyd training, O(√k)-per-row
+    two-level assignment — see ``similarity._kmeans_centroids``);
+    defaults keep the legacy exact contract.
+
     Returns ``(vec_id, cell, dup_of, cosine, is_dup)``: *dup_of* the
     best-scoring keeper (rounded-cosine tie → smallest id) for audit,
-    NULL for kept rows.
+    NULL for kept rows; *cell* is the primary assignment.
 
     ``cells`` feeds two consumers (probe side + capped index), so its
     subtree runs twice — affordable ONLY because the trained centroids
-    arrive as literal rows (``similarity._literal_cents`` inside the
+    arrive materialized (``similarity._materialize_cents`` inside the
     Lloyd loop): the duplicated subtree is a single broadcast-assign
     aggregation, never the whole training chain.
     """
-    cells = similarity.kmeans_cells(emb, n_cells, iters)
+    assign = similarity._kmeans_assigner(
+        emb,
+        n_cells,
+        iters,
+        sample_cap=sample_cap,
+        two_level=two_level,
+        coarse_probe=coarse_probe,
+        coarse_iters=coarse_iters,
+    )
+    cells = assign(1)
+    probes = assign(n_probe) if n_probe > 1 else cells
     idx = similarity.capped_index(cells, ["cell"], "vec_id", cell_cap)
     cand = (
-        cells.alias("a")
+        probes.alias("a")
         .join(
             idx.alias("b"),
             (F.col("a.cell") == F.col("b.cell"))

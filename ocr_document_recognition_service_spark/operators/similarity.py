@@ -22,12 +22,19 @@ unnest-order summation ulps cannot survive the rounding.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 N_PLANES = 8
 EMB_DIM = 64
+
+# centroid frames at or below this k are re-emitted as literal plan
+# nodes (_literal_cents); above it they are persisted and consumed via
+# broadcast joins — a 300k-row literal LocalRelation on the driver is
+# the r6-flagged anti-pattern
+LITERAL_CENTS_MAX = 10_000
 
 
 def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM, seed: int = 7):
@@ -417,25 +424,20 @@ def ivf_topk(
     return _cell_probe_topk(cells, emb, k, cell_cap, probes)
 
 
-def _assign_to(
-    emb: DataFrame, cents: DataFrame, n_probe: int = 1
-) -> DataFrame:
-    """(vec_id, cell): the *n_probe* nearest broadcast centroid arrays
-    by L2 (default 1 = primary assignment), dist2 rounded 6dp, ties by
-    cell asc — deterministic, engine-agnostic."""
-    d2 = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell",
-        F.round(_l2_dist2("embedding", "carr"), 6).alias("dist2"),
-    )
+def _nearest_tail(d2: DataFrame, n_probe: int = 1) -> DataFrame:
+    """Shared tail over (vec_id, cell, dist2) candidate rows: the
+    *n_probe* nearest cells per vector, ties by cell asc.
+
+    n_probe == 1 is an argmin: ONE hash aggregation whose
+    lexicographic min(struct(dist2, cell)) matches the window's
+    (dist2 asc, cell asc) ordering exactly.  Partial aggregation
+    folds the candidate rows MAP-SIDE, so only N rows reach the
+    exchange — the row_number form shuffled and sorted every
+    candidate row (measured: dominated dd10's wall at 100k vectors ×
+    3125 cells, where N×k is 312M rows).  n_probe > 1 keeps the
+    row_number form, which compiles to WindowGroupLimit — a map-side
+    per-vector top-P before the exchange."""
     if n_probe == 1:
-        # primary assignment is an argmin: ONE hash aggregation whose
-        # lexicographic min(struct(dist2, cell)) matches the window's
-        # (dist2 asc, cell asc) ordering exactly.  Partial aggregation
-        # folds the N×k candidate rows MAP-SIDE, so only N rows reach
-        # the exchange — the row_number form shuffled and sorted all
-        # N×k rows (measured: dominated dd10's wall at 100k vectors ×
-        # 3125 cells, where N×k is 312M rows).
         return (
             d2.groupBy("vec_id")
             .agg(F.min(F.struct("dist2", "cell")).alias("_m"))
@@ -451,12 +453,210 @@ def _assign_to(
     )
 
 
+def _assign_to(
+    emb: DataFrame, cents: DataFrame, n_probe: int = 1
+) -> DataFrame:
+    """(vec_id, cell): the *n_probe* nearest broadcast centroid arrays
+    by L2 (default 1 = primary assignment), dist2 rounded 6dp, ties by
+    cell asc — deterministic, engine-agnostic.  FLAT scan: O(k) per
+    row — right for small k; at the at-scale sizing rule k ≈ N/32 use
+    ``_assign_two_level`` (O(√k) per row, r6 verdict)."""
+    d2 = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        F.round(_l2_dist2("embedding", "carr"), 6).alias("dist2"),
+    )
+    return _nearest_tail(d2, n_probe)
+
+
+def hash_order_sample(emb: DataFrame, cap: int) -> DataFrame:
+    """Deterministic unbiased training sample: the *cap* smallest rows
+    by (md5(vec_id), vec_id) — hash order, so the sample is spread
+    uniformly over the corpus regardless of id layout, identical in
+    any engine (ANSI md5 of the decimal id string), and free of RNG.
+    Compiles to TakeOrderedAndProject: a per-partition top-*cap* heap
+    + one driver merge — one linear scan, no shuffle."""
+    return emb.orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    ).limit(cap)
+
+
+def _init_centroids_by_rank(train: DataFrame, n_cells: int) -> DataFrame:
+    """(cell, carr) init centroids for a SAMPLED/derived training set:
+    the *n_cells* smallest vec_ids present, renumbered densely 0..k-1
+    (the legacy ``vec_id < k`` init assumes ids 0..k-1 exist — a
+    hash-order sample has arbitrary ids).  The window runs over an
+    already-LIMITed k-row frame, never the corpus."""
+    first = train.orderBy(F.col("vec_id").asc()).limit(n_cells)
+    w = Window.orderBy(F.col("vec_id").asc())
+    return (
+        first.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias(
+                "carr"
+            ),
+        )
+        .withColumn("cell", (F.row_number().over(w) - 1).cast("long"))
+        .select("cell", "carr")
+    )
+
+
+def _coarse_model(
+    cents: DataFrame,
+    n_cells: int,
+    dim: int = EMB_DIM,
+    coarse_iters: int = 1,
+) -> dict:
+    """Two-level quantizer model over a trained fine-centroid set
+    (r6 verdict: flat assignment is O(k) per row — quadratic overall
+    at the k ≈ N/32 sizing rule).  Groups the k fine centroids into
+    kc = ⌈√k⌉ COARSE cells via a small flat Lloyd run over the
+    centroids themselves (k·kc work — negligible), so assignment
+    becomes coarse-scan + fine-scan-within-probed-coarse-cells: O(√k)
+    per row instead of O(k).
+
+    Returns ``{"coarse_rows": [(ccell, carr)...], "fine_map":
+    (coarse, cell, carr) DataFrame, "n_coarse": kc}`` — coarse
+    centroids as driver-side literals (≤ √k rows, tiny) and the
+    fine→coarse membership for the broadcast candidate join."""
+    n_coarse = max(1, math.ceil(math.sqrt(n_cells)))
+    cents_emb = cents.select(
+        F.col("cell").alias("vec_id"), F.col("carr").alias("embedding")
+    )
+    coarse = _kmeans_centroids(
+        cents_emb, n_coarse, coarse_iters, dim, init_by_rank=True
+    )
+    m = _assign_to(cents_emb, coarse)
+    f2c = m.select(
+        F.col("vec_id").alias("cell"), F.col("cell").alias("coarse")
+    )
+    fine_map = cents.join(f2c, "cell").select("coarse", "cell", "carr")
+    coarse_rows = [
+        (int(r["cell"]), [float(x) for x in r["carr"]])
+        for r in coarse.collect()
+    ]
+    return {
+        "coarse_rows": coarse_rows,
+        "fine_map": fine_map,
+        "n_coarse": n_coarse,
+    }
+
+
+def _assign_two_level(
+    emb: DataFrame,
+    model: dict,
+    n_probe: int = 1,
+    coarse_probe: int = 2,
+) -> DataFrame:
+    """(vec_id, cell): two-level centroid assignment — O(kc +
+    coarse_probe·k/kc) ≈ O(√k) distance evaluations per row instead
+    of the flat O(k) scan.
+
+    Stage 1 (ZERO shuffle, pure codegen): each row's *coarse_probe*
+    nearest coarse centroids via a literal struct-array
+    (round(dist2,6), ccell) sorted in-row — array_sort's
+    lexicographic struct order IS the (dist2 asc, cell asc) contract,
+    so any engine reproduces the probe set.  Probing >1 coarse cells
+    recovers rows whose true fine centroid lives just across a coarse
+    bisector — the same boundary-miss knob as IVF multi-probe;
+    APPROXIMATION: a fine centroid outside every probed coarse cell
+    is unreachable (measured recall at the shipped defaults in
+    BENCH/BASELINE.md "Measured recall at scale").
+
+    Stage 2: explode the probed coarse ids (narrow, ×coarse_probe)
+    and broadcast-join the fine→coarse map — candidates stay
+    map-side; the only exchange is ``_nearest_tail``'s N-row argmin
+    aggregation (or WindowGroupLimit top-P for n_probe > 1)."""
+    coarse_rows = model["coarse_rows"]
+    cp = min(coarse_probe, len(coarse_rows))
+    entries = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _l2_dist2(
+                        "embedding",
+                        F.array(*[F.lit(float(x)) for x in carr]),
+                    ),
+                    6,
+                ).alias("d"),
+                F.lit(int(c)).cast("long").alias("c"),
+            )
+            for c, carr in coarse_rows
+        ]
+    )
+    probed = F.slice(F.array_sort(entries), 1, cp)
+    pr = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.transform(probed, lambda s: s["c"])).alias("coarse"),
+    )
+    d2 = pr.join(F.broadcast(model["fine_map"]), "coarse").select(
+        "vec_id",
+        "cell",
+        F.round(_l2_dist2("embedding", "carr"), 6).alias("dist2"),
+    )
+    return _nearest_tail(d2, n_probe)
+
+
 def kmeans_cells(
-    emb: DataFrame, n_cells: int = 8, iters: int = 2, dim: int = EMB_DIM
+    emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    dim: int = EMB_DIM,
+    *,
+    sample_cap: int | None = None,
+    two_level: bool = False,
+    coarse_probe: int = 2,
+    coarse_iters: int = 1,
 ) -> DataFrame:
     """Lloyd-trained IVF assignment: final (vec_id, cell) under the
-    trained centroids (see ``_kmeans_centroids``)."""
-    return _assign_to(emb, _kmeans_centroids(emb, n_cells, iters, dim))
+    trained centroids (see ``_kmeans_centroids``).  *sample_cap* /
+    *two_level* are the at-scale knobs (r6 verdict): hash-order
+    sampled training input and O(√k)-per-row two-level assignment —
+    defaults keep the exact legacy full-corpus flat contract."""
+    return _kmeans_assigner(
+        emb,
+        n_cells,
+        iters,
+        dim,
+        sample_cap=sample_cap,
+        two_level=two_level,
+        coarse_probe=coarse_probe,
+        coarse_iters=coarse_iters,
+    )(1)
+
+
+def _kmeans_assigner(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    dim: int = EMB_DIM,
+    *,
+    sample_cap: int | None = None,
+    two_level: bool = False,
+    coarse_probe: int = 2,
+    coarse_iters: int = 1,
+):
+    """Train the quantizer ONCE and return ``assign(n_probe)`` — so a
+    consumer needing both the primary assignment and a multi-probe
+    side (semantic_dedup, multi-probe IVF) shares one training run
+    and, in two-level mode, one coarse model."""
+    cents = _kmeans_centroids(
+        emb,
+        n_cells,
+        iters,
+        dim,
+        sample_cap=sample_cap,
+        two_level=two_level,
+        coarse_probe=coarse_probe,
+        coarse_iters=coarse_iters,
+    )
+    if not two_level:
+        return lambda n_probe=1: _assign_to(emb, cents, n_probe)
+    model = _coarse_model(cents, n_cells, dim, coarse_iters)
+    return lambda n_probe=1: _assign_two_level(
+        emb, model, n_probe, coarse_probe
+    )
 
 
 def _literal_cents(cents: DataFrame) -> DataFrame:
@@ -481,41 +681,107 @@ def _literal_cents(cents: DataFrame) -> DataFrame:
     )
 
 
+def _materialize_cents(cents: DataFrame, n_cells: int) -> DataFrame:
+    """Materialize one round's centroid frame so no downstream
+    consumer re-evaluates its lineage: literal rows for k ≤
+    LITERAL_CENTS_MAX (free to re-read, exact double round-trip),
+    else persist + count (r6 verdict: a ~300k-row literal
+    LocalRelation re-embedded on the driver is the wrong shape — the
+    broadcast in the consuming join then ships the persisted
+    partitions instead).  Eviction of a persisted round only costs a
+    recompute, never correctness."""
+    if n_cells <= LITERAL_CENTS_MAX:
+        return _literal_cents(cents)
+    out = cents.persist()
+    out.count()
+    return out
+
+
+def _recenter(train: DataFrame, assign: DataFrame, dim: int) -> DataFrame:
+    """One Lloyd recentering: per-cell mean of the assigned training
+    rows, each coordinate rounded 6dp — ONE wide aggregation (dim
+    per-position avg columns, map-side combine — the MinHash wide-agg
+    trick; no ×dim posexplode of the corpus)."""
+    return (
+        train.join(assign, "vec_id")
+        .groupBy("cell")
+        .agg(
+            *[
+                F.round(
+                    F.avg(F.element_at("embedding", i + 1).cast("double")),
+                    6,
+                ).alias(f"_c{i}")
+                for i in range(dim)
+            ]
+        )
+        .select(
+            "cell",
+            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("carr"),
+        )
+    )
+
+
 def _kmeans_centroids(
-    emb: DataFrame, n_cells: int = 8, iters: int = 2, dim: int = EMB_DIM
+    emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    dim: int = EMB_DIM,
+    *,
+    sample_cap: int | None = None,
+    two_level: bool = False,
+    coarse_probe: int = 2,
+    coarse_iters: int = 1,
+    init_by_rank: bool | None = None,
 ) -> DataFrame:
     """Lloyd-trained centroids: *iters* rounds of assign → mean
     recentering (centroid coordinates rounded 6dp each round so any
-    engine reproduces the trajectory), deterministic first-k init.
-    Each round is one broadcast-assign projection + ONE wide
-    aggregation (dim per-position avg columns, map-side combine — the
-    MinHash wide-agg trick; no ×dim posexplode of the corpus), and
-    each round's result is MATERIALIZED as literal rows
-    (``_literal_cents``) so round r+1 — and every downstream consumer
-    — never re-evaluates round r's lineage.  Returns (cell, carr) as
-    a literal local relation."""
-    cents = _literal_cents(_first_k_centroid_arrays(emb, n_cells))
+    engine reproduces the trajectory), deterministic init.  Each
+    round's result is MATERIALIZED (``_materialize_cents``) so round
+    r+1 — and every downstream consumer — never re-evaluates round
+    r's lineage.  Returns (cell, carr).
+
+    At-scale knobs (r6 verdict — flat full-corpus training is
+    O(N·k·iters), quadratic under the k ≈ N/32 sizing rule):
+
+    - *sample_cap*: train on the ``hash_order_sample`` of that size
+      instead of the corpus — Lloyd quality needs O(k·constant)
+      points, not N; the sample is persisted for the training rounds
+      and unpersisted before return.  Init switches to dense-rank
+      (``_init_centroids_by_rank``) since the sample's ids are
+      arbitrary; pass *init_by_rank* explicitly to override.
+    - *two_level*: each training round assigns via
+      ``_assign_two_level`` over a coarse model re-derived from that
+      round's centroids — O(√k) per training row.
+
+    Defaults (None/False) keep the exact legacy contract: full-corpus
+    flat rounds, first-k ``vec_id < k`` init — the dd10/sim5/sim6
+    oracle trajectories are byte-identical."""
+    if init_by_rank is None:
+        init_by_rank = sample_cap is not None
+    train = emb
+    handle = None
+    if sample_cap is not None:
+        train = hash_order_sample(emb, sample_cap).persist()
+        train.count()
+        handle = train
+    init = (
+        _init_centroids_by_rank(train, n_cells)
+        if init_by_rank
+        else _first_k_centroid_arrays(train, n_cells)
+    )
+    cents = _materialize_cents(init, n_cells)
     for _ in range(iters):
-        assign = _assign_to(emb, cents)
-        cents = _literal_cents(
-            emb.join(assign, "vec_id")
-            .groupBy("cell")
-            .agg(
-                *[
-                    F.round(
-                        F.avg(
-                            F.element_at("embedding", i + 1).cast("double")
-                        ),
-                        6,
-                    ).alias(f"_c{i}")
-                    for i in range(dim)
-                ]
+        if two_level:
+            assign = _assign_two_level(
+                train,
+                _coarse_model(cents, n_cells, dim, coarse_iters),
+                coarse_probe=coarse_probe,
             )
-            .select(
-                "cell",
-                F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("carr"),
-            )
-        )
+        else:
+            assign = _assign_to(train, cents)
+        cents = _materialize_cents(_recenter(train, assign, dim), n_cells)
+    if handle is not None:
+        handle.unpersist()
     return cents
 
 
@@ -526,15 +792,28 @@ def ivf_kmeans_topk(
     k: int = 1,
     cell_cap: int | None = CELL_CAP,
     n_probe: int = 1,
+    *,
+    sample_cap: int | None = None,
+    two_level: bool = False,
+    coarse_probe: int = 2,
+    coarse_iters: int = 1,
 ) -> DataFrame:
     """IVF probe over Lloyd-trained cells — sim4's probe with trained
     centroids instead of the first-k quantizer; *n_probe* > 1 probes
-    the P nearest trained cells (multi-probe recall knob)."""
-    cents = _kmeans_centroids(emb, n_cells, iters)
-    cells = _assign_to(emb, cents)
-    probes = (
-        _assign_to(emb, cents, n_probe) if n_probe > 1 else None
+    the P nearest trained cells (multi-probe recall knob).
+    *sample_cap*/*two_level* are the r6-verdict at-scale quantizer
+    knobs (see ``_kmeans_centroids``)."""
+    assign = _kmeans_assigner(
+        emb,
+        n_cells,
+        iters,
+        sample_cap=sample_cap,
+        two_level=two_level,
+        coarse_probe=coarse_probe,
+        coarse_iters=coarse_iters,
     )
+    cells = assign(1)
+    probes = assign(n_probe) if n_probe > 1 else None
     return _cell_probe_topk(cells, emb, k, cell_cap, probes)
 
 

@@ -1770,6 +1770,290 @@ def dd10_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- SQL generators for the r7 quantizer contracts ------------------
+# The sampled-training / two-level-assignment paths (r6 verdict item
+# 1) have deep but fully mechanical ANSI-SQL twins: a Lloyd run is a
+# repeated (distance, argmin, recenter) CTE block, and a two-level
+# assignment is a nested Lloyd over the centroid set plus a
+# coarse-probe/fine-argmin block.  Generating the CTE chains keeps the
+# Spark plan and the oracle in lock-step from ONE parameterization
+# instead of hand-maintained 150-line SQL.  All names are prefixed so
+# blocks compose; every distance is round(…, 6) and every recenter
+# round(avg, 6) — the engine-agnostic trajectory contract.
+
+
+def _sql_assign_two_level(
+    p: str,
+    src: str,
+    cents: str,
+    kc: int,
+    coarse_iters: int,
+    coarse_probe: int,
+    n_probe: int,
+) -> tuple[str, str]:
+    """CTEs assigning rows of flat *src* (vec_id, pos, x) to the fine
+    centroid CTE *cents* (cell, cpos, cx) under the two-level contract
+    (similarity._assign_two_level + _coarse_model): coarse = a flat
+    rank-init Lloyd over the centroids themselves, rows probe their
+    *coarse_probe* nearest coarse cells, fine argmin within.  Returns
+    (sql_fragment, assignment_cte) with (vec_id, cell) rows."""
+    frags = []
+    cv = f"{p}cv"
+    frags.append(
+        f"{cv} AS (SELECT cell AS vec_id, cpos AS pos, cx AS x FROM {cents})"
+    )
+    lloyd_sql, co = _sql_lloyd_flat(f"{p}k", cv, kc, coarse_iters, True)
+    frags.append(lloyd_sql)
+    frags.append(
+        f"""{p}md AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM {cv} f JOIN {co} c ON f.pos = c.cpos GROUP BY 1, 2)"""
+    )
+    frags.append(
+        f"""{p}f2c AS (
+      SELECT vec_id AS cell, cell AS coarse FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cell ASC) AS rn FROM {p}md) WHERE rn = 1)"""
+    )
+    frags.append(
+        f"""{p}rd AS (
+      SELECT f.vec_id, c.cell AS ccell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM {src} f JOIN {co} c ON f.pos = c.cpos GROUP BY 1, 2)"""
+    )
+    frags.append(
+        f"""{p}pr AS (
+      SELECT vec_id, ccell FROM (
+        SELECT vec_id, ccell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, ccell ASC) AS rn FROM {p}rd)
+      WHERE rn <= {coarse_probe})"""
+    )
+    frags.append(
+        f"""{p}fd AS (
+      SELECT cd.vec_id, cd.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM (SELECT p2.vec_id, m.cell
+            FROM {p}pr p2 JOIN {p}f2c m ON m.coarse = p2.ccell) cd
+      JOIN {src} f ON f.vec_id = cd.vec_id
+      JOIN {cents} c ON c.cell = cd.cell AND c.cpos = f.pos
+      GROUP BY 1, 2)"""
+    )
+    frags.append(
+        f"""{p}a AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cell ASC) AS rn FROM {p}fd)
+      WHERE rn <= {n_probe})"""
+    )
+    return ",\n    ".join(frags), f"{p}a"
+
+
+def _sql_lloyd_flat(
+    p: str,
+    src: str,
+    k: int,
+    iters: int,
+    init_rank: bool,
+    two_level: bool = False,
+    kc: int | None = None,
+    coarse_iters: int = 1,
+    coarse_probe: int = 2,
+) -> tuple[str, str]:
+    """CTE chain for a Lloyd run over flat *src* (vec_id, pos, x):
+    emits {p}c0..{p}c{iters} centroid CTEs as (cell, cpos, cx) and
+    returns (sql_fragment, final_cents_cte).  *init_rank* renumbers
+    the k smallest vec_ids densely 0..k-1 (sampled-path init —
+    similarity._init_centroids_by_rank); False is the legacy
+    ``vec_id < k`` init.  *two_level* makes each round's assignment
+    use the two-level contract (training at scale)."""
+    frags = []
+    if init_rank:
+        frags.append(
+            f"""{p}ids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+      FROM (SELECT DISTINCT vec_id FROM {src} ORDER BY vec_id LIMIT {k}))"""
+        )
+        frags.append(
+            f"""{p}c0 AS (
+      SELECT i.cell, f.pos AS cpos, f.x AS cx
+      FROM {p}ids i JOIN {src} f USING (vec_id))"""
+        )
+    else:
+        frags.append(
+            f"{p}c0 AS (SELECT vec_id AS cell, pos AS cpos, x AS cx "
+            f"FROM {src} WHERE vec_id < {k})"
+        )
+    cents = f"{p}c0"
+    for r in range(1, iters + 1):
+        if two_level:
+            sql2, a = _sql_assign_two_level(
+                f"{p}r{r}", src, cents, kc, coarse_iters, coarse_probe, 1
+            )
+            frags.append(sql2)
+        else:
+            frags.append(
+                f"""{p}d{r} AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM {src} f JOIN {cents} c ON f.pos = c.cpos GROUP BY 1, 2)"""
+            )
+            frags.append(
+                f"""{p}a{r} AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cell ASC) AS rn FROM {p}d{r}) WHERE rn = 1)"""
+            )
+            a = f"{p}a{r}"
+        frags.append(
+            f"""{p}c{r} AS (
+      SELECT a.cell, f.pos AS cpos, round(avg(f.x), 6) AS cx
+      FROM {src} f JOIN {a} a USING (vec_id) GROUP BY 1, 2)"""
+        )
+        cents = f"{p}c{r}"
+    return ",\n    ".join(frags), cents
+
+
+def _sim7_sql() -> str:
+    """sim7 oracle: hash-order sample of 200, 16 cells, 1 two-level
+    training round, two-level final assignment (coarse_probe=2,
+    kc=⌈√16⌉=4), then the sim5 probe tail (cap 64, top-1)."""
+    train_sql, tc = _sql_lloyd_flat(
+        "t", "tflat", 16, 1, True, two_level=True, kc=4
+    )
+    fin_sql, fina = _sql_assign_two_level("z", "flat", tc, 4, 1, 2, 1)
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::double AS x
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
+    samp AS (
+      SELECT vec_id FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 200
+    ),
+    tflat AS (
+      SELECT f.vec_id, f.pos, f.x FROM flat f JOIN samp s USING (vec_id)
+    ),
+    {train_sql},
+    {fin_sql},
+    cells AS (SELECT vec_id, cell FROM {fina}),
+    cidx AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS rn
+        FROM cells
+      ) WHERE rn <= 64
+    ),
+    cand AS (
+      SELECT qa.vec_id AS query_id, qb.vec_id AS neighbor_id
+      FROM cells qa JOIN cidx qb
+        ON qa.cell = qb.cell AND qa.vec_id <> qb.vec_id
+    ),
+    dots AS (
+      SELECT c.query_id, c.neighbor_id, sum(fa.x * fb.x) AS dot
+      FROM cand c JOIN flat fa ON fa.vec_id = c.query_id
+                  JOIN flat fb ON fb.vec_id = c.neighbor_id
+                              AND fb.pos = fa.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nn.nrm), 4) AS cosine
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nn ON neighbor_id = nn.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 1
+    """
+
+
+@_reg(
+    "dd11_semdedup_probe2",
+    """
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::double AS x
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
+    c0 AS (SELECT vec_id AS cell, pos AS cpos, x AS cx FROM flat WHERE vec_id < 8),
+    d1 AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM flat f JOIN c0 c ON f.pos = c.cpos GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist2 ASC, cell ASC) AS rn FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a.cell, f.pos AS cpos, round(avg(f.x), 6) AS cx
+      FROM flat f JOIN a1 a USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM flat f JOIN c1 c ON f.pos = c.cpos GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist2 ASC, cell ASC) AS rn FROM d2
+    ),
+    cells AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= 2),
+    cidx AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS rn
+        FROM cells
+      ) WHERE rn <= 64
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS keeper
+      FROM probes a JOIN cidx b
+        ON a.cell = b.cell AND a.vec_id > b.vec_id
+    ),
+    dots AS (
+      SELECT p.vec_id, p.keeper, sum(fa.x * fb.x) AS dot
+      FROM pairs p JOIN flat fa ON fa.vec_id = p.vec_id
+                   JOIN flat fb ON fb.vec_id = p.keeper
+                               AND fb.pos = fa.pos
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dots.vec_id, dots.keeper,
+             round(dot / (na.nrm * nb.nrm), 4) AS cosine
+      FROM dots JOIN norms na ON dots.vec_id = na.vec_id
+                JOIN norms nb ON dots.keeper = nb.vec_id
+    ),
+    best AS (
+      SELECT vec_id, keeper AS dup_of, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY cosine DESC, keeper ASC) AS rn
+        FROM scored WHERE cosine >= 0.3
+      ) WHERE rn = 1
+    )
+    SELECT c.vec_id, c.cell, b.dup_of, b.cosine,
+           b.dup_of IS NOT NULL AS is_dup
+    FROM cells c LEFT JOIN best b ON c.vec_id = b.vec_id
+    """,
+    "SemDeDup with probe-side multi-assignment (r6 verdict: recall "
+    "0.933's misses were cluster mates split across a cell wall) — "
+    "each vector also searches its 2nd-nearest cell for smaller-id "
+    "keepers; index side stays the primary assignment so pairs emit "
+    "once and the min-id keep rule is unchanged",
+)
+def dd11_semdedup_probe2(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.semantic_dedup(
+        load(spark, sf, "embeddings").repartition(16),
+        n_cells=8,
+        iters=1,
+        threshold=0.3,
+        cell_cap=64,
+        n_probe=2,
+    )
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
@@ -2115,6 +2399,31 @@ def sim6_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivf_topk(
         load(spark, sf, "embeddings"), n_cells=8, k=1, cell_cap=64,
         n_probe=2,
+    )
+
+
+@_reg(
+    "sim7_ivf_twolevel",
+    _sim7_sql(),
+    "IVF with the r7 at-scale quantizer: Lloyd trained on a 200-row "
+    "hash-order sample (md5 order — engine-agnostic, no RNG), "
+    "two-level assignment (4 coarse cells over 16 fine, coarse_probe "
+    "2 — O(sqrt k) distance evals per row instead of O(k)); probe "
+    "tail = sim5's (cap 64, top-1).  The oracle SQL is generated from "
+    "the same parameterization as the Spark plan (_sql_lloyd_flat / "
+    "_sql_assign_two_level)",
+)
+def sim7_ivf_twolevel(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ivf_kmeans_topk(
+        load(spark, sf, "embeddings"),
+        n_cells=16,
+        iters=1,
+        k=1,
+        cell_cap=64,
+        sample_cap=200,
+        two_level=True,
+        coarse_probe=2,
+        coarse_iters=1,
     )
 
 
@@ -3192,61 +3501,56 @@ def x_video_frames(spark: SparkSession, sf: str) -> DataFrame:
 # q12/q18 ~ q1/q3, f4/f6 ~ f5, ev2/ev3/ev6 ~ ev7, ta1/ta3/ta5 ~
 # ta2/ta4, a1 ⊂ a2), and (c) the redundant TPC-H variants.  Every
 # operator family keeps at least one in-window representative.
-# Round-6 rotation (r5 verdict #6: staleness-driven): IN comes
-# everything whose last driver row is r2-or-older plus the
-# never-certified sim6 (sim6, ev1, dd0, dd4, sim2, sim4, w8, q7, q10,
-# q13, q14, q16); OUT go 12 r4/r5-green rows whose families stay
-# represented (x_extract_lang_rollup, x_curate_corpus, x_media_meta,
-# ta6-ta9, ev7, w2, w4, f8, s2).  The three multimodal showcases whose
-# schemas/pins CHANGED this round (x_audio_meta, x_video_frames,
-# x_image_pixels) stay in for re-certification, as do x_extract_pages
-# (flagship) and x_warc_extract (reader changed r6).
+# Round-7 rotation (r6 verdict #4: staleness-driven): IN come the
+# stalest never-recently-hashed rows (q4/q6/q12 last driver row r1-r3;
+# ev2/ev3, f1/f4, a1, ta1/ta3/ta7, w4 likewise) plus the two NEW r7
+# queries for first-time certification (dd11 probe-2 SemDeDup, sim7
+# sampled/two-level IVF).  OUT go 14 freshly-r6-certified rows whose
+# families stay represented: q5/q7/q10/q13/q14/q16 (TPC-H agg/join ~
+# q1/q3/q4/q6/q12), ev1 (~q1 shape)/ev5 (as-of stays via ev4), the
+# pipeline-stage subsets dd0⊂dd1, dd4⊂dd7, sim2⊂sim3, sim4⊂sim5,
+# sim1 (brute baseline — contract-checked in overflow), and w8 (~w1
+# frame shape).  q17/q19/ev7/f8/ta6/dd2/dd6/w2 were judge
+# contract-verified in r6 and stay overflow.
 # ---------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # relational core + the stale-family rotation (q7/q10/q13/q14/q16
-    # last certified r2)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q7_volume_shipping", "q10_returned_items", "q13_order_distribution",
-    "q14_promo_share", "q16_parts_supplier_cnt",
+    # relational core (q4/q6/q12 back in — last driver row r1-r3)
+    "q1_pricing_summary", "q3_shipping_priority", "q4_late_orders",
+    "q6_forecast_revenue", "q12_priority_mix",
     # extraction + multimodal showcases: flagship, the r6-changed
     # decoders (audio PCM / MJPEG video / G3 fax pins), and the
     # r6-changed WARC reader
     "x_extract_pages", "x_warc_extract", "x_audio_meta",
     "x_image_pixels", "x_video_frames",
-    # text analysis (ta6-ta9 rotated out r6 — family covered by
-    # ta2/ta4/ta10)
-    "ta2_quality_score", "ta4_token_stats", "ta10_decontaminate",
+    # text analysis (ta1/ta3/ta7 back in — stale since r3)
+    "ta1_script_counts", "ta2_quality_score", "ta3_fingerprints",
+    "ta4_token_stats", "ta7_repetition", "ta10_decontaminate",
     # label sources
     "lab1_yolo_boxes",
-    # events / advanced relational (ev7 out r6; ev1 back in — last
-    # driver row was ROUND 1)
-    "ev0_json_props", "ev1_hourly_rollup", "ev4_asof_join",
-    "ev5_range_join",
-    # filters & scalar functions (f8 out r6 — base64 round-trip is
-    # also exercised by the showcase payload paths)
-    "f2_dim_filter", "f3_token_len_filter",
-    "f5_homoglyph_translate", "f9_top_orders",
-    # accuracy metrics
-    "a2_best_match", "a3_eval_report", "a9_match_report",
+    # events / advanced relational (ev2/ev3 back in — stale; ev4 keeps
+    # the as-of shape in-window)
+    "ev0_json_props", "ev2_rollup", "ev3_pivot", "ev4_asof_join",
+    # filters & scalar functions (f1/f4 back in — stale since r4)
+    "f1_vocab_filter", "f2_dim_filter", "f3_token_len_filter",
+    "f4_whitespace_norm", "f5_homoglyph_translate", "f9_top_orders",
+    # accuracy metrics (a1 back in — stale since r3)
+    "a1_iou", "a2_best_match", "a3_eval_report", "a9_match_report",
     "a10_ap_report",
-    # window operators (w2/w4 out r6; w8 back in — r2)
-    "w1_event_rank", "w6_sessionize", "w7_sorted_zip",
-    "w8_sliding_stats",
-    # set operations (s2 out r6 — same EXCEPT/INTERSECT shape as s1)
+    # window operators (w4 back in — stale since r4)
+    "w1_event_rank", "w4_balanced_sample", "w6_sessionize",
+    "w7_sorted_zip",
+    # set operations
     "s1_customers_no_urgent",
-    # dedup family (dd0/dd4 back in — r2; dd9 NEW r6; dd10 NEW late-r6
-    # — first-time certification outranks dd2, whose verify-over-
-    # candidates shape stays represented by dd10 itself and by dd6 in
-    # the overflow)
-    "dd0_dedup_apply", "dd1_exact", "dd10_semdedup",
-    "dd3_minhash_lsh", "dd4_simhash", "dd5_embedding_dup",
-    "dd9_segment_dedup", "dd7_simhash_near", "dd8_components",
-    # similarity / embeddings (sim2/sim4 back in — r2; sim6 first-ever
-    # driver certification)
-    "sim1_topk_cosine", "sim2_lsh_buckets", "sim3_lsh_topk",
-    "sim4_ivf_topk", "sim5_ivf_kmeans_topk", "sim6_ivf_multiprobe",
-    "emb1_norm_quantize",
+    # dedup family (dd11 NEW r7 — probe-side multi-assignment SemDeDup,
+    # first-time certification)
+    "dd1_exact", "dd3_minhash_lsh", "dd5_embedding_dup",
+    "dd7_simhash_near", "dd8_components", "dd9_segment_dedup",
+    "dd10_semdedup", "dd11_semdedup_probe2",
+    # similarity / embeddings (sim7 NEW r7 — sampled training +
+    # two-level assignment, first-time certification)
+    "sim3_lsh_topk", "sim5_ivf_kmeans_topk", "sim6_ivf_multiprobe",
+    "sim7_ivf_twolevel", "emb1_norm_quantize",
 ]
 
 

@@ -1488,6 +1488,187 @@ def test_contamination_flags_ngram_semantics(spark):
     assert out[5] == (2, True)   # occurrence count, not boolean
 
 
+def test_semantic_dedup_probe2_recovers_cell_wall_split(spark):
+    """r6 verdict: dd10's recall misses are cluster mates split across
+    a cell wall.  Constructed geometry (iters=0 keeps the first-k
+    quantizer): cells are the axis units e0..e7; vector 8 =
+    0.6e0+0.55e1 lands in cell 0, its near-dup mate 9 = 0.55e0+0.6e1
+    (cosine ≈ 0.996) lands in cell 1.  probe=1 cannot see the pair;
+    n_probe=2 probes vector 9's runner-up cell 0 and flags it as
+    dup_of 8 — index side stays primary, so kept rows are unchanged."""
+
+    def axis(i, a=1.0):
+        v = [0.0] * 64
+        v[i] = a
+        return v
+
+    def mix(i, j, a, b):
+        v = [0.0] * 64
+        v[i], v[j] = a, b
+        return v
+
+    rows = [(i, axis(i)) for i in range(8)]
+    rows.append((8, mix(0, 1, 0.6, 0.55)))
+    rows.append((9, mix(0, 1, 0.55, 0.6)))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    p1 = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(
+            emb, n_cells=8, iters=0, threshold=0.99
+        ).collect()
+    }
+    p2 = {
+        r["vec_id"]: r
+        for r in dedup.semantic_dedup(
+            emb, n_cells=8, iters=0, threshold=0.99, n_probe=2
+        ).collect()
+    }
+    assert not p1[9]["is_dup"]                      # blind across the wall
+    assert p2[9]["is_dup"] and p2[9]["dup_of"] == 8  # multi-probe sees it
+    assert p2[9]["cell"] == p1[9]["cell"]            # primary cell reported
+    # monotone: probe2's dup set contains probe1's (candidate superset)
+    d1 = {v for v, r in p1.items() if r["is_dup"]}
+    d2 = {v for v, r in p2.items() if r["is_dup"]}
+    assert d1 <= d2
+
+
+def test_two_level_assignment_exact_when_coarse_covers(spark):
+    """Two-level assignment with coarse_probe ≥ n_coarse degenerates
+    to the flat scan EXACTLY (every fine cell reachable), on arbitrary
+    data — so the approximation is isolated to coarse truncation, and
+    the k ≤ coarse_probe·k/kc regime is safe to switch over."""
+    import random as _r
+
+    rng = _r.Random(77)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    flat = {
+        (r["vec_id"], r["cell"])
+        for r in similarity.kmeans_cells(emb, n_cells=4, iters=1).collect()
+    }
+    # n_cells=4 → n_coarse=2; coarse_probe=2 probes both coarse cells
+    two = {
+        (r["vec_id"], r["cell"])
+        for r in similarity.kmeans_cells(
+            emb, n_cells=4, iters=1, two_level=True, coarse_probe=2
+        ).collect()
+    }
+    assert flat == two
+
+
+def test_two_level_matches_flat_on_separated_clusters(spark):
+    """With truncation ACTIVE (9 fine cells → 3 coarse, probe 2) and
+    well-separated clusters, each vector's true centroid is inside its
+    nearest coarse cell, so the two-level assignment equals the flat
+    scan — the approximation only bites genuinely ambiguous rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(0, 1, (9, 64)) * 10  # far apart
+    rows = []
+    vid = 0
+    # interleave clusters so the first-9 init gets one representative
+    # per cluster (a prefix-only init would stack 9 near-identical
+    # centroids and make nearest-centroid ties meaningless)
+    for _ in range(12):
+        for c in range(9):
+            v = centers[c] + rng.normal(0, 0.01, 64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    flat = {
+        (r["vec_id"], r["cell"])
+        for r in similarity.kmeans_cells(emb, n_cells=9, iters=1).collect()
+    }
+    two = {
+        (r["vec_id"], r["cell"])
+        for r in similarity.kmeans_cells(
+            emb, n_cells=9, iters=1, two_level=True, coarse_probe=2
+        ).collect()
+    }
+    assert flat == two
+
+
+def test_hash_order_sample_contract(spark):
+    """The training sample is the cap smallest ids by
+    (md5(str(id)), id) — deterministic, engine-agnostic (matches
+    hashlib), and spread over the corpus rather than prefix-biased."""
+    import hashlib
+
+    n, cap = 500, 50
+    rows = [(i, [float(i % 7)] * 4) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    got = [
+        r["vec_id"]
+        for r in similarity.hash_order_sample(emb, cap).collect()
+    ]
+    want = sorted(
+        range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:cap]
+    assert got == want
+    # unbiased spread: not the id prefix, and touches the top half
+    assert got != list(range(cap))
+    assert any(v >= n // 2 for v in got)
+
+
+def test_sampled_training_deterministic_and_offplan(spark):
+    """sample_cap trains Lloyd on the hash-order sample only: results
+    are deterministic across runs, every vector still gets assigned,
+    and shrinking the sample changes training input (different
+    centroids) without breaking the assignment contract."""
+    import random as _r
+
+    rng = _r.Random(3)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)])
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.kmeans_cells(
+            emb, n_cells=8, iters=1, sample_cap=80
+        ).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.kmeans_cells(
+            emb, n_cells=8, iters=1, sample_cap=80
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == 200  # full corpus assigned, training was sampled
+
+
+def test_materialize_cents_persisted_path_equal(spark, monkeypatch):
+    """k > LITERAL_CENTS_MAX switches centroid materialization from
+    literal rows to persist+broadcast (r6 verdict: no 300k-row literal
+    on the driver); forcing the persisted path must not change a
+    single assignment."""
+    import random as _r
+
+    rng = _r.Random(13)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)])
+        for i in range(100)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    lit = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.kmeans_cells(emb, n_cells=8, iters=2).collect()
+    )
+    monkeypatch.setattr(similarity, "LITERAL_CENTS_MAX", 0)
+    per = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.kmeans_cells(emb, n_cells=8, iters=2).collect()
+    )
+    assert lit == per
+
+
 def test_ivf_multiprobe_recovers_boundary_misses(spark):
     """r4 verdict: probe=1 IVF misses a true nearest neighbor that sits
     just across a cell bisector; n_probe=2 probes the runner-up cell
