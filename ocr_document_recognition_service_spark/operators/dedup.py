@@ -679,6 +679,7 @@ def semantic_dedup(
     two_level: bool = False,
     coarse_probe: int = 2,
     coarse_iters: int = 1,
+    engine: str = "codegen",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication — k-means the embedding space, then within each
@@ -736,6 +737,7 @@ def semantic_dedup(
         two_level=two_level,
         coarse_probe=coarse_probe,
         coarse_iters=coarse_iters,
+        engine=engine,
     )
     cells = assign(1)
     probes = assign(n_probe) if n_probe > 1 else cells

@@ -520,9 +520,14 @@ def _coarse_model(
     centroids as driver-side literals (≤ √k rows, tiny) and the
     fine→coarse membership for the broadcast candidate join."""
     n_coarse = max(1, math.ceil(math.sqrt(n_cells)))
+    # the k-row centroid frame arrives AQE-coalesced to 1-2 partitions
+    # (17 MB at k=31k); the k×kc interpreted-HOF crossJoins below then
+    # run near-single-core (MEASURED: minutes at 1M×31k cells) — fan
+    # it back out first
+    par = cents.sparkSession.sparkContext.defaultParallelism
     cents_emb = cents.select(
         F.col("cell").alias("vec_id"), F.col("carr").alias("embedding")
-    )
+    ).repartition(par, "vec_id")
     coarse = _kmeans_centroids(
         cents_emb, n_coarse, coarse_iters, dim, init_by_rank=True
     )
@@ -530,7 +535,13 @@ def _coarse_model(
     f2c = m.select(
         F.col("vec_id").alias("cell"), F.col("cell").alias("coarse")
     )
-    fine_map = cents.join(f2c, "cell").select("coarse", "cell", "carr")
+    # fine_map feeds every assignment call sharing this model (primary
+    # + probe side + training round) — persist so the k×kc argmin
+    # chain above it evaluates ONCE, not per consumer
+    fine_map = (
+        cents.join(f2c, "cell").select("coarse", "cell", "carr").persist()
+    )
+    fine_map.count()
     coarse_rows = [
         (int(r["cell"]), [float(x) for x in r["carr"]])
         for r in coarse.collect()
@@ -547,6 +558,7 @@ def _assign_two_level(
     model: dict,
     n_probe: int = 1,
     coarse_probe: int = 2,
+    engine: str = "codegen",
 ) -> DataFrame:
     """(vec_id, cell): two-level centroid assignment — O(kc +
     coarse_probe·k/kc) ≈ O(√k) distance evaluations per row instead
@@ -566,29 +578,61 @@ def _assign_two_level(
     Stage 2: explode the probed coarse ids (narrow, ×coarse_probe)
     and broadcast-join the fine→coarse map — candidates stay
     map-side; the only exchange is ``_nearest_tail``'s N-row argmin
-    aggregation (or WindowGroupLimit top-P for n_probe > 1)."""
+    aggregation (or WindowGroupLimit top-P for n_probe > 1).
+
+    Expression shape matters (MEASURED): kc separate copies of the
+    dist2 fold (one aggregate-HOF per coarse centroid in one
+    projection) drove Catalyst planning + codegen super-linear — the
+    56-centroid probe sat >8 min in the DRIVER before launching a
+    job.  The shipped form is ONE transform lambda over a literal
+    array-of-arrays (kc × dim literals but a single lambda body),
+    staged as a column before the explode so no consumer duplicates
+    it — planning is milliseconds and the per-row work is the same
+    kc·dim fused fold.
+
+    *engine*: "codegen" (default) is the ORACLE-contract reference —
+    pure built-in expressions, the exact arithmetic the generated SQL
+    twin reproduces.  "arrow" is the measured fast path for bench
+    scale (``_assign_two_level_arrow``): higher-order-function
+    distance folds evaluate INTERPRETED in Spark (CodegenFallback —
+    jstack showed ArrayAggregate.eval dominating the assignment
+    stages), ~10-30 µs per candidate row; the Arrow engine does the
+    same math as numpy batch operations.  Equality of the two engines
+    is pinned by ``test_two_level_engine_parity``."""
+    if engine == "arrow":
+        return _assign_two_level_arrow(emb, model, n_probe, coarse_probe)
     coarse_rows = model["coarse_rows"]
     cp = min(coarse_probe, len(coarse_rows))
-    entries = F.array(
+    cents_lit = F.array(
         *[
-            F.struct(
-                F.round(
-                    _l2_dist2(
-                        "embedding",
-                        F.array(*[F.lit(float(x)) for x in carr]),
-                    ),
-                    6,
-                ).alias("d"),
-                F.lit(int(c)).cast("long").alias("c"),
-            )
-            for c, carr in coarse_rows
+            F.array(*[F.lit(float(x)) for x in carr])
+            for _c, carr in coarse_rows
         ]
     )
-    probed = F.slice(F.array_sort(entries), 1, cp)
-    pr = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(F.transform(probed, lambda s: s["c"])).alias("coarse"),
+    ccells_lit = F.array(
+        *[F.lit(int(c)).cast("long") for c, _carr in coarse_rows]
+    )
+    d_arr = F.transform(
+        cents_lit, lambda carr: F.round(_l2_dist2("embedding", carr), 6)
+    )
+    entries = F.zip_with(
+        d_arr,
+        ccells_lit,
+        lambda d, c: F.struct(d.alias("d"), c.alias("c")),
+    )
+    pr = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.slice(F.array_sort(entries), 1, cp).alias("_probed"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.transform("_probed", lambda s: s["c"])).alias(
+                "coarse"
+            ),
+        )
     )
     d2 = pr.join(F.broadcast(model["fine_map"]), "coarse").select(
         "vec_id",
@@ -596,6 +640,88 @@ def _assign_two_level(
         F.round(_l2_dist2("embedding", "carr"), 6).alias("dist2"),
     )
     return _nearest_tail(d2, n_probe)
+
+
+def _assign_two_level_arrow(
+    emb: DataFrame,
+    model: dict,
+    n_probe: int = 1,
+    coarse_probe: int = 2,
+) -> DataFrame:
+    """Vectorized twin of the codegen two-level assignment — the
+    SAME contract (dist2 = Σ(x−c)² in double, rounded 6dp HALF_UP,
+    ties by cell asc), evaluated as numpy batch operations inside
+    ``mapInPandas`` instead of interpreted ArrayAggregate folds.
+    MEASURED motivation: the HOF distance folds are CodegenFallback —
+    interpreted, ~10-30 µs per candidate row — and dominate the
+    assignment stages at bench scale; numpy does the identical
+    arithmetic ~100× faster.  Engine equality is pinned by
+    ``test_two_level_engine_parity``; the ORACLE registry queries keep
+    the codegen engine so the SQL twins stay the reference.
+
+    The model ships to executors via the task closure: coarse
+    centroids (kc ≤ √k rows) plus the fine→coarse groups (k rows —
+    collected once on the driver; at k beyond ~1M switch the fine
+    stage back to the broadcast-join form)."""
+    import numpy as np
+
+    coarse_rows = model["coarse_rows"]
+    cp = min(coarse_probe, len(coarse_rows))
+    C = np.array([carr for _c, carr in coarse_rows], dtype=np.float64)
+    ccells = np.array([c for c, _carr in coarse_rows], dtype=np.int64)
+    by_coarse: dict[int, tuple] = {}
+    for r in model["fine_map"].collect():
+        by_coarse.setdefault(int(r["coarse"]), []).append(
+            (int(r["cell"]), r["carr"])
+        )
+    by_coarse = {
+        g: (
+            np.array([c for c, _ in rows], dtype=np.int64),
+            np.array([v for _, v in rows], dtype=np.float64),
+        )
+        for g, rows in by_coarse.items()
+    }
+
+    def _round6(a: "np.ndarray") -> "np.ndarray":
+        # HALF_UP for the non-negative dist2 domain (numpy's round is
+        # half-even; Spark/DuckDB round half-up)
+        return np.floor(a * 1e6 + 0.5) / 1e6
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            ids = pdf["vec_id"].to_numpy()
+            Dc = _round6(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1))
+            out_ids, out_cells = [], []
+            for i in range(len(ids)):
+                probe_order = np.lexsort((ccells, Dc[i]))[:cp]
+                cand_cells, cand_d = [], []
+                for g in ccells[probe_order]:
+                    grp = by_coarse.get(int(g))
+                    if grp is None:
+                        continue
+                    gc, gv = grp
+                    cand_cells.append(gc)
+                    cand_d.append(_round6(((X[i] - gv) ** 2).sum(-1)))
+                if not cand_cells:
+                    continue
+                cand_cells = np.concatenate(cand_cells)
+                cand_d = np.concatenate(cand_d)
+                best = np.lexsort((cand_cells, cand_d))[:n_probe]
+                for b in best:
+                    out_ids.append(ids[i])
+                    out_cells.append(cand_cells[b])
+            yield pd.DataFrame({"vec_id": out_ids, "cell": out_cells})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        run, "vec_id long, cell long"
+    )
 
 
 def kmeans_cells(
@@ -608,6 +734,7 @@ def kmeans_cells(
     two_level: bool = False,
     coarse_probe: int = 2,
     coarse_iters: int = 1,
+    engine: str = "codegen",
 ) -> DataFrame:
     """Lloyd-trained IVF assignment: final (vec_id, cell) under the
     trained centroids (see ``_kmeans_centroids``).  *sample_cap* /
@@ -623,6 +750,7 @@ def kmeans_cells(
         two_level=two_level,
         coarse_probe=coarse_probe,
         coarse_iters=coarse_iters,
+        engine=engine,
     )(1)
 
 
@@ -636,6 +764,7 @@ def _kmeans_assigner(
     two_level: bool = False,
     coarse_probe: int = 2,
     coarse_iters: int = 1,
+    engine: str = "codegen",
 ):
     """Train the quantizer ONCE and return ``assign(n_probe)`` — so a
     consumer needing both the primary assignment and a multi-probe
@@ -650,13 +779,25 @@ def _kmeans_assigner(
         two_level=two_level,
         coarse_probe=coarse_probe,
         coarse_iters=coarse_iters,
+        engine=engine,
     )
     if not two_level:
         return lambda n_probe=1: _assign_to(emb, cents, n_probe)
     model = _coarse_model(cents, n_cells, dim, coarse_iters)
-    return lambda n_probe=1: _assign_two_level(
-        emb, model, n_probe, coarse_probe
-    )
+
+    def assign(n_probe: int = 1) -> DataFrame:
+        out = _assign_two_level(emb, model, n_probe, coarse_probe, engine)
+        # a two-level assignment is 10-20 s of real work at 100k rows
+        # (MEASURED); semantic_dedup consumes the primary assignment
+        # from three places (capped index, probe side, final join) and
+        # re-evaluating the chain per consumer multiplied the wall
+        # ~4x.  The (vec_id, cell) result is tiny — materialize it
+        # lazily and truncate lineage.  localCheckpoint stores on
+        # executor-local storage (fine single-box; on a lossy cluster
+        # swap for persist(DISK) or a reliable checkpoint).
+        return out.localCheckpoint(eager=False)
+
+    return assign
 
 
 def _literal_cents(cents: DataFrame) -> DataFrame:
@@ -732,6 +873,7 @@ def _kmeans_centroids(
     coarse_probe: int = 2,
     coarse_iters: int = 1,
     init_by_rank: bool | None = None,
+    engine: str = "codegen",
 ) -> DataFrame:
     """Lloyd-trained centroids: *iters* rounds of assign → mean
     recentering (centroid coordinates rounded 6dp each round so any
@@ -761,7 +903,17 @@ def _kmeans_centroids(
     train = emb
     handle = None
     if sample_cap is not None:
-        train = hash_order_sample(emb, sample_cap).persist()
+        # GlobalLimit leaves ONE partition — everything downstream of
+        # a bare .limit() would train single-threaded (MEASURED: the
+        # 100k-sample two-level assign ran 71.6 s on one core).  Fan
+        # the persisted sample back out before the Lloyd rounds.
+        train = (
+            hash_order_sample(emb, sample_cap)
+            .repartition(
+                emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+            )
+            .persist()
+        )
         train.count()
         handle = train
     init = (
@@ -776,6 +928,7 @@ def _kmeans_centroids(
                 train,
                 _coarse_model(cents, n_cells, dim, coarse_iters),
                 coarse_probe=coarse_probe,
+                engine=engine,
             )
         else:
             assign = _assign_to(train, cents)
@@ -797,6 +950,7 @@ def ivf_kmeans_topk(
     two_level: bool = False,
     coarse_probe: int = 2,
     coarse_iters: int = 1,
+    engine: str = "codegen",
 ) -> DataFrame:
     """IVF probe over Lloyd-trained cells — sim4's probe with trained
     centroids instead of the first-k quantizer; *n_probe* > 1 probes
@@ -811,6 +965,7 @@ def ivf_kmeans_topk(
         two_level=two_level,
         coarse_probe=coarse_probe,
         coarse_iters=coarse_iters,
+        engine=engine,
     )
     cells = assign(1)
     probes = assign(n_probe) if n_probe > 1 else None

@@ -1593,6 +1593,46 @@ def test_two_level_matches_flat_on_separated_clusters(spark):
     assert flat == two
 
 
+def test_two_level_engine_parity(spark):
+    """The Arrow (numpy mapInPandas) engine and the codegen (HOF
+    expression) engine implement ONE assignment contract: identical
+    (vec_id, cell) output — primary and multi-probe — on clustered +
+    noise data.  The codegen engine is the oracle reference; benches
+    run arrow; this weld keeps them the same operator."""
+    import random as _r
+
+    rng = _r.Random(21)
+    rows = []
+    vid = 0
+    for c in range(12):  # 12 loose clusters + noise rows
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(10):
+            rows.append(
+                (vid, [round(x + rng.uniform(-0.05, 0.05), 4) for x in base])
+            )
+            vid += 1
+    for _ in range(40):
+        rows.append((vid, [round(rng.uniform(-1, 1), 4) for _ in range(64)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    cents = similarity._kmeans_centroids(emb, 12, 1, sample_cap=100)
+    model = similarity._coarse_model(cents, 12, 64, 1)
+    for n_probe in (1, 2):
+        cg = sorted(
+            tuple(r)
+            for r in similarity._assign_two_level(
+                emb, model, n_probe, 2, engine="codegen"
+            ).collect()
+        )
+        ar = sorted(
+            tuple(r)
+            for r in similarity._assign_two_level(
+                emb, model, n_probe, 2, engine="arrow"
+            ).collect()
+        )
+        assert cg == ar, f"engine divergence at n_probe={n_probe}"
+
+
 def test_hash_order_sample_contract(spark):
     """The training sample is the cap smallest ids by
     (md5(str(id)), id) — deterministic, engine-agnostic (matches

@@ -118,6 +118,25 @@ def main() -> int:
             emb, threshold=0.99, bucket_cap=64, n_vectors=n
         ).count()
         t_dd5 = time.time() - t0
+
+        # dd10 SemDeDup at the AT-SCALE quantizer config (r6 verdict
+        # #1): cells = N/32 (headroom rule), two-level O(sqrt k)/row
+        # assignment (Arrow engine; 64*k sample rule clips at N at this
+        # sizing, so training is full-corpus), probe-side
+        # n_probe=2.  The r6 flat quantizer was O(N·k) = O(N²/32) here
+        # — this leg is the direct evidence the rewrite scales.
+        k10 = max(8, n // 32)
+        t0 = time.time()
+        n_dd10 = (
+            dedup.semantic_dedup(
+                emb, n_cells=k10, iters=1, threshold=0.99, cell_cap=64,
+                n_probe=2, sample_cap=None, two_level=True,
+                engine="arrow",
+            )
+            .filter("is_dup")
+            .count()
+        )
+        t_dd10 = time.time() - t0
         emb.unpersist()
 
         rows.append(
@@ -131,20 +150,33 @@ def main() -> int:
                 "dd5_pairs": n_epairs,
                 "dd5_pairs_per_doc": round(n_epairs / n, 3),
                 "dd5_wall": round(t_dd5, 1),
+                "dd10_dups": n_dd10,
+                "dd10_dups_per_doc": round(n_dd10 / n, 3),
+                "dd10_wall": round(t_dd10, 1),
             }
         )
         print(json.dumps(rows[-1]))
 
     # flatness: pairs/doc at the largest scale within 2x of the smallest
-    for key in ("dd3_pairs_per_doc", "dd5_pairs_per_doc"):
+    for key in ("dd3_pairs_per_doc", "dd5_pairs_per_doc", "dd10_dups_per_doc"):
         lo, hi = rows[0][key], rows[-1][key]
         assert hi <= 2 * lo + 0.01, f"{key} grew {lo} -> {hi}: not linear"
 
     md_rows = "\n".join(
         f"| {r['docs']:,} | {r['dd3_pairs']:,} | {r['dd3_pairs_per_doc']} | "
         f"{r['dd3_wall']} | {r['dd8_docs_in_components']:,} | {r['dd8_wall']} | "
-        f"{r['dd5_pairs']:,} | {r['dd5_pairs_per_doc']} | {r['dd5_wall']} |"
+        f"{r['dd5_pairs']:,} | {r['dd5_pairs_per_doc']} | {r['dd5_wall']} | "
+        f"{r['dd10_dups']:,} | {r['dd10_wall']} |"
         for r in rows
+    )
+    dd10_growth = (
+        round(
+            (rows[-1]["dd10_wall"] / max(rows[0]["dd10_wall"], 0.1))
+            / (rows[-1]["docs"] / rows[0]["docs"]),
+            2,
+        )
+        if len(rows) > 1
+        else 1.0
     )
     md = f"""{SECTION}
 
@@ -153,10 +185,15 @@ near-dup clusters of 3, rest unique; embeddings likewise), capped
 joins as shipped (bucket_cap=64; dd5 hyperplanes auto-scaled via
 planes_for_corpus so expected bucket size stays constant).  Pairs/doc
 stays ~flat from 100k to 1M docs — the candidate volume scales with
-the corpus, not its square (asserted <= 2x drift):
+the corpus, not its square (asserted <= 2x drift).  dd10 runs the r7
+AT-SCALE SemDeDup config (cells = N/32, sampled Lloyd, two-level
+Arrow-engine assignment, P=2 probe) — its per-N wall growth factor
+vs perfectly-linear is {dd10_growth}x across this sweep (the r6 flat
+quantizer was O(N²/32) under the same sizing rule and took 395 s at
+the 100k point alone):
 
-| docs | dd3 pairs | dd3 pairs/doc | dd3 wall (s) | dd8 docs in clusters | dd8 wall (s) | dd5 pairs | dd5 pairs/doc | dd5 wall (s) |
-|---|---|---|---|---|---|---|---|---|
+| docs | dd3 pairs | dd3 pairs/doc | dd3 wall (s) | dd8 docs in clusters | dd8 wall (s) | dd5 pairs | dd5 pairs/doc | dd5 wall (s) | dd10 dups | dd10 wall (s) |
+|---|---|---|---|---|---|---|---|---|---|---|
 {md_rows}
 
 local[32]; wall is a single warm-session sample on a shared host —

@@ -175,6 +175,55 @@ def main() -> int:
         )
     )
 
+    # 11. r6 — segment dedup: Arrow-batched segmentation stays NARROW;
+    #     the only shuffles are the groupBy(min) on md5(segment) and
+    #     the per-doc reassembly agg
+    sections.append(
+        (
+            "dd9_segment_dedup (r6)",
+            "one ArrowEvalPython segments each doc in place (no word "
+            "shuffle); winners = hash-agg on seg_hash with partial "
+            "(map-side) combine absorbing boilerplate mega-duplicates; "
+            "reassembly is ONE groupBy(doc) over keep-flagged rows — "
+            "the wide text column never moves through an exchange.",
+            plan_of(REGISTRY["dd9_segment_dedup"].spark(spark, SF)),
+        )
+    )
+
+    # 12. r6/r7 — SemDeDup: literalized per-round centroids, map-side
+    #     argmin agg, capped within-cell candidate join
+    sections.append(
+        (
+            "dd10_semdedup (r6, flat oracle quantizer)",
+            "trained centroids arrive as literal LocalRelation rows (no "
+            "re-derivation per consumer); the primary assignment is a "
+            "SortAggregate min(struct(dist2, cell)) with a "
+            "partial_min MAP-SIDE pass (struct min isn't hash-agg "
+            "buffer-able), so only per-partition argmins reach its "
+            "exchange, never the N×k candidates; the capped cell index shows WindowGroupLimit "
+            "Partial before its exchange; comparisons join keyed on the "
+            "cell — never across cells.",
+            plan_of(REGISTRY["dd10_semdedup"].spark(spark, SF)),
+        )
+    )
+
+    # 13. r7 — the at-scale two-level quantizer (sim7): sampled
+    #     training + coarse-probe-in-codegen + broadcast fine join
+    sections.append(
+        (
+            "sim7_ivf_twolevel (r7, at-scale quantizer)",
+            "the coarse probe is a pure per-row projection (literal "
+            "array-of-arrays distance transform + array_sort — zero "
+            "exchange below it); fine candidates come from a "
+            "BroadcastHashJoin on the coarse id (the fine→coarse map is "
+            "k tiny rows); the fine argmin is the same map-side "
+            "partial_min(struct) aggregation as dd10 — per-row work is "
+            "O(√k), and no stage materializes the N×k flat candidate "
+            "set anywhere in the plan.",
+            plan_of(REGISTRY["sim7_ivf_twolevel"].spark(spark, SF)),
+        )
+    )
+
     out = ["# PLANS — physical plans for the load-bearing queries\n"]
     out.append(
         "Regenerate with `python3 tools/explain_plans.py`.  What to look "
