@@ -384,7 +384,13 @@ def _cell_probe_topk(
     cap and any quantizer skew truncates (MEASURED: first-k quantizer
     at 20k vectors, cells=N/64, cap 64 → cluster-sibling recall@1
     0.60; cells=N/32 restores it — BENCH/BASELINE.md "Measured recall
-    at scale")."""
+    at scale").  r7 refinement: 2× headroom is NOT enough for real
+    quantizer skew — Lloyd cells at 100k vectors reached ~80 members
+    (2.5× the mean of 32), and every residual dd10 recall miss at
+    cap=64 was a large-id mate capped out of such a cell; cap = 4×
+    mean (128 at mean 32) recovered recall 0.96 → 1.000 for ~20%
+    wall, and the join stays bounded at cap rows per cell either
+    way."""
     idx = capped_index(cells, ["cell"], "vec_id", cell_cap)
     q = probes if probes is not None else cells
     cand = (

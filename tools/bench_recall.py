@@ -249,15 +249,21 @@ def pair_recall_table(spark):
     # engine), and probe-side multi-assignment n_probe=2 (the r6
     # verdict's recall knob for mates split across a cell wall).
     # r6 flat/probe-1 history: recall 0.933 at 395 s.
+    # cell_cap = 4x the mean cell (128 at mean 32): this tool MEASURED
+    # the 2x-headroom cap truncating genuinely skewed cells (quantizer
+    # cells reached ~80 members = 2.5x mean; every residual dd10 miss
+    # at cap=64 was a large-id mate capped out of the index) — recall
+    # 0.96 -> 1.000 at +20% wall.  coarse_probe=3: cp=2 left two-level
+    # assignment errors worth ~0.04 recall.
     t0 = time.time()
     n_cells_dd10 = max(8, N_DOCS // 32)
     dd10 = dedup.semantic_dedup(
-        emb, n_cells=n_cells_dd10, iters=1, threshold=0.99, cell_cap=64,
+        emb, n_cells=n_cells_dd10, iters=1, threshold=0.99, cell_cap=128,
         # at cells = N/32 the 64-per-centroid sample rule clips at the
         # corpus (64*k = 2N), and a limit >= N would funnel the corpus
         # through the driver's TakeOrdered merge — train on the full
         # corpus (sample_cap is the knob for fixed-k << N/64 regimes)
-        n_probe=2, sample_cap=None, two_level=True,
+        n_probe=2, sample_cap=None, two_level=True, coarse_probe=3,
         engine="arrow",
     )
     flagged = {
@@ -270,7 +276,7 @@ def pair_recall_table(spark):
     out.append(
         (
             f"dd10 SemDeDup verdicts (cells={n_cells_dd10}, iters=1, "
-            "cap=64, P=2, two-level sampled quantizer)",
+            "cap=128=4x-mean, P=2, cp=3, two-level quantizer)",
             "vec has a smaller-id mate at cos >= 0.99",
             len(true_dup_vecs),
             len(flagged & true_dup_vecs),
