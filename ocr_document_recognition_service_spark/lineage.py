@@ -58,10 +58,7 @@ def _is_vanished_file_error(exc: Exception) -> bool:
                 got = None
             if got:
                 classes.add(str(got))
-    vanished = {"FAILED_READ_FILE.FILE_NOT_EXIST", "FAILED_READ_FILE"}
-    if classes & vanished or any(
-        c.startswith("FAILED_READ_FILE") for c in classes
-    ):
+    if any(c.startswith("FAILED_READ_FILE") for c in classes):
         return True
     msg = str(exc)
     return "FAILED_READ_FILE" in msg or "FILE_NOT_EXIST" in msg

@@ -714,10 +714,14 @@ def semantic_dedup(
     the multi-probe contract: a mate is found if the keeper's primary
     cell is among the vector's P nearest.
 
-    *sample_cap* / *two_level* / *coarse_probe* are the r6-verdict
-    at-scale quantizer knobs (sampled Lloyd training, O(√k)-per-row
-    two-level assignment — see ``similarity._kmeans_centroids``);
-    defaults keep the legacy exact contract.
+    *sample_cap* / *two_level* / *coarse_probe* / *engine* are the
+    r6-verdict at-scale quantizer knobs (sampled Lloyd training,
+    O(√k)-per-row two-level assignment, Arrow-vectorized distance
+    engine — see ``similarity._kmeans_centroids`` and
+    ``similarity._assign_two_level``); defaults keep the legacy exact
+    contract.  At-scale cap sizing: *cell_cap* = 4× the mean cell
+    (measured — 2× headroom truncated 2.5×-mean skewed Lloyd cells
+    and cost dd10 recall; see ``similarity._cell_probe_topk``).
 
     Returns ``(vec_id, cell, dup_of, cosine, is_dup)``: *dup_of* the
     best-scoring keeper (rounded-cosine tie → smallest id) for audit,

@@ -481,7 +481,11 @@ def hash_order_sample(emb: DataFrame, cap: int) -> DataFrame:
     uniformly over the corpus regardless of id layout, identical in
     any engine (ANSI md5 of the decimal id string), and free of RNG.
     Compiles to TakeOrderedAndProject: a per-partition top-*cap* heap
-    + one driver merge — one linear scan, no shuffle."""
+    + one driver merge — one linear scan, no shuffle.  Intended for
+    cap ≪ N: at cap ≳ N the driver merge receives ~the whole corpus
+    (MEASURED: minutes single-core at 1M rows) — when the sample
+    would be the corpus anyway, train on the corpus directly
+    (``sample_cap=None``)."""
     return emb.orderBy(
         F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
     ).limit(cap)
@@ -548,9 +552,22 @@ def _coarse_model(
         cents.join(f2c, "cell").select("coarse", "cell", "carr").persist()
     )
     fine_map.count()
+    # probe only coarse cells that HAVE fine members: the final
+    # fine→coarse re-assignment can leave a (recentered) coarse
+    # centroid empty, and a vector whose every probed coarse cell is
+    # empty would get NO candidates — silently vanishing from the
+    # assignment (review r7).  With empty cells excluded, every probe
+    # yields ≥1 candidate and the output keeps one row per vector.
+    # The SQL twin applies the same restriction ({p}rd joins the
+    # DISTINCT f2c coarse set).
+    used = {
+        int(r["coarse"])
+        for r in fine_map.select("coarse").distinct().collect()
+    }
     coarse_rows = [
         (int(r["cell"]), [float(x) for x in r["carr"]])
         for r in coarse.collect()
+        if int(r["cell"]) in used
     ]
     return {
         "coarse_rows": coarse_rows,
@@ -605,6 +622,12 @@ def _assign_two_level(
     stages), ~10-30 µs per candidate row; the Arrow engine does the
     same math as numpy batch operations.  Equality of the two engines
     is pinned by ``test_two_level_engine_parity``."""
+    if engine not in ("codegen", "arrow"):
+        raise ValueError(
+            f"engine={engine!r}: expected 'codegen' or 'arrow' (a typo "
+            "here would silently select the ~100x-slower interpreted "
+            "path)"
+        )
     if engine == "arrow":
         return _assign_two_level_arrow(emb, model, n_probe, coarse_probe)
     coarse_rows = model["coarse_rows"]
@@ -648,6 +671,41 @@ def _assign_two_level(
     return _nearest_tail(d2, n_probe)
 
 
+def _np_round6(a):
+    """round(x, 6) with Spark/DuckDB semantics for the non-negative
+    dist2 domain: HALF_UP on the SHORTEST-DECIMAL representation of
+    the double (Java BigDecimal.valueOf → setScale(6, HALF_UP)).  The
+    fast path floor(x·1e6 + 0.5) agrees everywhere except when x·1e6
+    lands within ~1e-8 of a .5 tie — there the binary value and the
+    shortest decimal repr can sit on opposite sides (review r7
+    CONFIRMED: 0.0005045 → Spark 0.000505, naive floor 0.000504) —
+    so near-ties take an exact Decimal fallback.  Ties are measure-
+    zero for real-valued distances: the fallback costs nothing in
+    practice and keeps the arrow engine bit-identical to the codegen
+    oracle contract."""
+    import numpy as np
+
+    f = a * 1e6
+    fl = np.floor(f)
+    frac = f - fl
+    out = fl + (frac >= 0.5)
+    near = np.abs(frac - 0.5) < 1e-8
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        flat_in = np.asarray(a).ravel()
+        flat_out = out.ravel()
+        for i in np.flatnonzero(near.ravel()):
+            flat_out[i] = float(
+                Decimal(repr(float(flat_in[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            ) * 1e6
+        out = flat_out.reshape(np.shape(a))
+    return out / 1e6
+
+
 def _assign_two_level_arrow(
     emb: DataFrame,
     model: dict,
@@ -688,10 +746,7 @@ def _assign_two_level_arrow(
         for g, rows in by_coarse.items()
     }
 
-    def _round6(a: "np.ndarray") -> "np.ndarray":
-        # HALF_UP for the non-negative dist2 domain (numpy's round is
-        # half-even; Spark/DuckDB round half-up)
-        return np.floor(a * 1e6 + 0.5) / 1e6
+    _round6 = _np_round6
 
     def run(batches):
         import pandas as pd
@@ -927,18 +982,30 @@ def _kmeans_centroids(
         if init_by_rank
         else _first_k_centroid_arrays(train, n_cells)
     )
+    cents_persisted = n_cells > LITERAL_CENTS_MAX
     cents = _materialize_cents(init, n_cells)
     for _ in range(iters):
+        round_model = None
         if two_level:
+            round_model = _coarse_model(cents, n_cells, dim, coarse_iters)
             assign = _assign_two_level(
                 train,
-                _coarse_model(cents, n_cells, dim, coarse_iters),
+                round_model,
                 coarse_probe=coarse_probe,
                 engine=engine,
             )
         else:
             assign = _assign_to(train, cents)
-        cents = _materialize_cents(_recenter(train, assign, dim), n_cells)
+        new_cents = _materialize_cents(_recenter(train, assign, dim), n_cells)
+        # release the superseded round's cached frames (review r7: a
+        # 100k→1M sweep accumulated dead k-row frames in executor
+        # storage); new_cents is already materialized, so the only
+        # cost of eviction-after-unpersist is a recompute
+        if round_model is not None:
+            round_model["fine_map"].unpersist()
+        if cents_persisted:
+            cents.unpersist()
+        cents = new_cents
     if handle is not None:
         handle.unpersist()
     return cents

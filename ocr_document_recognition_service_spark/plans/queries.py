@@ -1815,10 +1815,15 @@ def _sql_assign_two_level(
         SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist2 ASC, cell ASC) AS rn FROM {p}md) WHERE rn = 1)"""
     )
+    # probe only coarse cells with fine members — mirrors
+    # similarity._coarse_model's empty-cell exclusion (a vector whose
+    # probed coarse cells were all empty would silently vanish)
     frags.append(
         f"""{p}rd AS (
       SELECT f.vec_id, c.cell AS ccell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
-      FROM {src} f JOIN {co} c ON f.pos = c.cpos GROUP BY 1, 2)"""
+      FROM {src} f JOIN {co} c ON f.pos = c.cpos
+      WHERE c.cell IN (SELECT DISTINCT coarse FROM {p}f2c)
+      GROUP BY 1, 2)"""
     )
     frags.append(
         f"""{p}pr AS (
@@ -1864,6 +1869,12 @@ def _sql_lloyd_flat(
     similarity._init_centroids_by_rank); False is the legacy
     ``vec_id < k`` init.  *two_level* makes each round's assignment
     use the two-level contract (training at scale)."""
+    if two_level and not kc:
+        raise ValueError(
+            "_sql_lloyd_flat: two_level=True requires an explicit kc "
+            "(coarse cell count) — interpolating None would emit "
+            "'LIMIT None' and fail only at DuckDB time"
+        )
     frags = []
     if init_rank:
         frags.append(

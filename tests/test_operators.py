@@ -1593,6 +1593,32 @@ def test_two_level_matches_flat_on_separated_clusters(spark):
     assert flat == two
 
 
+def test_np_round6_matches_spark_half_up(spark):
+    """r7 review CONFIRMED: naive floor(x*1e6+0.5) diverges from
+    Spark's round(double, 6) — BigDecimal HALF_UP on the SHORTEST
+    decimal repr — on ~.5e-6 boundary values (0.0005045 → Spark
+    0.000505, naive 0.000504).  The arrow engine's _np_round6 must
+    match Spark exactly, fast path and Decimal fallback both."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    vals = [
+        0.0005045, 0.0005055, 1.0000005, 2.3456785, 0.1234565,
+        0.9999995, 123.4567895,           # boundary shapes
+        0.0, 1e-7, 5e-7, 0.123456789, 3.75, 256.0, 17.123456,
+    ]
+    got = similarity._np_round6(np.array(vals, dtype=np.float64))
+    want = (
+        spark.range(1)
+        .select(*[F.round(F.lit(v), 6).alias(f"c{i}") for i, v in enumerate(vals)])
+        .collect()[0]
+    )
+    for i, v in enumerate(vals):
+        assert got[i] == want[f"c{i}"], (
+            f"{v!r}: arrow {got[i]!r} != spark {want[f'c{i}']!r}"
+        )
+
+
 def test_two_level_engine_parity(spark):
     """The Arrow (numpy mapInPandas) engine and the codegen (HOF
     expression) engine implement ONE assignment contract: identical

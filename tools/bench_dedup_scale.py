@@ -189,8 +189,9 @@ joins as shipped (bucket_cap=64; dd5 hyperplanes auto-scaled via
 planes_for_corpus so expected bucket size stays constant).  Pairs/doc
 stays ~flat from 100k to 1M docs — the candidate volume scales with
 the corpus, not its square (asserted <= 2x drift).  dd10 runs the r7
-AT-SCALE SemDeDup config (cells = N/32, sampled Lloyd, two-level
-Arrow-engine assignment, P=2 probe) — its per-N wall growth factor
+AT-SCALE SemDeDup config (cells = N/32, two-level Arrow-engine
+assignment — full-corpus Lloyd: the 64-per-centroid sample rule
+clips at N at this sizing — cap=128=4x-mean, coarse_probe=3, P=2) — its per-N wall growth factor
 vs perfectly-linear is {dd10_growth}x across this sweep (the r6 flat
 quantizer was O(N²/32) under the same sizing rule and took 395 s at
 the 100k point alone):

@@ -374,7 +374,7 @@ def ann_recall_table(spark):
             ),
         ),
         (
-            f"sim7 IVF two-level sampled quantizer (cells={n_cells}, "
+            f"sim7 IVF two-level quantizer (cells={n_cells}, "
             "P=2, cap=64)",
             lambda: similarity.ivf_kmeans_topk(
                 emb, n_cells=n_cells, iters=1, k=10, cell_cap=64,
