@@ -593,6 +593,7 @@ def embedding_dup_pairs(
     threshold: float = 0.99,
     bucket_cap: int | None = LSH_BUCKET_CAP,
     n_vectors: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding cosine near-dup pairs over random-hyperplane LSH
     bucket candidates (generate-then-verify; no label/source blocking).
@@ -627,6 +628,18 @@ def embedding_dup_pairs(
     (``similarity.planes_for_corpus``) so buckets stay small in the
     first place.
 
+    *n_tables* > 1 turns on multi-table OR-probing (r7 — the sim3
+    recall amplifier, measured here because bench_recall put dd5's
+    single-table recall at 0.84): each table hashes with an
+    independent seeded plane set (seeds 7, 8, …), a pair is a
+    candidate if it collides in ANY table, and the index cap applies
+    PER (table, bucket) — so worst-case fan-out is n_tables ×
+    bucket_cap per probe, and a near-dup pair split by one table's
+    plane is recovered by another (P(miss) decays geometrically).
+    Pairs arising in several tables are DISTINCT-ed before the exact
+    verify, so nothing is double-scored.  Requires *n_planes* (or
+    *n_vectors*) rather than an explicit single *planes* list.
+
     Exact cosine on candidates only, ARRAY-NATIVE (zip_with/aggregate
     in codegen — no posexplode, no norms shuffle); per-element products
     in double + 4dp rounding keep parity with the flat SQL oracle.
@@ -641,6 +654,37 @@ def embedding_dup_pairs(
                     "not run a hidden full-corpus count() job"
                 )
             n_planes = similarity.planes_for_corpus(n_vectors)
+    elif n_tables > 1:
+        raise ValueError(
+            "embedding_dup_pairs: n_tables > 1 derives one seeded "
+            "plane set per table — pass n_planes (per-table count), "
+            "not an explicit planes list"
+        )
+    if n_tables > 1:
+        b = similarity.lsh_tables(emb, n_planes, n_tables)
+        idx = similarity.capped_index(
+            b, ["tbl", "bucket"], "vec_id", bucket_cap
+        )
+        cand = (
+            b.alias("a")
+            .join(
+                idx.alias("b"),
+                (F.col("a.tbl") == F.col("b.tbl"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") > F.col("b.vec_id")),
+            )
+            .select(
+                F.col("b.vec_id").alias("vec_a"),
+                F.col("a.vec_id").alias("vec_b"),
+            )
+            .distinct()
+        )
+        return (
+            similarity._score_pairs(cand, emb, a_col="vec_a", b_col="vec_b")
+            .filter(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b", "cosine")
+        )
+    if planes is None:
         planes = similarity.hyperplanes(n_planes)
     b = similarity.lsh_buckets(emb, planes)
     idx = similarity.capped_index(b, ["bucket"], "vec_id", bucket_cap)

@@ -1546,6 +1546,70 @@ def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "dd12_embedding_dup_2t",
+    f"""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::double AS x
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM flat GROUP BY vec_id),
+    sums AS (
+      SELECT vec_id, t.tbl, p,
+             sum(x * CASE WHEN t.tbl = 0 THEN ({_planes_sql(6, seed=7)})[p+1][pos+1]
+                          ELSE ({_planes_sql(6, seed=8)})[p+1][pos+1] END) AS s
+      FROM flat
+      CROSS JOIN (SELECT unnest(range(2)) AS tbl) t
+      CROSS JOIN (SELECT unnest(range(6)) AS p)
+      GROUP BY vec_id, t.tbl, p
+    ),
+    buckets AS (
+      SELECT vec_id, tbl,
+             CAST(sum(CASE WHEN s > 0 THEN (1::bigint << CAST(p AS int)) ELSE 0 END) AS bigint) AS bucket
+      FROM sums GROUP BY vec_id, tbl
+    ),
+    capped AS (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT vec_id, tbl, bucket,
+               row_number() OVER (PARTITION BY tbl, bucket ORDER BY vec_id ASC) AS rn
+        FROM buckets
+      ) WHERE rn <= 64
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS vec_a, qa.vec_id AS vec_b
+      FROM buckets qa JOIN capped qb
+        ON qa.tbl = qb.tbl AND qa.bucket = qb.bucket
+       AND qa.vec_id > qb.vec_id
+    ),
+    dots AS (
+      SELECT c.vec_a, c.vec_b, sum(fa.x * fb.x) AS dot
+      FROM cand c JOIN flat fa ON fa.vec_id = c.vec_a
+                  JOIN flat fb ON fb.vec_id = c.vec_b AND fb.pos = fa.pos
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots JOIN norms na ON vec_a = na.vec_id
+              JOIN norms nb ON vec_b = nb.vec_id
+    WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.3
+    """,
+    "embedding near-dup with multi-table OR-probing (r7 — bench_recall "
+    "put single-table dd5 recall at 0.84): 2 independent seeded plane "
+    "sets, candidates collide in ANY table, index cap per (table, "
+    "bucket), pairs DISTINCT-ed before the exact verify — P(miss) "
+    "decays geometrically with tables at n_tables x cap fan-out",
+)
+def dd12_embedding_dup_2t(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.embedding_dup_pairs(
+        load(spark, sf, "embeddings").repartition(16),
+        n_planes=6,
+        threshold=0.3,
+        bucket_cap=64,
+        n_tables=2,
+    )
+
+
+@_reg(
     "dd6_ngram_jaccard",
     f"""
     WITH {_LSH_CAND_CTES_C3},
@@ -3553,11 +3617,13 @@ _DRIVER_WINDOW: list[str] = [
     "w7_sorted_zip",
     # set operations
     "s1_customers_no_urgent",
-    # dedup family (dd11 NEW r7 — probe-side multi-assignment SemDeDup,
-    # first-time certification)
-    "dd1_exact", "dd3_minhash_lsh", "dd5_embedding_dup",
-    "dd7_simhash_near", "dd8_components", "dd9_segment_dedup",
-    "dd10_semdedup", "dd11_semdedup_probe2",
+    # dedup family (dd11 + dd12 NEW r7 — probe-side multi-assignment
+    # SemDeDup and multi-table OR-probing near-dup, first-time
+    # certification; dd1 to overflow — green every round r1-r6, its
+    # md5-hash-groupBy shape stays in-window via dd9)
+    "dd3_minhash_lsh", "dd5_embedding_dup", "dd7_simhash_near",
+    "dd8_components", "dd9_segment_dedup", "dd10_semdedup",
+    "dd11_semdedup_probe2", "dd12_embedding_dup_2t",
     # similarity / embeddings (sim7 NEW r7 — sampled training +
     # two-level assignment, first-time certification)
     "sim3_lsh_topk", "sim5_ivf_kmeans_topk", "sim6_ivf_multiprobe",

@@ -1219,6 +1219,51 @@ def test_embedding_dup_pairs_bounded_under_skew(spark):
     assert uncapped == 30 * 29 // 2
 
 
+def test_embedding_dup_multi_table_superset(spark):
+    """r7 multi-table OR-probing: table 0 uses the same seed as the
+    single-table path, so the 2-table candidate set is a strict
+    superset — every dd5 pair survives, and a pair split by table 0's
+    planes but joined by table 1's appears.  Also guards the
+    pair-uniqueness contract (DISTINCT across tables)."""
+    import random as _r
+
+    rng = _r.Random(31)
+    rows = []
+    vid = 0
+    # jitter sized so mates stay >= cosine 0.99 (~4 deg apart) but a
+    # few pairs straddle a table-0 hyperplane (P ~ 0.1/table)
+    for _c in range(60):  # near-dup pairs
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(2):
+            rows.append(
+                (vid, [round(x + rng.uniform(-0.025, 0.025), 4) for x in base])
+            )
+            vid += 1
+    for _ in range(80):
+        rows.append((vid, [round(rng.uniform(-1, 1), 4) for _ in range(64)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    one = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_dup_pairs(
+            emb, n_planes=6, threshold=0.99, bucket_cap=64
+        ).collect()
+    }
+    two_rows = dedup.embedding_dup_pairs(
+        emb, n_planes=6, threshold=0.99, bucket_cap=64, n_tables=2
+    ).collect()
+    two = {(r["vec_a"], r["vec_b"]) for r in two_rows}
+    assert one <= two
+    assert len(two) > len(one)          # table 1 recovered split pairs
+    assert len(two_rows) == len(two)    # DISTINCT held: no double-scoring
+    import pytest
+
+    with pytest.raises(ValueError, match="n_planes"):
+        dedup.embedding_dup_pairs(
+            emb, planes=similarity.hyperplanes(6), n_tables=2
+        )
+
+
 def test_semantic_dedup_hand_case(spark):
     """r6 dd10 (SemDeDup): two well-separated semantic clusters plus a
     lone outlier; within each cluster every non-minimum vector must be

@@ -239,6 +239,31 @@ def pair_recall_table(spark):
         )
     )
 
+    # dd12: the same operator with 2-table OR-probing (r7) — a pair
+    # split by one table's plane is recovered by the other; measures
+    # the recall this buys over the 0.84 single-table row above
+    t0 = time.time()
+    dd12 = dedup.embedding_dup_pairs(
+        emb, threshold=0.99, bucket_cap=64, n_vectors=N_DOCS, n_tables=2
+    )
+    found12 = _pairs_canon(
+        dd12.filter(
+            F.col("vec_a").isin(sample_ids)
+            & F.col("vec_b").isin(sample_ids)
+        ).collect(),
+        "vec_a",
+        "vec_b",
+    )
+    out.append(
+        (
+            "dd12 embedding LSH, 2-table OR-probing",
+            "cosine >= 0.99",
+            len(true_cos),
+            len(found12 & true_cos),
+            round(time.time() - t0, 1),
+        )
+    )
+
     # dd10 SemDeDup: per-VECTOR verdict recall — a truth vector is one
     # with a smaller-id sampled mate at cosine >= 0.99 (the sample
     # keeps whole clusters, so mates are in-sample); dd10 must flag it
