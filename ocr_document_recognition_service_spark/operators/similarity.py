@@ -1045,6 +1045,193 @@ def ivf_kmeans_topk(
     return _cell_probe_topk(cells, emb, k, cell_cap, probes)
 
 
+# ---------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the standard embedding-compression and
+# approximate-search operator family (FAISS IVFPQ): split the vector
+# into m subspaces, k-means each subspace independently (codebooks),
+# store each vector as m small codes; search scores queries against
+# codes via asymmetric distance (ADC) — query-to-centroid distances
+# instead of query-to-vector.  At 100 TB this is the memory story: a
+# 64-dim float32 embedding (256 B) becomes m=8 one-byte codes (8 B,
+# 32×), and the ADC scan touches only codes + broadcast codebooks.
+# ---------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    dim: int = EMB_DIM,
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks: subspace s covers dims
+    [s·dim/m, (s+1)·dim/m); each is Lloyd-trained independently with
+    the module's exact trajectory contract (first-k init, 6dp-rounded
+    distances and recenters — so the SQL twin reproduces every code).
+    Returns driver-side [(code, centroid)…] per subspace — m·k tiny
+    rows, literal-sized by construction."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    books = []
+    for s in range(n_sub):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding"),
+        )
+        cents = _kmeans_centroids(sub, k, iters, d_sub)
+        books.append(
+            sorted(
+                (int(r["cell"]), [float(x) for x in r["carr"]])
+                for r in cents.collect()
+            )
+        )
+    return books
+
+
+def _pq_best_struct(
+    sub_col: F.Column, book: list[tuple[int, list[float]]]
+) -> F.Column:
+    """struct(d, c) of the nearest codebook centroid for one subspace
+    — the coarse-probe expression shape (ONE transform lambda over a
+    literal array-of-arrays; kc copies of the fold blow up
+    planning), argmin via array_sort's lexicographic struct order
+    (dist2 asc, code asc)."""
+    cb_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in carr]) for _c, carr in book]
+    )
+    codes_lit = F.array(*[F.lit(int(c)).cast("long") for c, _carr in book])
+    d_arr = F.transform(
+        cb_lit, lambda carr: F.round(_l2_dist2(sub_col, carr), 6)
+    )
+    entries = F.zip_with(
+        d_arr, codes_lit, lambda d, c: F.struct(d.alias("d"), c.alias("c"))
+    )
+    return F.element_at(F.array_sort(entries), 1)
+
+
+def pq_encode(
+    emb: DataFrame,
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    dim: int = EMB_DIM,
+    codebooks: list | None = None,
+) -> DataFrame:
+    """(vec_id, codes, qerr): PQ-encode every vector — per subspace
+    the nearest codebook centroid (ties by code asc), *qerr* the
+    rounded total quantization error Σ_s dist2_s (the reconstruction-
+    quality signal; it is what PQ training minimizes).
+
+    Plan: ZERO-shuffle — every subspace's argmin is a per-row literal
+    codebook expression in one projection (no per-subspace assignment
+    joins: the m-way join form pays m shuffles of N rows).  Codebooks
+    train once (driver-side tiny) and inline as literals."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(emb, n_sub, k, iters, dim)
+    )
+    bests = [
+        _pq_best_struct(
+            F.slice("embedding", s * d_sub + 1, d_sub), books[s]
+        ).alias(f"_b{s}")
+        for s in range(n_sub)
+    ]
+    staged = emb.select("vec_id", *bests)
+    return staged.select(
+        "vec_id",
+        F.array(*[F.col(f"_b{s}.c") for s in range(n_sub)]).alias("codes"),
+        F.round(
+            sum(
+                [F.col(f"_b{s}.d") for s in range(n_sub)],
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("qerr"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k_neighbors: int = 3,
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Asymmetric-distance PQ search: top-k neighbors for vec_id <
+    *n_queries* scored against CODES, not vectors — adc(q, v) =
+    round(Σ_s ‖q_s − codebook_s[code_v,s]‖², 6), each subspace term
+    6dp-rounded (the module's engine-agnostic distance contract).
+    Rank by (adc asc, neighbor asc), self excluded.
+
+    Plan: encode is the zero-shuffle literal-codebook projection;
+    queries broadcast with their raw embeddings; the per-pair score is
+    a literal lookup — ``element_at(codebook_lit, code+1)`` — plus a
+    d/m-dim fold per subspace, all codegen; the only exchange is the
+    top-k window.  At scale, compose with the IVF cell as partition
+    key (IVFPQ) so a probe scans one cell's codes; the ADC scan reads
+    8-byte codes instead of 256-byte vectors — the 32× memory win is
+    the point.  Returns (query_id, neighbor_id, rank, adc)."""
+    d_sub = dim // n_sub
+    books = pq_codebooks(emb, n_sub, k, iters, dim)
+    codes = pq_encode(emb, n_sub, k, iters, dim, codebooks=books)
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    terms = []
+    for s in range(n_sub):
+        cb_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in carr])
+                for _c, carr in books[s]
+            ]
+        )
+        # codebook rows are ordered by code asc (cents sorted by cell
+        # in collect order is NOT guaranteed — look up positionally by
+        # matching code value instead of assuming density)
+        code_positions = {c: i for i, (c, _v) in enumerate(books[s])}
+        pos_lut = F.array(
+            *[
+                F.lit(code_positions.get(code, -1))
+                for code in range(max(code_positions) + 1)
+            ]
+        )
+        idx = F.element_at(pos_lut, (F.element_at("codes", s + 1) + 1).cast("int"))
+        terms.append(
+            F.round(
+                _l2_dist2(
+                    F.slice("_qv", s * d_sub + 1, d_sub),
+                    F.element_at(cb_lit, idx + 1),
+                ),
+                6,
+            )
+        )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(sum(terms[1:], terms[0]), 6).alias("adc"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
 def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
     """(vec_id, bucket): bucket = Σ 2^p · [v·h_p > 0] over literal
     planes — a pure per-row projection (array dot against literal

@@ -1219,6 +1219,56 @@ def test_embedding_dup_pairs_bounded_under_skew(spark):
     assert uncapped == 30 * 29 // 2
 
 
+def test_pq_encode_reconstruction_properties(spark):
+    """PQ encode invariants: one row per vector with n_sub codes in
+    [0, k); qerr ≥ 0 and equals the sum of per-subspace nearest-
+    centroid distances; a vector that IS an init centroid pre-round
+    still encodes deterministically; and encoding is idempotent wrt
+    the trained codebooks (explicit codebooks give identical output).
+    ADC contract: for a near-duplicate pair, each one's nearest
+    neighbor by ADC is its mate (codes collide per subspace, ADC ≈
+    2×qerr-ish small) despite never reading the mate's vector."""
+    import random as _r
+
+    rng = _r.Random(17)
+    rows = []
+    for i in range(0, 120, 2):  # 60 near-dup pairs
+        base = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+        rows.append((i, base))
+        rows.append(
+            (i + 1, [round(x + rng.uniform(-0.002, 0.002), 4) for x in base])
+        )
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+    books = similarity.pq_codebooks(emb, n_sub=8, k=16, iters=1)
+    assert len(books) == 8 and all(len(b) <= 16 for b in books)
+    enc = {
+        r["vec_id"]: r
+        for r in similarity.pq_encode(
+            emb, n_sub=8, k=16, iters=1, codebooks=books
+        ).collect()
+    }
+    assert len(enc) == 120
+    valid_codes = [{c for c, _v in b} for b in books]
+    for r in enc.values():
+        assert len(r["codes"]) == 8
+        assert all(c in valid_codes[s] for s, c in enumerate(r["codes"]))
+        assert r["qerr"] >= 0
+    # explicit-codebook path == trained path (same training contract)
+    enc2 = {
+        r["vec_id"]: r
+        for r in similarity.pq_encode(emb, n_sub=8, k=16, iters=1).collect()
+    }
+    assert {v: tuple(r["codes"]) for v, r in enc.items()} == {
+        v: tuple(r["codes"]) for v, r in enc2.items()
+    }
+
+    top = similarity.pq_adc_topk(emb, n_queries=6, k_neighbors=1)
+    nn = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    mates_found = sum(nn.get(q) == q ^ 1 for q in range(6))
+    assert mates_found >= 5  # ADC finds the near-dup mate from codes
+
+
 def test_embedding_dup_multi_table_superset(spark):
     """r7 multi-table OR-probing: table 0 uses the same seed as the
     single-table path, so the 2-table candidate set is a strict
