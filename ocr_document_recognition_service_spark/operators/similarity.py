@@ -1164,6 +1164,8 @@ def pq_adc_topk(
     k: int = 16,
     iters: int = 1,
     dim: int = EMB_DIM,
+    queries: DataFrame | None = None,
+    engine: str = "codegen",
 ) -> DataFrame:
     """Asymmetric-distance PQ search: top-k neighbors for vec_id <
     *n_queries* scored against CODES, not vectors — adc(q, v) =
@@ -1178,13 +1180,43 @@ def pq_adc_topk(
     top-k window.  At scale, compose with the IVF cell as partition
     key (IVFPQ) so a probe scans one cell's codes; the ADC scan reads
     8-byte codes instead of 256-byte vectors — the 32× memory win is
-    the point.  Returns (query_id, neighbor_id, rank, adc)."""
+    the point.  Returns (query_id, neighbor_id, rank, adc).
+
+    *queries* overrides the default vec_id < n_queries query set (any
+    (vec_id, embedding) frame — the recall bench probes a sampled id
+    set).  *engine*: "codegen" (default, the oracle contract) scores
+    each pair with n_sub literal-lookup folds; "arrow"
+    (``_pq_adc_scores_arrow``) is the FAISS-style table-based scan —
+    per task the query→centroid DISTANCE TABLE (q × m × k, the same
+    6dp-rounded terms) is computed ONCE in numpy, and each pair is m
+    table GATHERS, no per-pair arithmetic at all — the form an ADC
+    scan takes at 100 TB.  Engine equality pinned by
+    ``test_pq_adc_engine_parity``."""
+    if engine not in ("codegen", "arrow"):
+        raise ValueError(f"engine={engine!r}: expected 'codegen' or 'arrow'")
     d_sub = dim // n_sub
     books = pq_codebooks(emb, n_sub, k, iters, dim)
     codes = pq_encode(emb, n_sub, k, iters, dim, codebooks=books)
-    q = emb.filter(F.col("vec_id") < n_queries).select(
+    src_q = queries if queries is not None else emb.filter(
+        F.col("vec_id") < n_queries
+    )
+    q = src_q.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
     )
+    if engine == "arrow":
+        q_rows = [
+            (int(r["query_id"]), [float(x) for x in r["_qv"]])
+            for r in q.collect()
+        ]
+        scored = _pq_adc_scores_arrow(codes, q_rows, books, d_sub)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k_neighbors)
+            .select("query_id", "neighbor_id", "rank", "adc")
+        )
     terms = []
     for s in range(n_sub):
         cb_lit = F.array(
@@ -1229,6 +1261,78 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k_neighbors)
         .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def _pq_adc_scores_arrow(
+    codes: DataFrame,
+    q_rows: list[tuple[int, list[float]]],
+    books: list,
+    d_sub: int,
+) -> DataFrame:
+    """(query_id, neighbor_id, adc) for every (query, code-row) pair —
+    the table-based ADC scan: per task, the query→centroid distance
+    table (q × m × k, terms 6dp-rounded exactly like the codegen
+    engine) is computed ONCE; scoring a pair is then m table gathers
+    + a sum, with no per-pair distance arithmetic (the FAISS ADC
+    shape).  Queries and codebooks ship via the task closure (both
+    tiny)."""
+    import numpy as np
+
+    q_ids = np.array([qid for qid, _ in q_rows], dtype=np.int64)
+    Q = np.array([v for _, v in q_rows], dtype=np.float64)
+    m = len(books)
+    cents = [
+        np.array([v for _c, v in books[s]], dtype=np.float64)
+        for s in range(m)
+    ]
+    luts = []
+    for s in range(m):
+        lut = np.full(max(c for c, _v in books[s]) + 1, -1, dtype=np.int64)
+        for i, (c, _v) in enumerate(books[s]):
+            lut[c] = i
+        luts.append(lut)
+    # distance tables: DT[s][qi, code_pos] = round(||q_s - cent||^2, 6)
+    DT = [
+        _np_round6(
+            (
+                (
+                    Q[:, s * d_sub : (s + 1) * d_sub][:, None, :]
+                    - cents[s][None, :, :]
+                )
+                ** 2
+            ).sum(-1)
+        )
+        for s in range(m)
+    ]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            cm = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            total = np.zeros((len(q_ids), len(ids)), dtype=np.float64)
+            for s in range(m):
+                total += DT[s][:, luts[s][cm[:, s]]]
+            adc = _np_round6(total)
+            qq = np.repeat(q_ids, len(ids))
+            nn = np.tile(ids, len(q_ids))
+            keep = qq != nn
+            yield pd.DataFrame(
+                {
+                    "query_id": qq[keep],
+                    "neighbor_id": nn[keep],
+                    "adc": adc.ravel()[keep],
+                }
+            )
+
+    return codes.select("vec_id", "codes").mapInPandas(
+        run, "query_id long, neighbor_id long, adc double"
     )
 
 

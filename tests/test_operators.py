@@ -1269,6 +1269,37 @@ def test_pq_encode_reconstruction_properties(spark):
     assert mates_found >= 5  # ADC finds the near-dup mate from codes
 
 
+def test_pq_adc_engine_parity(spark):
+    """The table-based Arrow ADC scan (FAISS shape: per-task distance
+    tables, per-pair gathers) and the codegen literal-lookup engine
+    implement ONE scoring contract — identical (query, neighbor,
+    rank, adc) output, including a custom query frame."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    rng = _r.Random(23)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)])
+        for i in range(150)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    qs = emb.filter(F.col("vec_id") % 17 == 3)
+    a = sorted(
+        tuple(r)
+        for r in similarity.pq_adc_topk(
+            emb, k_neighbors=3, queries=qs, engine="codegen"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in similarity.pq_adc_topk(
+            emb, k_neighbors=3, queries=qs, engine="arrow"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_embedding_dup_multi_table_superset(spark):
     """r7 multi-table OR-probing: table 0 uses the same seed as the
     single-table path, so the 2-table candidate set is a strict

@@ -364,6 +364,15 @@ def ann_recall_table(spark):
         )
     truth = {q: [n for _, n in sorted(v)] for q, v in truth.items()}
 
+    def _normalized(df):
+        nrm = similarity.norm_arrays("embedding")
+        return df.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / nrm).alias(
+                "embedding"
+            ),
+        )
+
     n_planes = similarity.planes_for_corpus(N_ANN)
     # mean cell = cap/2: headroom so quantizer skew doesn't hit the
     # cap (n_cells = N/cap puts the MEAN at the cap — measured 0.60
@@ -404,6 +413,23 @@ def ann_recall_table(spark):
             lambda: similarity.ivf_kmeans_topk(
                 emb, n_cells=n_cells, iters=1, k=10, cell_cap=64,
                 n_probe=2, sample_cap=None, two_level=True,
+                engine="arrow",
+            ),
+        ),
+        (
+            "sim8 PQ-ADC (8x64 codebooks, table scan, L2-normalized)",
+            # ADC ranks by L2 to the reconstruction; over L2-NORMALIZED
+            # vectors that ordering is cosine-equivalent, so the
+            # cosine-truth recall is a fair measure (the standard
+            # normalize-for-cosine PQ deployment).  Arrow engine =
+            # per-task distance tables + gathers (the FAISS scan).
+            lambda: similarity.pq_adc_topk(
+                _normalized(emb),
+                k_neighbors=10,
+                n_sub=8,
+                k=64,
+                iters=1,
+                queries=_normalized(queries),
                 engine="arrow",
             ),
         ),

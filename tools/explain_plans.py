@@ -224,6 +224,20 @@ def main() -> int:
         )
     )
 
+    # 14. r7 — PQ encode: the whole 8-subspace encode is ONE
+    #     zero-shuffle projection (literal codebooks, per-row argmin)
+    sections.append(
+        (
+            "emb2_pq_encode (r7, product quantization)",
+            "the ENCODE is Projects only — all 8 subspace argmins are "
+            "literal-codebook expressions in one Project, each vector "
+            "read once, 8 codes + rounded quantization error out; the "
+            "single Exchange in the plan is the registry harness's own "
+            "repartition(16) of the scan, not the operator.",
+            plan_of(REGISTRY["emb2_pq_encode"].spark(spark, SF)),
+        )
+    )
+
     out = ["# PLANS — physical plans for the load-bearing queries\n"]
     out.append(
         "Regenerate with `python3 tools/explain_plans.py`.  What to look "
