@@ -660,50 +660,36 @@ def embedding_dup_pairs(
             "plane set per table — pass n_planes (per-table count), "
             "not an explicit planes list"
         )
+    # ONE candidate-join + verify path for both layouts (review r7:
+    # the branches had grown near-verbatim copies — the exact block
+    # _score_pairs was factored to prevent).  The index is
+    # downward-closed by vec_id within its bucket keys (the cap keeps
+    # the SMALLEST ids), so probe > index emits each capped pair
+    # exactly once per table — no least/greatest; multi-table adds the
+    # tbl key and a DISTINCT (the same pair can collide in several
+    # tables).
     if n_tables > 1:
         b = similarity.lsh_tables(emb, n_planes, n_tables)
-        idx = similarity.capped_index(
-            b, ["tbl", "bucket"], "vec_id", bucket_cap
-        )
-        cand = (
-            b.alias("a")
-            .join(
-                idx.alias("b"),
-                (F.col("a.tbl") == F.col("b.tbl"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.vec_id") > F.col("b.vec_id")),
-            )
-            .select(
-                F.col("b.vec_id").alias("vec_a"),
-                F.col("a.vec_id").alias("vec_b"),
-            )
-            .distinct()
-        )
-        return (
-            similarity._score_pairs(cand, emb, a_col="vec_a", b_col="vec_b")
-            .filter(F.col("cosine") >= threshold)
-            .select("vec_a", "vec_b", "cosine")
-        )
-    if planes is None:
-        planes = similarity.hyperplanes(n_planes)
-    b = similarity.lsh_buckets(emb, planes)
-    idx = similarity.capped_index(b, ["bucket"], "vec_id", bucket_cap)
-    # the index is downward-closed by vec_id within a bucket (the cap
-    # keeps the SMALLEST ids), so probe > index emits each capped pair
-    # exactly once — no distinct, no least/greatest: pair (x<y) is a
-    # candidate iff x is indexed, which is precisely this join
+        keys = ["tbl", "bucket"]
+    else:
+        if planes is None:
+            planes = similarity.hyperplanes(n_planes)
+        b = similarity.lsh_buckets(emb, planes)
+        keys = ["bucket"]
+    idx = similarity.capped_index(b, keys, "vec_id", bucket_cap)
+    on = F.col("a.vec_id") > F.col("b.vec_id")
+    for key in keys:
+        on = on & (F.col(f"a.{key}") == F.col(f"b.{key}"))
     cand = (
         b.alias("a")
-        .join(
-            idx.alias("b"),
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") > F.col("b.vec_id")),
-        )
+        .join(idx.alias("b"), on)
         .select(
             F.col("b.vec_id").alias("vec_a"),
             F.col("a.vec_id").alias("vec_b"),
         )
     )
+    if n_tables > 1:
+        cand = cand.distinct()
     return (
         similarity._score_pairs(cand, emb, a_col="vec_a", b_col="vec_b")
         .filter(F.col("cosine") >= threshold)

@@ -1074,19 +1074,32 @@ def pq_codebooks(
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     d_sub = dim // n_sub
-    books = []
-    for s in range(n_sub):
-        sub = emb.select(
-            "vec_id",
-            F.slice("embedding", s * d_sub + 1, d_sub).alias("embedding"),
-        )
-        cents = _kmeans_centroids(sub, k, iters, d_sub)
-        books.append(
-            sorted(
-                (int(r["cell"]), [float(x) for x in r["carr"]])
-                for r in cents.collect()
+    # the n_sub independent Lloyd trainings each fire several jobs
+    # (init + assign/recenter per round + collect) — persist ONE local
+    # projection so they read cached partitions instead of re-scanning
+    # (and re-computing) the source ~2-3×n_sub times (review r7:
+    # scan-amplification pitfall); a fresh projection is persisted so
+    # an already-cached caller frame is never unpersisted from under
+    # the caller
+    src = emb.select("vec_id", "embedding").persist()
+    try:
+        books = []
+        for s in range(n_sub):
+            sub = src.select(
+                "vec_id",
+                F.slice("embedding", s * d_sub + 1, d_sub).alias(
+                    "embedding"
+                ),
             )
-        )
+            cents = _kmeans_centroids(sub, k, iters, d_sub)
+            books.append(
+                sorted(
+                    (int(r["cell"]), [float(x) for x in r["carr"]])
+                    for r in cents.collect()
+                )
+            )
+    finally:
+        src.unpersist()
     return books
 
 
@@ -1209,14 +1222,7 @@ def pq_adc_topk(
             for r in q.collect()
         ]
         scored = _pq_adc_scores_arrow(codes, q_rows, books, d_sub)
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("adc").asc(), F.col("neighbor_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k_neighbors)
-            .select("query_id", "neighbor_id", "rank", "adc")
-        )
+        return _rank_adc(scored, k_neighbors)
     terms = []
     for s in range(n_sub):
         cb_lit = F.array(
@@ -1254,6 +1260,14 @@ def pq_adc_topk(
             F.round(sum(terms[1:], terms[0]), 6).alias("adc"),
         )
     )
+    return _rank_adc(scored, k_neighbors)
+
+
+def _rank_adc(scored: DataFrame, k_neighbors: int) -> DataFrame:
+    """ONE ranking tail for both ADC engines (rank by adc asc,
+    neighbor-id ties, top-k) — a tie-break or cast change here reaches
+    codegen and arrow together, so the engines cannot drift apart
+    (review r7; the _rank_scored pattern)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id").asc()
     )

@@ -365,12 +365,16 @@ def ann_recall_table(spark):
     truth = {q: [n for _, n in sorted(v)] for q, v in truth.items()}
 
     def _normalized(df):
-        nrm = similarity.norm_arrays("embedding")
+        # stage the norm as a COLUMN before the per-element lambda —
+        # no CSE inside HOF lambda bodies (CLAUDE.md): an inline norm
+        # aggregate would re-evaluate per element, O(d^2) per row
         return df.select(
+            "vec_id", "embedding", similarity.norm_arrays("embedding").alias("_n")
+        ).select(
             "vec_id",
-            F.transform("embedding", lambda x: x.cast("double") / nrm).alias(
-                "embedding"
-            ),
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("_n")
+            ).alias("embedding"),
         )
 
     n_planes = similarity.planes_for_corpus(N_ANN)
