@@ -1223,34 +1223,7 @@ def pq_adc_topk(
         ]
         scored = _pq_adc_scores_arrow(codes, q_rows, books, d_sub)
         return _rank_adc(scored, k_neighbors)
-    terms = []
-    for s in range(n_sub):
-        cb_lit = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in carr])
-                for _c, carr in books[s]
-            ]
-        )
-        # codebook rows are ordered by code asc (cents sorted by cell
-        # in collect order is NOT guaranteed — look up positionally by
-        # matching code value instead of assuming density)
-        code_positions = {c: i for i, (c, _v) in enumerate(books[s])}
-        pos_lut = F.array(
-            *[
-                F.lit(code_positions.get(code, -1))
-                for code in range(max(code_positions) + 1)
-            ]
-        )
-        idx = F.element_at(pos_lut, (F.element_at("codes", s + 1) + 1).cast("int"))
-        terms.append(
-            F.round(
-                _l2_dist2(
-                    F.slice("_qv", s * d_sub + 1, d_sub),
-                    F.element_at(cb_lit, idx + 1),
-                ),
-                6,
-            )
-        )
+    terms = _pq_adc_terms("_qv", "codes", books, d_sub)
     scored = (
         codes.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1259,6 +1232,98 @@ def pq_adc_topk(
             F.col("vec_id").alias("neighbor_id"),
             F.round(sum(terms[1:], terms[0]), 6).alias("adc"),
         )
+    )
+    return _rank_adc(scored, k_neighbors)
+
+
+def _pq_adc_terms(
+    qv_col: str, codes_col: str, books: list, d_sub: int
+) -> list[F.Column]:
+    """Per-subspace ADC term expressions — round(‖q_s −
+    codebook_s[code_s]‖², 6) via literal codebook lookup (positional
+    LUT: codebooks are sorted by code but codes need not be dense).
+    ONE copy behind pq_adc_topk's codegen engine and ivfpq_topk."""
+    terms = []
+    for s, book in enumerate(books):
+        cb_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in carr]) for _c, carr in book]
+        )
+        code_positions = {c: i for i, (c, _v) in enumerate(book)}
+        pos_lut = F.array(
+            *[
+                F.lit(code_positions.get(code, -1))
+                for code in range(max(code_positions) + 1)
+            ]
+        )
+        pos = F.element_at(
+            pos_lut, (F.element_at(codes_col, s + 1) + 1).cast("int")
+        )
+        terms.append(
+            F.round(
+                _l2_dist2(
+                    F.slice(qv_col, s * d_sub + 1, d_sub),
+                    F.element_at(cb_lit, pos + 1),
+                ),
+                6,
+            )
+        )
+    return terms
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 5,
+    k_neighbors: int = 3,
+    n_cells: int = 8,
+    cell_iters: int = 1,
+    n_probe: int = 2,
+    cell_cap: int | None = CELL_CAP,
+    n_sub: int = 8,
+    k: int = 16,
+    pq_iters: int = 1,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVFPQ (the full FAISS composition): the IVF quantizer prunes
+    WHAT to score — each query reads only its *n_probe* nearest Lloyd
+    cells' members — and PQ compresses what gets scored: candidates
+    are ranked by asymmetric distance against their CODES, never their
+    vectors.  At 100 TB the cell id is the partition key and the
+    per-cell payload is 8-byte codes: a probe reads n_probe cell
+    partitions of codes instead of the corpus of vectors — the two
+    orthogonal wins (candidate pruning × 32× payload) multiplied.
+
+    Shape: ONE Lloyd training feeds both the primary assignment
+    (capped index side, ``capped_index`` cell cap) and the query-side
+    multi-probe; PQ encode is the zero-shuffle literal-codebook
+    projection; ADC terms are literal lookups per candidate; the only
+    exchanges are the assignment argmins and the final top-k window.
+    Every neighbor has one primary cell, so a (query, neighbor) pair
+    arises from at most one probed cell — no distinct.  Returns
+    (query_id, neighbor_id, rank, adc); exact 6dp/rounding contract
+    throughout, so the DuckDB twin reproduces it."""
+    d_sub = dim // n_sub
+    assign = _kmeans_assigner(emb, n_cells, cell_iters, dim)
+    cells = assign(1)
+    probes = assign(n_probe).filter(F.col("vec_id") < n_queries)
+    books = pq_codebooks(emb, n_sub, k, pq_iters, dim)
+    codes = pq_encode(emb, n_sub, k, pq_iters, dim, codebooks=books)
+    idx = capped_index(cells, ["cell"], "vec_id", cell_cap).join(
+        codes, "vec_id"
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    cand = (
+        probes.select(F.col("vec_id").alias("query_id"), "cell")
+        .join(F.broadcast(q), "query_id")
+        .join(idx, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    terms = _pq_adc_terms("_qv", "codes", books, d_sub)
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(sum(terms[1:], terms[0]), 6).alias("adc"),
     )
     return _rank_adc(scored, k_neighbors)
 

@@ -2085,6 +2085,82 @@ def _sim8_sql(
     """
 
 
+def _sim9_sql(
+    n_cells: int = 8,
+    cell_iters: int = 1,
+    n_probe: int = 2,
+    cell_cap: int = 64,
+    n_sub: int = 8,
+    k: int = 16,
+    pq_iters: int = 1,
+    d_sub: int = 8,
+    n_queries: int = 5,
+    topk: int = 3,
+) -> str:
+    """sim9 oracle: IVFPQ — the IVF cell chain (Lloyd cells + capped
+    index + query-side multi-probe) composed with the PQ codebook
+    chains; candidates score by ADC restricted to probed-cell pairs."""
+    cell_lloyd, vcents = _sql_lloyd_flat("v", "flat", n_cells, cell_iters, False)
+    books, assigns, cents_names = _pq_sql_books(n_sub, k, pq_iters, d_sub)
+    adc_frags = []
+    for s in range(n_sub):
+        adc_frags.append(
+            f"""adc{s} AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS d
+      FROM cand cd
+      JOIN sub{s} f ON f.vec_id = cd.query_id
+      JOIN {assigns[s]} a ON a.vec_id = cd.neighbor_id
+      JOIN {cents_names[s]} c ON c.cell = a.cell AND c.cpos = f.pos
+      GROUP BY 1, 2)"""
+        )
+    adc_joins = " ".join(
+        f"JOIN adc{s} a{s} USING (query_id, neighbor_id)"
+        for s in range(1, n_sub)
+    )
+    adc_sum = " + ".join(f"a{s}.d" for s in range(n_sub))
+    return f"""
+    WITH {_PQ_FLAT},
+    {cell_lloyd},
+    vfd AS (
+      SELECT f.vec_id, c.cell, round(sum((f.x - c.cx)*(f.x - c.cx)), 6) AS dist2
+      FROM flat f JOIN {vcents} c ON f.pos = c.cpos GROUP BY 1, 2
+    ),
+    vranked AS (
+      SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist2 ASC, cell ASC) AS rn FROM vfd
+    ),
+    cells AS (SELECT vec_id, cell FROM vranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id, cell FROM vranked
+      WHERE rn <= {n_probe} AND vec_id < {n_queries}
+    ),
+    cidx AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY vec_id ASC) AS rn
+        FROM cells
+      ) WHERE rn <= {cell_cap}
+    ),
+    {books},
+    cand AS (
+      SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id
+      FROM probes p JOIN cidx n
+        ON p.cell = n.cell AND p.vec_id <> n.vec_id
+    ),
+    {", ".join(adc_frags)},
+    scored AS (
+      SELECT a0.query_id, a0.neighbor_id, round({adc_sum}, 6) AS adc
+      FROM adc0 a0 {adc_joins}
+    )
+    SELECT query_id, neighbor_id, rank, adc FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc ASC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {topk}
+    """
+
+
 def _sim7_sql() -> str:
     """sim7 oracle: hash-order sample of 200, 16 cells, 1 two-level
     training round, two-level final assignment (coarse_probe=2,
@@ -2599,6 +2675,31 @@ def sim7_ivf_twolevel(spark: SparkSession, sf: str) -> DataFrame:
         two_level=True,
         coarse_probe=2,
         coarse_iters=1,
+    )
+
+
+@_reg(
+    "sim9_ivfpq",
+    _sim9_sql(),
+    "IVFPQ (FAISS composition, r7): the IVF quantizer prunes WHAT to "
+    "score (each query reads its 2 nearest Lloyd cells' capped "
+    "members) and PQ compresses what gets scored (candidates ranked "
+    "by ADC against 8-byte codes, never vectors) — candidate pruning "
+    "x 32x payload, the two orthogonal wins multiplied; one Lloyd "
+    "training feeds index and probe sides",
+)
+def sim9_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.ivfpq_topk(
+        load(spark, sf, "embeddings").repartition(16),
+        n_queries=5,
+        k_neighbors=3,
+        n_cells=8,
+        cell_iters=1,
+        n_probe=2,
+        cell_cap=64,
+        n_sub=8,
+        k=16,
+        pq_iters=1,
     )
 
 

@@ -1269,6 +1269,41 @@ def test_pq_encode_reconstruction_properties(spark):
     assert mates_found >= 5  # ADC finds the near-dup mate from codes
 
 
+def test_ivfpq_finds_cluster_mates_and_prunes(spark):
+    """IVFPQ: near-dup mates land in the same Lloyd cell, so the
+    probed-cell ADC scan finds them top-1 (same geometry as the PQ
+    test); and pruning is real — every returned neighbor's primary
+    cell is among the query's probed cells."""
+    import random as _r
+
+    rng = _r.Random(17)
+    rows = []
+    for i in range(0, 120, 2):
+        base = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+        rows.append((i, base))
+        rows.append(
+            (i + 1, [round(x + rng.uniform(-0.002, 0.002), 4) for x in base])
+        )
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    top = similarity.ivfpq_topk(
+        emb, n_queries=6, k_neighbors=1, n_cells=8, n_probe=2
+    )
+    nn = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert sum(nn.get(q) == q ^ 1 for q in range(6)) >= 5
+
+    # pruning invariant: neighbors come only from probed cells
+    assign = similarity._kmeans_assigner(emb, 8, 1)
+    cells = {r["vec_id"]: r["cell"] for r in assign(1).collect()}
+    probed: dict[int, set] = {}
+    for r in assign(2).collect():
+        probed.setdefault(r["vec_id"], set()).add(r["cell"])
+    full = similarity.ivfpq_topk(
+        emb, n_queries=6, k_neighbors=10, n_cells=8, n_probe=2
+    )
+    for r in full.collect():
+        assert cells[r["neighbor_id"]] in probed[r["query_id"]]
+
+
 def test_pq_adc_engine_parity(spark):
     """The table-based Arrow ADC scan (FAISS shape: per-task distance
     tables, per-pair gathers) and the codegen literal-lookup engine
