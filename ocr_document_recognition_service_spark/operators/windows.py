@@ -341,3 +341,72 @@ def sessionize(
     ).otherwise(0)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn("session_id", F.sum(is_start).over(wc))
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    tau: float = 0.5,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Source-temperature sampling (the GPT-3 §2.2 / Pile / mC4
+    multilingual-rebalancing staple): keep a *target_frac* slice of
+    the corpus with group shares reweighted to n_g^tau — tau < 1
+    flattens the distribution (upweights low-resource groups,
+    downweights dominant ones), tau = 1 preserves natural shares,
+    tau = 0 is uniform-per-group.
+
+    Per group: weight w_g = n_g^tau / Σ n_h^tau, acceptance p_g =
+    round(min(1, target_frac·N·w_g / n_g), 6).  A row is kept iff its
+    deterministic id-hash coin u = int(md5(id)[:8], 16) / 2^32 < p_g —
+    no engine RNG, so reruns and the SQL twin agree row-for-row (the
+    hash_order_sample/lineage-pid idiom).  tau = 0.5 computes n^tau
+    via sqrt, which is IEEE-exact in every engine; other taus go
+    through pow, where cross-engine ulps could flip a row only if u
+    lands within 1e-6 of p_g (the 6dp rounding absorbs pow ulps).
+
+    Plan: one tiny groupBy count (map-side combine), the per-group
+    probabilities BROADCAST back, and a codegen filter — the corpus
+    never shuffles; at 100 TB this is a scan + a broadcast hash join.
+    Returns kept rows plus (n_group, p_group) for audit."""
+    n_tau = (
+        F.sqrt(F.col("_n"))
+        if tau == 0.5
+        else F.pow(F.col("_n"), F.lit(float(tau)))
+    )
+    counts = (
+        df.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_ntau", n_tau)
+    )
+    # Σ n^tau and N: a 1-row cross join keeps everything in-plan
+    totals = counts.agg(
+        F.sum("_ntau").alias("_ztau"), F.sum("_n").alias("_ntot")
+    )
+    probs = counts.crossJoin(F.broadcast(totals)).select(
+        "_g",
+        F.col("_n").alias("n_group"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_frac))
+                * F.col("_ntot")
+                * (F.col("_ntau") / F.col("_ztau"))
+                / F.col("_n"),
+            ),
+            6,
+        ).alias("p_group"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.join(
+            F.broadcast(probs), df[group_col] == F.col("_g")
+        )
+        .filter(u < F.col("p_group"))
+        .drop("_g")
+    )

@@ -747,6 +747,39 @@ def w8_sliding_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_reg(
+    "w9_temperature_sample",
+    """
+    WITH counts AS (
+      SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(sqrt(n)) AS ztau, sum(n) AS ntot FROM counts),
+    probs AS (
+      SELECT g, n AS n_group,
+             round(least(1.0, 0.5 * tot.ntot * (sqrt(counts.n) / tot.ztau)
+                              / counts.n), 6) AS p_group
+      FROM counts, tot
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, p.n_group, p.p_group
+    FROM documents d JOIN probs p ON d.lang = p.g
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < p.p_group
+    """,
+    "source-temperature sampling (GPT-3 §2.2 / Pile / mC4 staple, "
+    "r7): keep a target fraction with group shares reweighted to "
+    "n^tau (tau=0.5 flattens toward low-resource langs; sqrt is "
+    "IEEE-exact cross-engine) — deterministic md5 coin per doc, per-"
+    "group probabilities broadcast, corpus never shuffles",
+)
+def w9_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return windows.temperature_sample(
+        load(spark, sf, "documents").repartition(16),
+        group_col="lang",
+        tau=0.5,
+        target_frac=0.5,
+    ).select("doc_id", "lang", "source", "n_chars", "n_group", "p_group")
+
+
+@_reg(
     "w4_balanced_sample",
     """
     SELECT doc_id, source FROM (
@@ -3859,9 +3892,10 @@ _DRIVER_WINDOW: list[str] = [
     # accuracy metrics (a1 back in — stale since r3)
     "a1_iou", "a2_best_match", "a3_eval_report", "a9_match_report",
     "a10_ap_report",
-    # window operators (w4 back in — stale since r4)
+    # window operators (w4 back in — stale since r4; w9 NEW r7 —
+    # first-time certification; w7 to overflow, green r6-r7)
     "w1_event_rank", "w4_balanced_sample", "w6_sessionize",
-    "w7_sorted_zip",
+    "w9_temperature_sample",
     # set operations
     "s1_customers_no_urgent",
     # dedup family (dd11 + dd12 NEW r7 — probe-side multi-assignment

@@ -982,6 +982,47 @@ def test_lsh_candidate_pairs_bounded_under_skew(spark):
     assert partners_of_0 == set(range(1, n))  # min doc is always indexed
 
 
+def test_temperature_sample_rebalances(spark):
+    """r7 w9: tau=1 preserves natural shares (every group keeps the
+    same rate = target_frac), tau=0.5 flattens (low-resource keep
+    RATE strictly above the dominant group's), tau=0 targets equal
+    absolute counts per group; p <= 1 always, deterministic reruns."""
+    from ocr_document_recognition_service_spark.operators import windows as W
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(900 + i, "mid") for i in range(300)]
+        + [(1200 + i, "small") for i in range(60)]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string")
+
+    def rates(tau):
+        out = W.temperature_sample(
+            df, group_col="lang", tau=tau, target_frac=0.4
+        ).collect()
+        kept = {}
+        p = {}
+        for r in out:
+            kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+            p[r["lang"]] = r["p_group"]
+            assert r["p_group"] <= 1.0
+        return kept, p
+
+    kept1, p1 = rates(1.0)
+    assert all(abs(v - 0.4) < 1e-9 for v in p1.values())  # natural shares
+    kept05, p05 = rates(0.5)
+    assert p05["small"] > p05["mid"] > p05["big"]  # flattened toward small
+    assert kept05["small"] / 60 > kept05["big"] / 900
+    kept0, p0 = rates(0.0)
+    # tau=0: equal EXPECTED counts per group (168 each); small group
+    # saturates at p=1 (60 < 168) — the least(1, ...) clamp
+    assert p0["small"] == 1.0 and kept0["small"] == 60
+    assert abs(kept0["big"] - kept0["mid"]) < 60  # both target ~168
+    # determinism
+    again, _ = rates(0.5)
+    assert again == kept05
+
+
 def test_balanced_sample_matches_plain_window(spark):
     """Both balanced_sample paths (numeric banded two-pass, string
     salted two-stage) must equal the naive full-group window result."""
