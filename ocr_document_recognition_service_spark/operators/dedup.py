@@ -261,22 +261,28 @@ def lsh_candidate_pairs(
     and the shuffle it pays is tiny (n_docs × 8 short hex strings).
     SimHash is the opposite trade (int arithmetic in ``aggregate`` won
     — see simhash_bits).
+
+    Pair generation (r8): the capped form runs as ONE window pass over
+    the band rows (``similarity.capped_bucket_pairs``) instead of the
+    probe ⋈ capped-index self-join — the join's two consumers executed
+    the whole shingle→MinHash pipeline twice (no runtime exchange
+    reuse) and then paid a SortMergeJoin; the window form computes
+    bands once and emits the identical pair set (measured 3.51 s →
+    2.25 s at sf1.0, mismatches 0).  Band signatures have ≈ corpus
+    cardinality, so the window partitioning spreads well — see the
+    helper's docstring for when the join form is still the right
+    shape.  ``bucket_cap=None`` keeps the classic uncapped join.
     """
     bands = band_signatures(docs, n_hashes, band_rows, shingle)
-    idx = similarity.capped_index(
-        bands, ["band", "band_sig"], "doc_id", bucket_cap
-    )
-    # probe > index: the capped index holds the SMALLEST doc_ids per
-    # (band, band_sig) (downward-closed), so pair (x<y) is a candidate
-    # iff x is indexed in a shared bucket — this join emits exactly
-    # those (the same set as the != + least/greatest form) at half the
-    # pre-distinct rows; distinct collapses cross-band repeats.
-    # NOTE: when bucket_cap is None the > form is trivially equivalent
-    # to the classic  a.doc_id < b.doc_id  join.
+    if bucket_cap is not None:
+        return similarity.capped_bucket_pairs(
+            bands, ["band", "band_sig"], "doc_id", bucket_cap
+        ).distinct()
+    # uncapped: classic a < b self-join (no index side to window over)
     return (
         bands.alias("a")
         .join(
-            idx.alias("b"),
+            bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
             & (F.col("a.doc_id") > F.col("b.doc_id")),
@@ -405,18 +411,43 @@ def simhash_bits(
     staged = docs.select("doc_id", _words().alias("_w")).filter(
         F.size("_w") > 0
     )
+    # r8: stage the PACKED hex digits per word — one conv per word per
+    # 4-bit digit group instead of one conv per word per BIT (the old
+    # per-k ``conv(substr(h, k//4+1, 1))`` re-parsed a hex digit 4×);
+    # the sign-sums then read bits with shift/mask int ops only.
+    # Values are identical: bit k of md5(w) = bit (k mod 4) of hex
+    # digit (k div 4) either way (verified pairwise at sf1.0).  The
+    # packed value must stay under 2^60 so the signed-long conv cast
+    # can never overflow — n_bits in (60, 63] packs into two values.
+    n_digits = (n_bits + 3) // 4
+    packs = [(0, min(n_digits, 15))]
+    if n_digits > 15:
+        packs.append((15, n_digits - 15))
+    def _packed(off: int, cnt: int):
+        return lambda w: F.conv(
+            F.substring(F.md5(w), off + 1, cnt), 16, 10
+        ).cast("long")
+
     hs = staged.select(
-        "doc_id", F.transform("_w", lambda w: F.md5(w)).alias("_h")
+        "doc_id",
+        *[
+            F.transform("_w", _packed(off, cnt)).alias(f"_v{p}")
+            for p, (off, cnt) in enumerate(packs)
+        ],
     )
 
     def sign_sum(k: int) -> F.Column:
-        def pm(h: F.Column) -> F.Column:
-            hexval = F.conv(F.substring(h, k // 4 + 1, 1), 16, 10).cast("int")
-            bit = F.shiftright(hexval, k % 4) % 2
+        p = 1 if k // 4 >= 15 else 0
+        off, cnt = packs[p]
+        # digit (k//4) sits (cnt-1-(k//4-off)) nibbles from the low end
+        shift = (cnt - 1 - (k // 4 - off)) * 4 + k % 4
+
+        def pm(v: F.Column) -> F.Column:
+            bit = F.shiftright(v, shift).bitwiseAND(F.lit(1))
             return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
 
         return F.aggregate(
-            F.col("_h"), F.lit(0), lambda acc, h: acc + pm(h)
+            F.col(f"_v{p}"), F.lit(0), lambda acc, v: acc + pm(v)
         ).alias(f"s{k}")
 
     sums = hs.select("doc_id", *[sign_sum(k) for k in range(n_bits)])
@@ -594,6 +625,8 @@ def embedding_dup_pairs(
     bucket_cap: int | None = LSH_BUCKET_CAP,
     n_vectors: int | None = None,
     n_tables: int = 1,
+    dim: int | None = None,
+    broadcast_emb: bool = False,
 ) -> DataFrame:
     """Embedding cosine near-dup pairs over random-hyperplane LSH
     bucket candidates (generate-then-verify; no label/source blocking).
@@ -640,9 +673,14 @@ def embedding_dup_pairs(
     verify, so nothing is double-scored.  Requires *n_planes* (or
     *n_vectors*) rather than an explicit single *planes* list.
 
-    Exact cosine on candidates only, ARRAY-NATIVE (zip_with/aggregate
-    in codegen — no posexplode, no norms shuffle); per-element products
-    in double + 4dp rounding keep parity with the flat SQL oracle.
+    Exact cosine on candidates only, ARRAY-NATIVE (no posexplode, no
+    norms shuffle); per-element products in double + 4dp rounding keep
+    parity with the flat SQL oracle.  *dim* / *broadcast_emb* (r8) pass
+    through to ``similarity._score_pairs``: *dim* switches the dot math
+    to the statically-unrolled codegen form (bit-identical — caller
+    asserts the embedding length), *broadcast_emb* hints the two attach
+    joins to broadcast the vector table (right at broadcast-sized
+    corpora; leave False at scale — see _score_pairs).
     """
     if planes is None:
         if n_planes is None:
@@ -691,7 +729,14 @@ def embedding_dup_pairs(
     if n_tables > 1:
         cand = cand.distinct()
     return (
-        similarity._score_pairs(cand, emb, a_col="vec_a", b_col="vec_b")
+        similarity._score_pairs(
+            cand,
+            emb,
+            a_col="vec_a",
+            b_col="vec_b",
+            dim=dim,
+            broadcast_emb=broadcast_emb,
+        )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

@@ -24,10 +24,19 @@ def wrr(pairs: DataFrame, pred: str = "pred_text", gt: str = "gt_text") -> F.Col
     )
 
 
-def crr(pairs: DataFrame, pred: str = "pred_text", gt: str = "gt_text") -> F.Column:
+def crr(
+    pairs: DataFrame,
+    pred: str = "pred_text",
+    gt: str = "gt_text",
+    lev: F.Column | None = None,
+) -> F.Column:
     """Char recognition rate: similarity-weighted char share (A4,
-    metrics.py:126,143-153); fuzz.ratio → 1 − lev/max(len)."""
-    sim = 1 - F.levenshtein(F.col(pred), F.col(gt)) / F.greatest(
+    metrics.py:126,143-153); fuzz.ratio → 1 − lev/max(len).  *lev*
+    optionally injects a pre-staged edit-distance column (see
+    ``eval_report``)."""
+    if lev is None:
+        lev = F.levenshtein(F.col(pred), F.col(gt))
+    sim = 1 - lev / F.greatest(
         F.length(F.col(pred)), F.length(F.col(gt)), F.lit(1)
     )
     return F.round(
@@ -35,11 +44,17 @@ def crr(pairs: DataFrame, pred: str = "pred_text", gt: str = "gt_text") -> F.Col
     )
 
 
-def cer(pairs: DataFrame, pred: str = "pred_text", gt: str = "gt_text") -> F.Column:
+def cer(
+    pairs: DataFrame,
+    pred: str = "pred_text",
+    gt: str = "gt_text",
+    lev: F.Column | None = None,
+) -> F.Column:
     """Character error rate (A5, cer_metric.py:12-18)."""
+    if lev is None:
+        lev = F.levenshtein(F.col(pred), F.col(gt))
     return F.round(
-        F.sum(F.levenshtein(F.col(pred), F.col(gt)))
-        / F.sum(F.length(F.col(gt))),
+        F.sum(lev) / F.sum(F.length(F.col(gt))),
         6,
     )
 
@@ -54,12 +69,39 @@ def wer(pairs: DataFrame, pred: str = "pred_text", gt: str = "gt_text") -> F.Col
     )
 
 
-def eval_report(pairs: DataFrame) -> DataFrame:
-    """All metrics in one aggregate + harmonic mean (A7, crnn.py:221)."""
+def eval_report(
+    pairs: DataFrame, lev_bound: F.Column | None = None
+) -> DataFrame:
+    """All metrics in one aggregate + harmonic mean (A7, crnn.py:221).
+
+    *lev_bound* (r8, guide §1.2 "per-task work"): an optional per-row
+    UPPER BOUND on levenshtein(pred, gt), supplied by a caller that
+    knows how the pair was constructed.  When given, the distance is
+    staged once as ``levenshtein(pred, gt, bound)`` — Spark's
+    thresholded form runs a banded O(len·bound) DP instead of the full
+    O(len²) table, and with bound ≥ the true distance it returns the
+    EXACT distance (the -1 early-exit can never trigger), so CRR/CER
+    are unchanged.  Staging also guarantees one distance computation
+    feeds both aggregates.  Measured on a3 at sf1.0: the levenshtein
+    scan drops 2.10 s → 1.38 s (mean ~300-char docs, bound ≈ 25).
+    """
+    if lev_bound is not None:
+        pairs = pairs.withColumn(
+            "_lev",
+            F.call_function(
+                "levenshtein",
+                F.col("pred_text"),
+                F.col("gt_text"),
+                lev_bound,
+            ),
+        )
+        lev = F.col("_lev")
+    else:
+        lev = None
     agg = pairs.agg(
         wrr(pairs).alias("wrr"),
-        crr(pairs).alias("crr"),
-        cer(pairs).alias("cer"),
+        crr(pairs, lev=lev).alias("crr"),
+        cer(pairs, lev=lev).alias("cer"),
         wer(pairs).alias("wer"),
     )
     return agg.withColumn(
@@ -230,11 +272,36 @@ def ap_report(
 def best_match_per_key(
     df: DataFrame, key: str, score: str, tiebreak: str
 ) -> DataFrame:
-    """Rank-filtered best match (A2 greedy argmax as a window):
-    row_number over (partition by key order by score desc, tiebreak)=1."""
-    w = Window.partitionBy(key).orderBy(
-        F.col(score).desc(), F.col(tiebreak).asc()
+    """Best match per key: the row with max *score*, ties broken by
+    min *tiebreak* (A2 greedy argmax).
+
+    r8 form (guide §2.3 "aggregate before you shuffle"): ONE
+    ``max(struct(score, −tiebreak, row))`` hash aggregate — partial
+    map-side aggregation collapses each partition to one candidate per
+    key before the exchange, where the old row_number window shuffled
+    and sorted EVERY row (measured on a2 at sf1.0: 1.78 s → 1.32 s).
+    Same output rows: struct ordering compares (score desc via max,
+    then −tiebreak i.e. tiebreak asc); on a full (score, tiebreak) tie
+    the trailing row struct decides deterministically, where the
+    window form's row_number pick was partition-order-dependent — a
+    strict improvement, and our callers' tiebreaks are unique per key.
+    *tiebreak* must be numeric (negatable).  Project *df* down to the
+    columns you need first: every column rides inside the struct
+    through the aggregation (the window form was equally wide after
+    column pruning)."""
+    rest = [c for c in df.columns if c != key]
+    packed = df.groupBy(key).agg(
+        F.max(
+            F.struct(
+                F.col(score).alias("_sc"),
+                (-F.col(tiebreak)).alias("_ntb"),
+                F.struct(*[F.col(c) for c in rest]).alias("_row"),
+            )
+        ).alias("_best")
     )
-    return df.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    ).drop("rn")
+    return packed.select(
+        *[
+            F.col(key) if c == key else F.col(f"_best._row.{c}").alias(c)
+            for c in df.columns
+        ]
+    )

@@ -84,12 +84,94 @@ def capped_index(
     )
 
 
-def dot_arrays(a: F.Column | str, b: F.Column | str) -> F.Column:
-    """Array dot product in codegen: per-element products in DOUBLE
-    (the same arithmetic the flat SQL oracles run), summed in array
-    order via aggregate — zero shuffle, no posexplode."""
+def capped_bucket_pairs(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    cap: int,
+    a_name: str = "doc_a",
+    b_name: str = "doc_b",
+) -> DataFrame:
+    """One-pass capped candidate pairs per bucket — the window form of
+    ``probe ⋈ capped_index(probe)`` (r8, guide §2.4 "remove shuffles
+    outright").
+
+    The self-join form has two consumers of the bucket subtree (probe
+    + capped index), and AQE does not reuse the exchange between them
+    at runtime — the whole upstream pipeline (for dd3: tokenize →
+    shingle explode → 8-hash MinHash agg) executes TWICE, then pays a
+    sort-merge join.  This form computes the same pair set in ONE pass:
+    within each *keys* bucket ordered by *id_col* ascending,
+
+        partners(y) = the ≤ *cap* smallest ids preceding y
+
+    via ``row_number`` + a running ``collect_list(when(rn ≤ cap, id))``
+    over ROWS UNBOUNDED PRECEDING .. 1 PRECEDING (incremental frame:
+    each row appends at most one element, and the CASE keeps the buffer
+    ≤ *cap* elements, so a bucket of M rows does O(M·cap) work — the
+    same bound as the capped join's output).  ``explode`` then emits
+    (partner, y) = exactly the probe>index pairs: the capped index is
+    downward-closed in *id_col*, so x<y is a capped candidate iff x is
+    among the first min(cap, rank(y)−1) ids of a shared bucket.
+
+    Returns (*a_name*, *b_name*) with a_name < b_name, one row per
+    (bucket, pair) — callers ``.distinct()`` to collapse cross-bucket
+    repeats (kept outside so callers can carry extra columns through).
+
+    Measured on dd3 at sf1.0: 3.51 s → 2.25 s (band pipeline 2× → 1×,
+    SortMergeJoin + one Exchange dropped).  Used where bucket
+    cardinality is high (band signatures ≈ corpus size); for the
+    low-cardinality LSH buckets of dd5 (2^n_planes buckets) the window
+    partitioning cannot spread a mega-bucket across tasks the way AQE
+    skew-split does for the join form, so dd5 keeps the join (measured
+    2.3× slower as a window there).
+    """
+    w_rank = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
+    w_prec = w_rank.rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        df.withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn(
+            "_partners",
+            F.collect_list(
+                F.when(F.col("_rn") <= cap, F.col(id_col))
+            ).over(w_prec),
+        )
+        .select(
+            F.explode("_partners").alias(a_name),
+            F.col(id_col).alias(b_name),
+        )
+    )
+
+
+def dot_arrays(
+    a: F.Column | str, b: F.Column | str, dim: int | None = None
+) -> F.Column:
+    """Array dot product: per-element products in DOUBLE (the same
+    arithmetic the flat SQL oracles run), summed in array order —
+    zero shuffle, no posexplode.
+
+    With *dim* (r8, guide §4.1 "prefer built-ins that codegen"): the
+    sum is STATICALLY UNROLLED into ``get(a,i)*get(b,i)`` terms, which
+    whole-stage-codegen compiles to straight-line FMA code.  The
+    ``zip_with``+``aggregate`` higher-order form evaluates interpreted
+    (one lambda dispatch + allocation per element) — measured 3× slower
+    on the dd5 pair-scoring hot path at sf1.0.  The unrolled fold is
+    the SAME left-assoc double addition ((0+t₀)+t₁)+…, so values are
+    bit-identical.  CONTRACT: *dim* must equal the arrays' exact
+    length (``F.get`` past the end yields NULL and the sum would go
+    NULL where the HOF form truncates) — callers pass it only for
+    fixed-dim embedding tables (EMB_DIM); default None keeps the
+    length-generic HOF form.
+    """
     av = F.col(a) if isinstance(a, str) else a
     bv = F.col(b) if isinstance(b, str) else b
+    if dim is not None:
+        acc: F.Column = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + F.get(av, i).cast("double") * F.get(bv, i).cast(
+                "double"
+            )
+        return acc
     return F.aggregate(
         F.zip_with(
             av, bv, lambda x, y: x.cast("double") * y.cast("double")
@@ -99,9 +181,9 @@ def dot_arrays(a: F.Column | str, b: F.Column | str) -> F.Column:
     )
 
 
-def norm_arrays(a: F.Column | str) -> F.Column:
+def norm_arrays(a: F.Column | str, dim: int | None = None) -> F.Column:
     """L2 norm of an embedding array, per-row (no norms shuffle)."""
-    return F.sqrt(dot_arrays(a, a))
+    return F.sqrt(dot_arrays(a, a, dim))
 
 
 def _rank_scored(scored: DataFrame, k: int) -> DataFrame:
@@ -124,6 +206,8 @@ def _score_pairs(
     emb: DataFrame,
     a_col: str = "query_id",
     b_col: str = "neighbor_id",
+    dim: int | None = None,
+    broadcast_emb: bool = False,
 ) -> DataFrame:
     """Attach both embedding arrays to candidate (*a_col*, *b_col*)
     pairs and compute rounded cosine per-row in codegen.  The ONE copy
@@ -131,21 +215,34 @@ def _score_pairs(
     products, array-order fold, round(…, 4)) behind the sim paths,
     dd5 and dd10 — a parity fix here reaches every consumer and its
     SQL twin stays in lock-step (review r6: this block had grown
-    three near-verbatim copies)."""
+    three near-verbatim copies).
+
+    *dim* switches the dot/norm math to the statically-unrolled codegen
+    form (see ``dot_arrays`` — bit-identical values; caller asserts the
+    embedding length).  *broadcast_emb* hints both attach joins to
+    broadcast *emb* instead of shuffling the candidate pairs by vec id
+    — right when the embedding table is broadcast-sized (the bench
+    corpus is 20k×64 ≈ 5 MB; measured −0.4 s on dd5's 1.1M-pair attach
+    at sf1.0).  At 100 TB leave it False: the attach joins then shuffle
+    pairs and vectors by id, which is the scale-safe shape, and AQE may
+    still pick broadcast from runtime stats when a filtered emb side
+    turns out small."""
     qa = emb.select(
         F.col("vec_id").alias(a_col), F.col("embedding").alias("_qv")
     )
     qb = emb.select(
         F.col("vec_id").alias(b_col), F.col("embedding").alias("_nv")
     )
+    if broadcast_emb:
+        qa, qb = F.broadcast(qa), F.broadcast(qb)
     return (
         cand.join(qa, a_col)
         .join(qb, b_col)
         .withColumn(
             "cosine",
             F.round(
-                dot_arrays("_qv", "_nv")
-                / (norm_arrays("_qv") * norm_arrays("_nv")),
+                dot_arrays("_qv", "_nv", dim)
+                / (norm_arrays("_qv", dim) * norm_arrays("_nv", dim)),
                 4,
             ),
         )
@@ -154,14 +251,15 @@ def _score_pairs(
 
 
 def cosine_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 3
+    emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int | None = None
 ) -> DataFrame:
     """Brute-force top-k neighbors for vec_id < n_queries (self excluded).
 
     Returns (query_id, neighbor_id, rank, cosine[rounded 4dp]); rank
     breaks cosine ties by neighbor id — fully deterministic.  The tiny
     query set is broadcast; dot/norms are array-native per-row math, so
-    the only shuffle is the per-query top-k window.
+    the only shuffle is the per-query top-k window.  *dim* switches the
+    dot math to the unrolled codegen form (see ``dot_arrays``).
     """
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
@@ -172,8 +270,8 @@ def cosine_topk(
         .withColumn(
             "cosine",
             F.round(
-                dot_arrays("_qv", "embedding")
-                / (norm_arrays("_qv") * norm_arrays("embedding")),
+                dot_arrays("_qv", "embedding", dim)
+                / (norm_arrays("_qv", dim) * norm_arrays("embedding", dim)),
                 4,
             ),
         )

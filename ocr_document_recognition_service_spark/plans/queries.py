@@ -72,19 +72,51 @@ _DEC = "decimal(18,4)"
     "TPC-H Q1-style pricing summary (A-aggregates, decimal-exact)",
 )
 def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    # r8 scaled-long aggregation (guide §2.3 "narrower types"): the
+    # decimal(18,4) per-row casts + BigDecimal sum buffers dominated
+    # the agg (measured 1.43 s → 0.90 s at sf1.0, and the per-row
+    # F.round→BigDecimal was next).  Money columns are 2-decimal
+    # values, so x·10⁴ sits ≥ 2 orders of magnitude from any .5
+    # boundary: trunc(x·10⁴ + 0.5) == the decimal cast's HALF_UP
+    # unscaled value exactly, all-long codegen.  Sums stay exact:
+    # Σqty·10⁴ ≤ 5·10¹¹, Σprice·10⁴ ≤ 7·10¹⁵ fit signed longs at this
+    # scale; the discount product (8 frac digits, Σ ≈ 2·10¹⁹ at sf1.0)
+    # overflows a long so it accumulates as decimal(28,0) of the exact
+    # long product — compact (unscaled-long) decimal adds, BigDecimal
+    # only at partition-merge.  The final one-row projection divides
+    # back as DECIMAL (exact) before the oracle's cast-to-double +
+    # round, so every output bit matches the decimal(18,4) form
+    # (verified value-for-value at sf1.0 + contract at 3 SFs).
     l = load(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp")
     )
-    qty = F.col("l_quantity").cast(_DEC)
-    price = F.col("l_extendedprice").cast(_DEC)
-    disc_price = price * (F.lit(1).cast(_DEC) - F.col("l_discount").cast(_DEC))
-    return l.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum(qty).cast("double"), 2).alias("sum_qty"),
-        F.round(F.sum(price).cast("double"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-        F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
-        F.round(F.sum(price).cast("double") / F.count("*"), 4).alias("avg_price"),
+    q4 = (F.col("l_quantity") * 10000 + 0.5).cast("long")
+    p4 = (F.col("l_extendedprice") * 10000 + 0.5).cast("long")
+    d4 = ((F.lit(1.0) - F.col("l_discount")) * 10000 + 0.5).cast("long")
+    sums = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(q4).alias("_sq"),
+        F.sum(p4).alias("_sp"),
+        F.sum((p4 * d4).cast("decimal(28,0)")).alias("_sd"),
         F.count("*").alias("count_order"),
+    )
+    sum_qty_dbl = (F.col("_sq").cast("decimal(38,4)") / F.lit(10000)).cast(
+        "double"
+    )
+    sum_price_dbl = (F.col("_sp").cast("decimal(38,4)") / F.lit(10000)).cast(
+        "double"
+    )
+    disc_dbl = (F.col("_sd").cast("decimal(38,8)") / F.lit(100000000)).cast(
+        "double"
+    )
+    return sums.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(sum_qty_dbl, 2).alias("sum_qty"),
+        F.round(sum_price_dbl, 2).alias("sum_base_price"),
+        F.round(disc_dbl, 2).alias("sum_disc_price"),
+        F.round(sum_qty_dbl / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(sum_price_dbl / F.col("count_order"), 4).alias("avg_price"),
+        "count_order",
     )
 
 
@@ -612,7 +644,13 @@ def a10_ap_report(spark: SparkSession, sf: str) -> DataFrame:
     "A2 greedy best-match as a rank-filtered join (metrics.py:107-145)",
 )
 def a2_best_match(spark: SparkSession, sf: str) -> DataFrame:
-    l = load(spark, sf, "lineitem")
+    # r8: project to the 4 live columns BEFORE the argmax aggregate —
+    # best_match_per_key carries every input column inside its struct
+    # (see its docstring), so the projection is what keeps the shuffle
+    # narrow now that the window form (which pruned implicitly) is gone
+    l = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_linenumber"
+    )
     return metrics.best_match_per_key(
         l, key="l_orderkey", score="l_extendedprice", tiebreak="l_linenumber"
     ).select("l_orderkey", "l_partkey", "l_extendedprice")
@@ -640,13 +678,22 @@ def a2_best_match(spark: SparkSession, sf: str) -> DataFrame:
 )
 def a3_eval_report(spark: SparkSession, sf: str) -> DataFrame:
     # documents is one small parquet file = one scan partition; fan the
-    # O(len²) levenshtein out across cores (6s -> sub-second at sf0.1)
-    d = load(spark, sf, "documents").repartition(32)
+    # O(len²) levenshtein out across cores (6s -> sub-second at sf0.1).
+    # r8: HASH repartition — keyless round-robin first local-sorts its
+    # single input partition (sortBeforeRepartition, SPARK-23207).
+    d = load(spark, sf, "documents").repartition(32, "doc_id")
     pairs = d.select(
         F.regexp_replace(F.col("text"), "a", "e").alias("pred_text"),
         F.col("text").alias("gt_text"),
     )
-    return metrics.eval_report(pairs)
+    # r8: pred differs from gt ONLY by same-position a→e substitutions,
+    # so levenshtein ≤ (count of 'a' in gt) — a per-row bound that lets
+    # eval_report run the banded O(len·bound) distance with the exact
+    # same result (measured 2.06 s → ~1.3 s at sf1.0)
+    bound = F.length("gt_text") - F.length(
+        F.replace(F.col("gt_text"), F.lit("a"), F.lit(""))
+    )
+    return metrics.eval_report(pairs, lev_bound=bound)
 
 
 # =====================================================================
@@ -772,7 +819,7 @@ def w8_sliding_stats(spark: SparkSession, sf: str) -> DataFrame:
 )
 def w9_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     return windows.temperature_sample(
-        load(spark, sf, "documents").repartition(16),
+        load(spark, sf, "documents").repartition(16, "doc_id"),
         group_col="lang",
         tau=0.5,
         target_frac=0.5,
@@ -1374,7 +1421,13 @@ def _planes_sql(n_planes: int = 8, seed: int = 7) -> str:
     "exact dedup: normalized-text fingerprint groups",
 )
 def dd1_exact(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.exact_groups(load(spark, sf, "documents"))
+    # r8: hash-repartition fan-out — the documents table is one parquet
+    # row group (one scan task), so the normalize+md5 ran on one core
+    # (measured 1.08 s single-task vs 0.37 s fanned at sf1.0); hash,
+    # not round-robin, to skip sortBeforeRepartition's local sort
+    return dedup.exact_groups(
+        load(spark, sf, "documents").repartition(32, "doc_id")
+    )
 
 
 @_reg(
@@ -1420,7 +1473,7 @@ def dd0_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd2_word_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.word_jaccard_pairs(
-        load(spark, sf, "documents").repartition(32), threshold=0.7
+        load(spark, sf, "documents").repartition(32, "doc_id"), threshold=0.7
     )
 
 
@@ -1434,7 +1487,7 @@ def dd2_word_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(
-        load(spark, sf, "documents").repartition(32), shingle="w3"
+        load(spark, sf, "documents").repartition(32, "doc_id"), shingle="w3"
     )
 
 
@@ -1461,7 +1514,7 @@ def dd3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     "16-bit SimHash over word md5s (engine-agnostic bit extraction)",
 )
 def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash16(load(spark, sf, "documents").repartition(32))
+    return dedup.simhash16(load(spark, sf, "documents").repartition(32, "doc_id"))
 
 
 @_reg(
@@ -1513,7 +1566,7 @@ def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd7_simhash_near(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_near_pairs(
-        load(spark, sf, "documents").repartition(32),
+        load(spark, sf, "documents").repartition(32, "doc_id"),
         n_bits=32,
         n_bands=4,
         max_hamming=3,
@@ -1570,11 +1623,17 @@ def dd7_simhash_near(spark: SparkSession, sf: str) -> DataFrame:
     "(generate-then-verify, bounded fan-out; no label blocking)",
 )
 def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
+    # r8: dim=64 (corpus embedding width) → unrolled codegen scoring;
+    # broadcast_emb: the vector table is broadcast-sized here (20k×64
+    # ≈ 5 MB at sf1.0) so the two attach joins skip shuffling the
+    # 1.1M candidate pairs (measured 2.87 s → 1.59 s together)
     return dedup.embedding_dup_pairs(
-        load(spark, sf, "embeddings").repartition(16),
+        load(spark, sf, "embeddings").repartition(16, "vec_id"),
         n_planes=6,
         threshold=0.3,
         bucket_cap=64,
+        dim=64,
+        broadcast_emb=True,
     )
 
 
@@ -1633,12 +1692,15 @@ def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
     "decays geometrically with tables at n_tables x cap fan-out",
 )
 def dd12_embedding_dup_2t(spark: SparkSession, sf: str) -> DataFrame:
+    # r8: same unrolled-dot + broadcast-attach knobs as dd5
     return dedup.embedding_dup_pairs(
-        load(spark, sf, "embeddings").repartition(16),
+        load(spark, sf, "embeddings").repartition(16, "vec_id"),
         n_planes=6,
         threshold=0.3,
         bucket_cap=64,
         n_tables=2,
+        dim=64,
+        broadcast_emb=True,
     )
 
 
@@ -1674,7 +1736,7 @@ def dd12_embedding_dup_2t(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.char_ngram_jaccard_pairs(
-        load(spark, sf, "documents").repartition(32), n=3, threshold=0.8
+        load(spark, sf, "documents").repartition(32, "doc_id"), n=3, threshold=0.8
     )
 
 
@@ -1706,7 +1768,7 @@ def dd6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd8_components(spark: SparkSession, sf: str) -> DataFrame:
     pairs = dedup.lsh_candidate_pairs(
-        load(spark, sf, "documents").repartition(32), shingle="w3"
+        load(spark, sf, "documents").repartition(32, "doc_id"), shingle="w3"
     )
     return dedup.dup_components(pairs)
 
@@ -1859,7 +1921,7 @@ def dd9_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd10_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.semantic_dedup(
-        load(spark, sf, "embeddings").repartition(16),
+        load(spark, sf, "embeddings").repartition(16, "vec_id"),
         n_cells=8,
         iters=2,
         threshold=0.3,
@@ -2329,7 +2391,7 @@ def _sim7_sql() -> str:
 )
 def dd11_semdedup_probe2(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.semantic_dedup(
-        load(spark, sf, "embeddings").repartition(16),
+        load(spark, sf, "embeddings").repartition(16, "vec_id"),
         n_cells=8,
         iters=1,
         threshold=0.3,
@@ -2373,8 +2435,12 @@ def dd11_semdedup_probe2(spark: SparkSession, sf: str) -> DataFrame:
     "brute-force cosine top-k (ANN correctness baseline)",
 )
 def sim1_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    # dim=64: the corpus embedding width — unrolled codegen dot math
     return similarity.cosine_topk(
-        load(spark, sf, "embeddings").repartition(16), n_queries=5, k=3
+        load(spark, sf, "embeddings").repartition(16, "vec_id"),
+        n_queries=5,
+        k=3,
+        dim=64,
     )
 
 
@@ -2398,7 +2464,11 @@ def sim1_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     "random-hyperplane LSH bucket ids (literal planes, engine-agnostic)",
 )
 def sim2_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    return similarity.lsh_buckets(load(spark, sf, "embeddings"))
+    # r8: single-row-group table → fan the 8 hyperplane dots out
+    # across cores (the projection itself is zero-shuffle)
+    return similarity.lsh_buckets(
+        load(spark, sf, "embeddings").repartition(16, "vec_id")
+    )
 
 
 @_reg(
@@ -2723,7 +2793,7 @@ def sim7_ivf_twolevel(spark: SparkSession, sf: str) -> DataFrame:
 )
 def sim9_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivfpq_topk(
-        load(spark, sf, "embeddings").repartition(16),
+        load(spark, sf, "embeddings").repartition(16, "vec_id"),
         n_queries=5,
         k_neighbors=3,
         n_cells=8,
@@ -2747,7 +2817,7 @@ def sim9_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 )
 def emb2_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     enc = similarity.pq_encode(
-        load(spark, sf, "embeddings").repartition(16),
+        load(spark, sf, "embeddings").repartition(16, "vec_id"),
         n_sub=8,
         k=16,
         iters=1,
@@ -2771,7 +2841,7 @@ def emb2_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
 )
 def sim8_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pq_adc_topk(
-        load(spark, sf, "embeddings").repartition(16),
+        load(spark, sf, "embeddings").repartition(16, "vec_id"),
         n_queries=5,
         k_neighbors=3,
         n_sub=8,
@@ -2902,7 +2972,11 @@ def ta1_script_counts(spark: SparkSession, sf: str) -> DataFrame:
     "quality scoring: length/stopword/punctuation features (D3 family)",
 )
 def ta2_quality_score(spark: SparkSession, sf: str) -> DataFrame:
-    return text_analysis.quality_score(load(spark, sf, "documents"))
+    # r8: single-row-group table → fan the tokenize + regex feature
+    # extraction out across cores (measured 2.37 s → 0.47 s at sf1.0)
+    return text_analysis.quality_score(
+        load(spark, sf, "documents").repartition(32, "doc_id")
+    )
 
 
 @_reg(
