@@ -625,8 +625,6 @@ def embedding_dup_pairs(
     bucket_cap: int | None = LSH_BUCKET_CAP,
     n_vectors: int | None = None,
     n_tables: int = 1,
-    dim: int | None = None,
-    broadcast_emb: bool = False,
 ) -> DataFrame:
     """Embedding cosine near-dup pairs over random-hyperplane LSH
     bucket candidates (generate-then-verify; no label/source blocking).
@@ -675,12 +673,9 @@ def embedding_dup_pairs(
 
     Exact cosine on candidates only, ARRAY-NATIVE (no posexplode, no
     norms shuffle); per-element products in double + 4dp rounding keep
-    parity with the flat SQL oracle.  *dim* / *broadcast_emb* (r8) pass
-    through to ``similarity._score_pairs``: *dim* switches the dot math
-    to the statically-unrolled codegen form (bit-identical — caller
-    asserts the embedding length), *broadcast_emb* hints the two attach
-    joins to broadcast the vector table (right at broadcast-sized
-    corpora; leave False at scale — see _score_pairs).
+    parity with the flat SQL oracle.  Norms are staged once per vector
+    on the attach sides (r8 — see ``similarity._score_pairs``), not
+    recomputed per candidate pair.
     """
     if planes is None:
         if n_planes is None:
@@ -729,14 +724,7 @@ def embedding_dup_pairs(
     if n_tables > 1:
         cand = cand.distinct()
     return (
-        similarity._score_pairs(
-            cand,
-            emb,
-            a_col="vec_a",
-            b_col="vec_b",
-            dim=dim,
-            broadcast_emb=broadcast_emb,
-        )
+        similarity._score_pairs(cand, emb, a_col="vec_a", b_col="vec_b")
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )

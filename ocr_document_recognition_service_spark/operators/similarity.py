@@ -143,35 +143,21 @@ def capped_bucket_pairs(
     )
 
 
-def dot_arrays(
-    a: F.Column | str, b: F.Column | str, dim: int | None = None
-) -> F.Column:
+def dot_arrays(a: F.Column | str, b: F.Column | str) -> F.Column:
     """Array dot product: per-element products in DOUBLE (the same
-    arithmetic the flat SQL oracles run), summed in array order —
-    zero shuffle, no posexplode.
+    arithmetic the flat SQL oracles run), summed in array order via
+    aggregate — zero shuffle, no posexplode.
 
-    With *dim* (r8, guide §4.1 "prefer built-ins that codegen"): the
-    sum is STATICALLY UNROLLED into ``get(a,i)*get(b,i)`` terms, which
-    whole-stage-codegen compiles to straight-line FMA code.  The
-    ``zip_with``+``aggregate`` higher-order form evaluates interpreted
-    (one lambda dispatch + allocation per element) — measured 3× slower
-    on the dd5 pair-scoring hot path at sf1.0.  The unrolled fold is
-    the SAME left-assoc double addition ((0+t₀)+t₁)+…, so values are
-    bit-identical.  CONTRACT: *dim* must equal the arrays' exact
-    length (``F.get`` past the end yields NULL and the sum would go
-    NULL where the HOF form truncates) — callers pass it only for
-    fixed-dim embedding tables (EMB_DIM); default None keeps the
-    length-generic HOF form.
+    r8 note (measured, so nobody retries it): statically unrolling
+    this into ``get(a,i)*get(b,i)`` term chains for fixed-dim arrays
+    looked like a codegen win but benchmarked ERRATICALLY at dim 64 —
+    0.7×–3× the HOF form depending on the surrounding join shape (a
+    ~400-node expression tree trips whole-stage-codegen method-size
+    fallbacks).  The robust win was staging norms once per VECTOR
+    instead of once per pair — see ``_score_pairs``/``cosine_topk``.
     """
     av = F.col(a) if isinstance(a, str) else a
     bv = F.col(b) if isinstance(b, str) else b
-    if dim is not None:
-        acc: F.Column = F.lit(0.0)
-        for i in range(dim):
-            acc = acc + F.get(av, i).cast("double") * F.get(bv, i).cast(
-                "double"
-            )
-        return acc
     return F.aggregate(
         F.zip_with(
             av, bv, lambda x, y: x.cast("double") * y.cast("double")
@@ -181,9 +167,9 @@ def dot_arrays(
     )
 
 
-def norm_arrays(a: F.Column | str, dim: int | None = None) -> F.Column:
+def norm_arrays(a: F.Column | str) -> F.Column:
     """L2 norm of an embedding array, per-row (no norms shuffle)."""
-    return F.sqrt(dot_arrays(a, a, dim))
+    return F.sqrt(dot_arrays(a, a))
 
 
 def _rank_scored(scored: DataFrame, k: int) -> DataFrame:
@@ -206,8 +192,6 @@ def _score_pairs(
     emb: DataFrame,
     a_col: str = "query_id",
     b_col: str = "neighbor_id",
-    dim: int | None = None,
-    broadcast_emb: bool = False,
 ) -> DataFrame:
     """Attach both embedding arrays to candidate (*a_col*, *b_col*)
     pairs and compute rounded cosine per-row in codegen.  The ONE copy
@@ -217,61 +201,67 @@ def _score_pairs(
     SQL twin stays in lock-step (review r6: this block had grown
     three near-verbatim copies).
 
-    *dim* switches the dot/norm math to the statically-unrolled codegen
-    form (see ``dot_arrays`` — bit-identical values; caller asserts the
-    embedding length).  *broadcast_emb* hints both attach joins to
-    broadcast *emb* instead of shuffling the candidate pairs by vec id
-    — right when the embedding table is broadcast-sized (the bench
-    corpus is 20k×64 ≈ 5 MB; measured −0.4 s on dd5's 1.1M-pair attach
-    at sf1.0).  At 100 TB leave it False: the attach joins then shuffle
-    pairs and vectors by id, which is the scale-safe shape, and AQE may
-    still pick broadcast from runtime stats when a filtered emb side
-    turns out small."""
+    r8 (guide §1.2 "per-task work"): norms are STAGED once per vector
+    on the attach sides instead of being recomputed inside every pair
+    row — a candidate set of C pairs over N vectors evaluates 2N norm
+    folds instead of 2C (dd5 at sf1.0: C ≈ 1.1M vs N = 20k; scoring
+    stage 3.4 s → 1.8 s).  ``cosine = round(dot / (_qn·_nn), 4)`` is
+    the same double multiply/divide on the same values, so results are
+    bit-identical (verified pairwise and by the DuckDB contract)."""
     qa = emb.select(
-        F.col("vec_id").alias(a_col), F.col("embedding").alias("_qv")
+        F.col("vec_id").alias(a_col),
+        F.col("embedding").alias("_qv"),
+        norm_arrays("embedding").alias("_qn"),
     )
     qb = emb.select(
-        F.col("vec_id").alias(b_col), F.col("embedding").alias("_nv")
+        F.col("vec_id").alias(b_col),
+        F.col("embedding").alias("_nv"),
+        norm_arrays("embedding").alias("_nn"),
     )
-    if broadcast_emb:
-        qa, qb = F.broadcast(qa), F.broadcast(qb)
     return (
         cand.join(qa, a_col)
         .join(qb, b_col)
         .withColumn(
             "cosine",
             F.round(
-                dot_arrays("_qv", "_nv", dim)
-                / (norm_arrays("_qv", dim) * norm_arrays("_nv", dim)),
+                dot_arrays("_qv", "_nv") / (F.col("_qn") * F.col("_nn")),
                 4,
             ),
         )
-        .drop("_qv", "_nv")
+        .drop("_qv", "_nv", "_qn", "_nn")
     )
 
 
 def cosine_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 3, dim: int | None = None
+    emb: DataFrame, n_queries: int = 5, k: int = 3
 ) -> DataFrame:
     """Brute-force top-k neighbors for vec_id < n_queries (self excluded).
 
     Returns (query_id, neighbor_id, rank, cosine[rounded 4dp]); rank
     breaks cosine ties by neighbor id — fully deterministic.  The tiny
     query set is broadcast; dot/norms are array-native per-row math, so
-    the only shuffle is the per-query top-k window.  *dim* switches the
-    dot math to the unrolled codegen form (see ``dot_arrays``).
+    the only shuffle is the per-query top-k window.  Norms are staged
+    per vector / per query BEFORE the cross join (r8): n_queries × N
+    scored rows then evaluate one dot each instead of one dot + two
+    norm folds — same doubles, same rounding (measured 0.81 s → 0.64 s
+    at sf1.0).
     """
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        norm_arrays("embedding").alias("_qn"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        emb.select(
+            "vec_id", "embedding", norm_arrays("embedding").alias("_nn")
+        )
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
             F.round(
-                dot_arrays("_qv", "embedding", dim)
-                / (norm_arrays("_qv", dim) * norm_arrays("embedding", dim)),
+                dot_arrays("_qv", "embedding")
+                / (F.col("_qn") * F.col("_nn")),
                 4,
             ),
         )

@@ -1623,17 +1623,11 @@ def dd7_simhash_near(spark: SparkSession, sf: str) -> DataFrame:
     "(generate-then-verify, bounded fan-out; no label blocking)",
 )
 def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
-    # r8: dim=64 (corpus embedding width) → unrolled codegen scoring;
-    # broadcast_emb: the vector table is broadcast-sized here (20k×64
-    # ≈ 5 MB at sf1.0) so the two attach joins skip shuffling the
-    # 1.1M candidate pairs (measured 2.87 s → 1.59 s together)
     return dedup.embedding_dup_pairs(
         load(spark, sf, "embeddings").repartition(16, "vec_id"),
         n_planes=6,
         threshold=0.3,
         bucket_cap=64,
-        dim=64,
-        broadcast_emb=True,
     )
 
 
@@ -1692,15 +1686,12 @@ def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
     "decays geometrically with tables at n_tables x cap fan-out",
 )
 def dd12_embedding_dup_2t(spark: SparkSession, sf: str) -> DataFrame:
-    # r8: same unrolled-dot + broadcast-attach knobs as dd5
     return dedup.embedding_dup_pairs(
         load(spark, sf, "embeddings").repartition(16, "vec_id"),
         n_planes=6,
         threshold=0.3,
         bucket_cap=64,
         n_tables=2,
-        dim=64,
-        broadcast_emb=True,
     )
 
 
@@ -2435,12 +2426,10 @@ def dd11_semdedup_probe2(spark: SparkSession, sf: str) -> DataFrame:
     "brute-force cosine top-k (ANN correctness baseline)",
 )
 def sim1_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    # dim=64: the corpus embedding width — unrolled codegen dot math
     return similarity.cosine_topk(
         load(spark, sf, "embeddings").repartition(16, "vec_id"),
         n_queries=5,
         k=3,
-        dim=64,
     )
 
 

@@ -28,26 +28,48 @@ def spark():
     yield s
 
 
-def test_dot_arrays_unrolled_matches_hof(spark):
-    """dim-unrolled dot/norm must be BIT-identical to the HOF fold —
-    same left-assoc double addition — including float input casts."""
-    rows = [
-        (1, [0.1, -2.5, 3.25, 7.0], [1.5, 2.0, -0.25, 0.125]),
-        (2, [1e-8, 1e8, -1e-8, -1e8], [1.0, 1.0, 1.0, 1.0]),
-        (3, [0.0, 0.0, 0.0, 0.0], [5.0, 6.0, 7.0, 8.0]),
+def test_score_pairs_staged_norms_bit_identical(spark):
+    """_score_pairs stages norms per vector before the attach joins;
+    the cosine must stay BIT-identical to the inline-norm reference
+    (same doubles into the same multiply/divide/round)."""
+    emb_rows = [
+        (0, [0.1, -2.5, 3.25, 7.0]),
+        (1, [1.5, 2.0, -0.25, 0.125]),
+        (2, [1e-4, 1e4, -1e-4, -1e4]),
+        (3, [4.0, 3.0, 2.0, 1.0]),
     ]
-    df = spark.createDataFrame(
-        rows, "vec_id int, a array<float>, b array<float>"
+    emb = spark.createDataFrame(emb_rows, "vec_id bigint, embedding array<float>")
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "query_id bigint, neighbor_id bigint"
     )
-    out = df.select(
-        similarity.dot_arrays("a", "b").alias("hof"),
-        similarity.dot_arrays("a", "b", dim=4).alias("unrolled"),
-        similarity.norm_arrays("a").alias("nh"),
-        similarity.norm_arrays("a", dim=4).alias("nu"),
-    ).collect()
-    for r in out:
-        assert r["hof"] == r["unrolled"]  # exact, not approx
-        assert r["nh"] == r["nu"]
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity._score_pairs(cand, emb).collect()
+    }
+    qa = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    ref = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cand.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                similarity.dot_arrays("qv", "nv")
+                / (
+                    similarity.norm_arrays("qv")
+                    * similarity.norm_arrays("nv")
+                ),
+                4,
+            ),
+        )
+        .collect()
+    }
+    assert got == ref  # exact, not approx
 
 
 def test_best_match_per_key_agg_matches_window(spark):
