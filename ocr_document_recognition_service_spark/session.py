@@ -43,6 +43,20 @@ def build_session(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             "134217728",
         )
+        # r8 (guide §2.2 — M×R shuffle-block growth): with ≤200 reduce
+        # partitions Spark's bypass-merge writer creates one file PER
+        # (map task, reduce partition); on hosts where file creation is
+        # slow that M×R cost dominates small shuffles (measured here:
+        # a 32-map → 64-reduce tiny shuffle 1.05 s → 0.28 s with the
+        # serialized sort writer, which writes ONE spill file per map
+        # task).  0 disables the bypass path everywhere — the same
+        # writer Spark itself picks whenever R > 200, so the choice is
+        # scale-neutral, not a local[32] tune.  Env-overridable for
+        # profiles where many tiny files are free.
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            os.environ.get("SPARK_GRAFT_BYPASS_MERGE", "0"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
