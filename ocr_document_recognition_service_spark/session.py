@@ -17,10 +17,13 @@ def build_session(
     app_name: str = "ocr-document-recognition-service-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    # 1024 measured best for the extraction UDFs (8KB-ish payloads →
-    # ~8MB Arrow batches pipeline JVM→Python better than 4096/10000;
-    # min-of-3 A/B on the 50k bench corpus: 2.28s vs 2.63s vs 2.48s)
-    arrow_batch: int = 1024,
+    # r8 re-measured on the current host: per-batch JVM↔Python overhead
+    # dominates at 1024 rows (50k-doc extraction 3.68 s); 2048–8192 sit
+    # on a flat plateau (2.13/2.08/2.06 s) — 4096 picked mid-plateau.
+    # Memory stays bounded for fat rows (images, PDFs) by Spark 4's
+    # spark.sql.execution.arrow.maxBytesPerBatch, default 64 MB, which
+    # caps a batch by bytes before the record cap is reached.
+    arrow_batch: int = 4096,
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
