@@ -48,6 +48,17 @@ def _reg(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
+def _fan(spark: SparkSession, frac: float = 1.0) -> int:
+    """Scale-adaptive fan-out width (guide §2.2): the pre-compute hash
+    repartitions below exist to spread per-row-heavy work over cores
+    when the source parquet has too few row groups to split.  Width is
+    derived from the session's parallelism — local[N] → N (identical
+    to the previously hard-coded 32/16 on local[32]); on a cluster →
+    the cluster's total default parallelism — instead of a constant
+    tuned for one deployment."""
+    return max(8, int(spark.sparkContext.defaultParallelism * frac))
+
+
 # =====================================================================
 # Relational core (scans, joins, aggregates — SURVEY §2.1/§2.6)
 # =====================================================================
@@ -681,7 +692,7 @@ def a3_eval_report(spark: SparkSession, sf: str) -> DataFrame:
     # O(len²) levenshtein out across cores (6s -> sub-second at sf0.1).
     # r8: HASH repartition — keyless round-robin first local-sorts its
     # single input partition (sortBeforeRepartition, SPARK-23207).
-    d = load(spark, sf, "documents").repartition(32, "doc_id")
+    d = load(spark, sf, "documents").repartition(_fan(spark), "doc_id")
     pairs = d.select(
         F.regexp_replace(F.col("text"), "a", "e").alias("pred_text"),
         F.col("text").alias("gt_text"),
@@ -819,7 +830,7 @@ def w8_sliding_stats(spark: SparkSession, sf: str) -> DataFrame:
 )
 def w9_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     return windows.temperature_sample(
-        load(spark, sf, "documents").repartition(16, "doc_id"),
+        load(spark, sf, "documents").repartition(_fan(spark, 0.5), "doc_id"),
         group_col="lang",
         tau=0.5,
         target_frac=0.5,
@@ -1426,7 +1437,7 @@ def dd1_exact(spark: SparkSession, sf: str) -> DataFrame:
     # (measured 1.08 s single-task vs 0.37 s fanned at sf1.0); hash,
     # not round-robin, to skip sortBeforeRepartition's local sort
     return dedup.exact_groups(
-        load(spark, sf, "documents").repartition(32, "doc_id")
+        load(spark, sf, "documents").repartition(_fan(spark), "doc_id")
     )
 
 
@@ -1473,7 +1484,7 @@ def dd0_dedup_apply(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd2_word_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.word_jaccard_pairs(
-        load(spark, sf, "documents").repartition(32, "doc_id"), threshold=0.7
+        load(spark, sf, "documents").repartition(_fan(spark), "doc_id"), threshold=0.7
     )
 
 
@@ -1487,7 +1498,7 @@ def dd2_word_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(
-        load(spark, sf, "documents").repartition(32, "doc_id"), shingle="w3"
+        load(spark, sf, "documents").repartition(_fan(spark), "doc_id"), shingle="w3"
     )
 
 
@@ -1514,7 +1525,7 @@ def dd3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     "16-bit SimHash over word md5s (engine-agnostic bit extraction)",
 )
 def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.simhash16(load(spark, sf, "documents").repartition(32, "doc_id"))
+    return dedup.simhash16(load(spark, sf, "documents").repartition(_fan(spark), "doc_id"))
 
 
 @_reg(
@@ -1566,7 +1577,7 @@ def dd4_simhash(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd7_simhash_near(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_near_pairs(
-        load(spark, sf, "documents").repartition(32, "doc_id"),
+        load(spark, sf, "documents").repartition(_fan(spark), "doc_id"),
         n_bits=32,
         n_bands=4,
         max_hamming=3,
@@ -1624,7 +1635,7 @@ def dd7_simhash_near(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_dup_pairs(
-        load(spark, sf, "embeddings").repartition(16, "vec_id"),
+        load(spark, sf, "embeddings").repartition(_fan(spark, 0.5), "vec_id"),
         n_planes=6,
         threshold=0.3,
         bucket_cap=64,
@@ -1687,7 +1698,7 @@ def dd5_embedding_dup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd12_embedding_dup_2t(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.embedding_dup_pairs(
-        load(spark, sf, "embeddings").repartition(16, "vec_id"),
+        load(spark, sf, "embeddings").repartition(_fan(spark, 0.5), "vec_id"),
         n_planes=6,
         threshold=0.3,
         bucket_cap=64,
@@ -1727,7 +1738,7 @@ def dd12_embedding_dup_2t(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.char_ngram_jaccard_pairs(
-        load(spark, sf, "documents").repartition(32, "doc_id"), n=3, threshold=0.8
+        load(spark, sf, "documents").repartition(_fan(spark), "doc_id"), n=3, threshold=0.8
     )
 
 
@@ -1759,7 +1770,7 @@ def dd6_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd8_components(spark: SparkSession, sf: str) -> DataFrame:
     pairs = dedup.lsh_candidate_pairs(
-        load(spark, sf, "documents").repartition(32, "doc_id"), shingle="w3"
+        load(spark, sf, "documents").repartition(_fan(spark), "doc_id"), shingle="w3"
     )
     return dedup.dup_components(pairs)
 
@@ -1912,7 +1923,7 @@ def dd9_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dd10_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.semantic_dedup(
-        load(spark, sf, "embeddings").repartition(16, "vec_id"),
+        load(spark, sf, "embeddings").repartition(_fan(spark, 0.5), "vec_id"),
         n_cells=8,
         iters=2,
         threshold=0.3,
@@ -2382,7 +2393,7 @@ def _sim7_sql() -> str:
 )
 def dd11_semdedup_probe2(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.semantic_dedup(
-        load(spark, sf, "embeddings").repartition(16, "vec_id"),
+        load(spark, sf, "embeddings").repartition(_fan(spark, 0.5), "vec_id"),
         n_cells=8,
         iters=1,
         threshold=0.3,
@@ -2427,7 +2438,7 @@ def dd11_semdedup_probe2(spark: SparkSession, sf: str) -> DataFrame:
 )
 def sim1_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(
-        load(spark, sf, "embeddings").repartition(16, "vec_id"),
+        load(spark, sf, "embeddings").repartition(_fan(spark, 0.5), "vec_id"),
         n_queries=5,
         k=3,
     )
@@ -2456,7 +2467,7 @@ def sim2_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     # r8: single-row-group table → fan the 8 hyperplane dots out
     # across cores (the projection itself is zero-shuffle)
     return similarity.lsh_buckets(
-        load(spark, sf, "embeddings").repartition(16, "vec_id")
+        load(spark, sf, "embeddings").repartition(_fan(spark, 0.5), "vec_id")
     )
 
 
@@ -2782,7 +2793,7 @@ def sim7_ivf_twolevel(spark: SparkSession, sf: str) -> DataFrame:
 )
 def sim9_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.ivfpq_topk(
-        load(spark, sf, "embeddings").repartition(16, "vec_id"),
+        load(spark, sf, "embeddings").repartition(_fan(spark, 0.5), "vec_id"),
         n_queries=5,
         k_neighbors=3,
         n_cells=8,
@@ -2806,7 +2817,7 @@ def sim9_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 )
 def emb2_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
     enc = similarity.pq_encode(
-        load(spark, sf, "embeddings").repartition(16, "vec_id"),
+        load(spark, sf, "embeddings").repartition(_fan(spark, 0.5), "vec_id"),
         n_sub=8,
         k=16,
         iters=1,
@@ -2830,7 +2841,7 @@ def emb2_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
 )
 def sim8_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pq_adc_topk(
-        load(spark, sf, "embeddings").repartition(16, "vec_id"),
+        load(spark, sf, "embeddings").repartition(_fan(spark, 0.5), "vec_id"),
         n_queries=5,
         k_neighbors=3,
         n_sub=8,
@@ -2964,7 +2975,7 @@ def ta2_quality_score(spark: SparkSession, sf: str) -> DataFrame:
     # r8: single-row-group table → fan the tokenize + regex feature
     # extraction out across cores (measured 2.37 s → 0.47 s at sf1.0)
     return text_analysis.quality_score(
-        load(spark, sf, "documents").repartition(32, "doc_id")
+        load(spark, sf, "documents").repartition(_fan(spark), "doc_id")
     )
 
 
