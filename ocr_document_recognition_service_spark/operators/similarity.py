@@ -836,9 +836,22 @@ def _assign_two_level_arrow(
 
     _round6 = _np_round6
 
+    # r8: sort the coarse axis by cell id once — a STABLE argsort over a
+    # distance row is then exactly the per-row lexsort((ccells, dist))
+    # (ties by cell ascending), and it vectorizes across the chunk.
+    _ord = np.argsort(ccells, kind="stable")
+    C = C[_ord]
+    ccells = ccells[_ord]
+
     def run(batches):
         import pandas as pd
 
+        # r8: chunk the coarse-distance broadcast — (rows × kc × dim)
+        # float64 temporaries scale with the Arrow batch size (371 MB
+        # at 4096 rows × kc≈180), which measurably slowed the engine
+        # when the session default batch grew; 512-row chunks bound the
+        # temporary at ~46 MB with bit-identical per-row arithmetic.
+        CH = 512
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -846,26 +859,29 @@ def _assign_two_level_arrow(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             ids = pdf["vec_id"].to_numpy()
-            Dc = _round6(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1))
             out_ids, out_cells = [], []
-            for i in range(len(ids)):
-                probe_order = np.lexsort((ccells, Dc[i]))[:cp]
-                cand_cells, cand_d = [], []
-                for g in ccells[probe_order]:
-                    grp = by_coarse.get(int(g))
-                    if grp is None:
+            for s in range(0, len(ids), CH):
+                Xc = X[s : s + CH]
+                Dc = _round6(((Xc[:, None, :] - C[None, :, :]) ** 2).sum(-1))
+                probe = np.argsort(Dc, axis=1, kind="stable")[:, :cp]
+                for j in range(len(Xc)):
+                    i = s + j
+                    cand_cells, cand_d = [], []
+                    for g in ccells[probe[j]]:
+                        grp = by_coarse.get(int(g))
+                        if grp is None:
+                            continue
+                        gc, gv = grp
+                        cand_cells.append(gc)
+                        cand_d.append(_round6(((X[i] - gv) ** 2).sum(-1)))
+                    if not cand_cells:
                         continue
-                    gc, gv = grp
-                    cand_cells.append(gc)
-                    cand_d.append(_round6(((X[i] - gv) ** 2).sum(-1)))
-                if not cand_cells:
-                    continue
-                cand_cells = np.concatenate(cand_cells)
-                cand_d = np.concatenate(cand_d)
-                best = np.lexsort((cand_cells, cand_d))[:n_probe]
-                for b in best:
-                    out_ids.append(ids[i])
-                    out_cells.append(cand_cells[b])
+                    cand_cells = np.concatenate(cand_cells)
+                    cand_d = np.concatenate(cand_d)
+                    best = np.lexsort((cand_cells, cand_d))[:n_probe]
+                    for b in best:
+                        out_ids.append(ids[i])
+                        out_cells.append(cand_cells[b])
             yield pd.DataFrame({"vec_id": out_ids, "cell": out_cells})
 
     return emb.select("vec_id", "embedding").mapInPandas(
